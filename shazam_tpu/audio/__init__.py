@@ -1,0 +1,16 @@
+from .io import read, write_wav, find_files, unique_file_hash
+from .noise import white_noise_for_snr, scale_noise_to_snr, mix_at_snr, renormalize
+from .synth import synth_song, synth_corpus
+
+__all__ = [
+    "read",
+    "write_wav",
+    "find_files",
+    "unique_file_hash",
+    "white_noise_for_snr",
+    "scale_noise_to_snr",
+    "mix_at_snr",
+    "renormalize",
+    "synth_song",
+    "synth_corpus",
+]

@@ -1,0 +1,169 @@
+"""Host-side audio I/O.
+
+TPU-native equivalent of the reference's L0 layer (``__init__.py:70-113``,
+``read()``): decode stays on the host CPU feeding fixed-shape device
+buffers; the TPU never sees a file.
+
+The reference decodes via pydub/ffmpeg. This environment has neither, so:
+
+- WAV (PCM 8/16/32-bit and IEEE float) is decoded natively with the stdlib
+  ``wave``/``struct`` machinery — zero dependencies, covers every fixture
+  and benchmark corpus we generate.
+- Any other container (mp3, flac, ...) is decoded through the ``ffmpeg``
+  CLI *if present*; otherwise a clear error tells the user to transcode.
+
+API mirrors the reference: ``read(path, limit) -> (channels, fs, sha1)``
+where channels is a list of int16 numpy arrays (one per channel) and sha1
+is the uppercase hex digest of the file bytes (``unique_hash``,
+reference ``__init__.py:305-323``).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import hashlib
+import os
+import shutil
+import struct
+import subprocess
+import wave
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_FFMPEG = shutil.which("ffmpeg")
+
+WAV_EXTENSIONS = (".wav", ".wave")
+
+
+def unique_file_hash(path: str, block_size: int = 2 ** 20) -> str:
+    """SHA-1 of the file's bytes, uppercase hex (reference ``unique_hash``)."""
+    digest = hashlib.sha1()
+    with open(path, "rb") as fh:
+        while True:
+            block = fh.read(block_size)
+            if not block:
+                break
+            digest.update(block)
+    return digest.hexdigest().upper()
+
+
+def find_files(path: str, extensions: Sequence[str]) -> List[Tuple[str, str]]:
+    """Recursively list files matching the extensions (reference ``find_files``)."""
+    exts = [e.replace(".", "") for e in extensions]
+    results: List[Tuple[str, str]] = []
+    for dirpath, _dirnames, files in os.walk(path):
+        for ext in exts:
+            for name in fnmatch.filter(files, f"*.{ext}"):
+                results.append((os.path.join(dirpath, name), ext))
+    return results
+
+
+def _read_wav(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int, int]:
+    """Decode a PCM/float WAV into an interleaved int16 array + sample rate."""
+    with wave.open(path, "rb") as wf:
+        n_channels = wf.getnchannels()
+        fs = wf.getframerate()
+        sampwidth = wf.getsampwidth()
+        n_frames = wf.getnframes()
+        if limit is not None:
+            n_frames = min(n_frames, int(limit * fs))
+        raw = wf.readframes(n_frames)
+
+    if sampwidth == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.int16)
+    elif sampwidth == 1:  # unsigned 8-bit
+        data = ((np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128) << 8)
+        data = data.astype(np.int16)
+    elif sampwidth == 4:
+        # Could be int32 PCM or float32; wave module doesn't expose the
+        # format tag, so sniff: IEEE float WAVs have fmt tag 3 in the header.
+        with open(path, "rb") as fh:
+            header = fh.read(64)
+        fmt_off = header.find(b"fmt ")
+        fmt_tag = struct.unpack_from("<H", header, fmt_off + 8)[0] if fmt_off >= 0 else 1
+        if fmt_tag == 3:
+            f = np.frombuffer(raw, dtype="<f4")
+            data = np.clip(f * 32768.0, -32768, 32767).astype(np.int16)
+        else:
+            data = (np.frombuffer(raw, dtype="<i4") >> 16).astype(np.int16)
+    elif sampwidth == 3:  # 24-bit PCM
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        val = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        val = (val << 8) >> 16  # sign-extend then keep top 16 bits
+        data = val.astype(np.int16)
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth} in {path}")
+
+    return data.reshape(-1)[: n_frames * n_channels], fs, n_channels
+
+
+def _read_via_ffmpeg(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int, int]:
+    """Decode any container through the ffmpeg CLI to s16le PCM."""
+    if _FFMPEG is None:
+        raise RuntimeError(
+            f"cannot decode {path!r}: not a WAV file and no ffmpeg binary found; "
+            "transcode to WAV first"
+        )
+    probe = subprocess.run(
+        [_FFMPEG, "-i", path, "-f", "null", "-"],
+        capture_output=True, text=True,
+    )
+    # parse "Audio: ..., 44100 Hz, stereo" from stderr
+    fs, n_channels = 44100, 2
+    for line in probe.stderr.splitlines():
+        if "Audio:" in line:
+            for part in line.split(","):
+                part = part.strip()
+                if part.endswith("Hz"):
+                    fs = int(part.split()[0])
+                elif part.startswith("mono"):
+                    n_channels = 1
+                elif part.startswith("stereo"):
+                    n_channels = 2
+            break
+    cmd = [_FFMPEG, "-v", "quiet", "-i", path]
+    if limit is not None:
+        cmd += ["-t", str(limit)]
+    cmd += ["-f", "s16le", "-acodec", "pcm_s16le", "-"]
+    out = subprocess.run(cmd, capture_output=True).stdout
+    return np.frombuffer(out, dtype="<i2").astype(np.int16), fs, n_channels
+
+
+def read(path: str, limit: Optional[float] = None):
+    """Decode an audio file.
+
+    :param path: audio file path (WAV natively; others via ffmpeg if present).
+    :param limit: optional seconds to keep from the start.
+    :return: (channels, sample_rate, file_sha1) — channels is a list of
+        int16 arrays, one per channel (de-interleaved like reference
+        ``__init__.py:93-95``).
+    """
+    if path.lower().endswith(WAV_EXTENSIONS):
+        data, fs, n_channels = _read_wav(path, limit)
+    else:
+        data, fs, n_channels = _read_via_ffmpeg(path, limit)
+    channels = [np.ascontiguousarray(data[c::n_channels]) for c in range(n_channels)]
+    return channels, fs, unique_file_hash(path)
+
+
+def write_wav(path: str, samples: np.ndarray, fs: int = 44100) -> None:
+    """Write mono/stereo int16 or float [-1,1] samples as a 16-bit PCM WAV."""
+    arr = np.asarray(samples)
+    if arr.dtype.kind == "f":
+        arr = np.clip(arr * 32767.0, -32768, 32767).astype(np.int16)
+    arr = arr.astype(np.int16)
+    if arr.ndim == 1:
+        n_channels, frames = 1, arr
+    else:
+        n_channels = arr.shape[0]
+        frames = arr.T.reshape(-1)  # interleave
+    with wave.open(path, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(fs)
+        wf.writeframes(frames.tobytes())

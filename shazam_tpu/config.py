@@ -1,0 +1,102 @@
+"""Fingerprinting configuration.
+
+One frozen dataclass carrying every knob of the reference pipeline
+(constants at reference ``__init__.py:41-51`` and the per-script config
+blocks, e.g. ``recognizer_test.py:36-57``), plus the static capacities a
+TPU pipeline needs (XLA traces fixed shapes, so dynamic peak/hash counts
+become capacity + validity masks).
+
+Defaults are numerically identical to the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class FingerprintConfig:
+    """All knobs of the fingerprint pipeline (reference ``__init__.py:41-51``)."""
+
+    # --- audio / spectrogram ---
+    sample_rate: int = 44100          # RATE
+    window_size: int = 4096           # DEFAULT_WINDOW_SIZE (NFFT)
+    overlap_ratio: float = 0.5        # DEFAULT_OVERLAP_RATIO
+    # --- constellation peaks ---
+    amp_min: float = 10.0             # DEFAULT_AMP_MIN (dB, strict >)
+    peak_neighborhood_size: int = 10  # PEAK_NEIGHBORHOOD_SIZE
+    connectivity_mask: int = 2        # CONNECTIVITY_MASK (2 => full square)
+    peak_sort: bool = True            # PEAK_SORT
+    # --- hash pairing ---
+    fan_value: int = 5                # DEFAULT_FAN_VALUE (anchor pairs with next fan-1)
+    min_hash_time_delta: int = 0      # MIN_HASH_TIME_DELTA (frames)
+    max_hash_time_delta: int = 200    # MAX_HASH_TIME_DELTA (frames)
+    fingerprint_reduction: int = 20   # FINGERPRINT_REDUCTION (hex chars kept = 80 bits)
+    # --- static capacities (TPU-only concept; overflow is detected, never silent) ---
+    peak_capacity: int = 8192         # max constellation peaks per channel
+    hash_capacity: int = 32768        # max hashes per channel (<= 4 * peak_capacity)
+    match_capacity: int = 262144      # max expanded (row x query-offset) vote entries
+    # --- matching / results ---
+    topn: int = 2                     # TOPN (recognizer.py:68)
+    # --- numerics ---
+    spectrogram_dtype: str = "float32"
+
+    def __post_init__(self) -> None:
+        if self.window_size & (self.window_size - 1):
+            raise ValueError("window_size must be a power of two")
+        if not (0.0 <= self.overlap_ratio < 1.0):
+            raise ValueError("overlap_ratio must be in [0, 1)")
+        if self.fan_value < 1:
+            raise ValueError("fan_value must be >= 1")
+
+    # ---- derived quantities ----
+    @property
+    def hop(self) -> int:
+        """Samples between adjacent STFT frames (wsize - noverlap)."""
+        return self.window_size - int(self.window_size * self.overlap_ratio)
+
+    @property
+    def n_freqs(self) -> int:
+        """One-sided FFT bin count."""
+        return self.window_size // 2 + 1
+
+    @property
+    def neighborhood_width(self) -> int:
+        """Side of the square local-max footprint (21 for the defaults).
+
+        ``iterate_structure(generate_binary_structure(2, 2), n)`` is the
+        (2n+1)x(2n+1) full square (reference ``__init__.py:130-137``).
+        """
+        return 2 * self.peak_neighborhood_size + 1
+
+    def num_frames(self, n_samples: int) -> int:
+        """STFT frame count for an n_samples signal (mlab.specgram layout)."""
+        if n_samples < self.window_size:
+            return 0
+        return (n_samples - self.window_size) // self.hop + 1
+
+    def frames_to_seconds(self, offset_frames: float) -> float:
+        """Reference ``recognizer.py:318`` offset -> seconds conversion."""
+        return round(
+            float(offset_frames)
+            / self.sample_rate
+            * self.window_size
+            * self.overlap_ratio,
+            5,
+        )
+
+    # ---- (de)serialization, mirrors the reference's JSON config dicts ----
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "FingerprintConfig":
+        return cls(**json.loads(text))
+
+    def replace(self, **kwargs: Any) -> "FingerprintConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+DEFAULT_CONFIG = FingerprintConfig()
