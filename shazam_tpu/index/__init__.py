@@ -1,0 +1,12 @@
+from .store import FingerprintIndex, build_index, merge_indices
+from .catalog import SongCatalog
+from .search import lexi_lower_bound, lexi_upper_bound
+
+__all__ = [
+    "FingerprintIndex",
+    "build_index",
+    "merge_indices",
+    "SongCatalog",
+    "lexi_lower_bound",
+    "lexi_upper_bound",
+]

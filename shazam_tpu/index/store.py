@@ -1,0 +1,144 @@
+"""HBM-resident fingerprint index: sorted 80-bit keys + payload arrays.
+
+TPU-native replacement for the reference's external inverted index (the
+MySQL ``fingerprints`` table, ``mysql_database.py:46-59``: BINARY(10) hash
+keyed rows of (song_id, offset)). Instead of a server, the catalog lives
+as five parallel device arrays sorted lexicographically by key:
+
+    key_hi, key_lo, key_ex : uint32   -- sha1 bits 0..31 / 32..63 / 64..79
+    song_id                : uint32
+    offset                 : uint32   -- anchor frame
+
+13M hashes (the reference's 2,714-song catalog) ≈ 260 MB — trivially HBM
+resident; lookups are lane-parallel binary searches (see search.py) and
+voting is one histogram pass (see match/).
+
+Index *construction* is a host-side sort (np.lexsort) — ingest-time work
+that runs once per catalog; the hot query path never leaves the device.
+Per-song dedup mirrors the reference's ``INSERT IGNORE`` + unique
+(song_id, offset, hash) constraint and its per-channel set-union
+(``get_file_fingerprints``, reference ``__init__.py:254-266``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class FingerprintIndex:
+    """Sorted fingerprint store (numpy on host; `.device()` puts it in HBM)."""
+
+    key_hi: np.ndarray
+    key_lo: np.ndarray
+    key_ex: np.ndarray
+    song_id: np.ndarray
+    offset: np.ndarray
+    n_songs: int
+    max_offset: int  # largest stored frame offset (sets the delta range)
+
+    def __post_init__(self):
+        n = len(self.key_hi)
+        for arr in (self.key_lo, self.key_ex, self.song_id, self.offset):
+            if len(arr) != n:
+                raise ValueError("index arrays must be parallel")
+
+    @property
+    def n_hashes(self) -> int:
+        return int(len(self.key_hi))
+
+    def device_arrays(self):
+        """The five arrays as device (jnp) arrays, padded to >= 1 entry."""
+        if self.n_hashes == 0:
+            z = np.zeros(1, np.uint32)
+            return tuple(jnp.asarray(a) for a in (z, z, z, z, z))
+        return (
+            jnp.asarray(self.key_hi),
+            jnp.asarray(self.key_lo),
+            jnp.asarray(self.key_ex),
+            jnp.asarray(self.song_id),
+            jnp.asarray(self.offset),
+        )
+
+    # ---- persistence ----
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            key_hi=self.key_hi, key_lo=self.key_lo, key_ex=self.key_ex,
+            song_id=self.song_id, offset=self.offset,
+            meta=np.array([self.n_songs, self.max_offset], np.int64),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FingerprintIndex":
+        with np.load(path) as z:
+            return cls(
+                key_hi=z["key_hi"], key_lo=z["key_lo"], key_ex=z["key_ex"],
+                song_id=z["song_id"], offset=z["offset"],
+                n_songs=int(z["meta"][0]), max_offset=int(z["meta"][1]),
+            )
+
+    # ---- per-song hash counts (reference total_hashes semantics) ----
+    def hashes_per_song(self) -> np.ndarray:
+        counts = np.zeros(self.n_songs + 1, np.int64)
+        np.add.at(counts, self.song_id, 1)
+        return counts
+
+
+def _sort_entries(hi, lo, ex, sid, off):
+    order = np.lexsort((off, sid, ex, lo, hi))
+    return hi[order], lo[order], ex[order], sid[order], off[order]
+
+
+def build_index(
+    per_song: Sequence[Tuple[int, np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    n_songs: Optional[int] = None,
+) -> FingerprintIndex:
+    """Build a sorted index from per-song fingerprint arrays.
+
+    :param per_song: iterable of (song_id, hi, lo, ex, offsets) — already
+        deduped per song (``fingerprints_to_pairs``).
+    :param n_songs: catalog size; defaults to max song_id + 1.
+    """
+    his, los, exs, sids, offs = [], [], [], [], []
+    for sid, hi, lo, ex, off in per_song:
+        his.append(np.asarray(hi, np.uint32))
+        los.append(np.asarray(lo, np.uint32))
+        exs.append(np.asarray(ex, np.uint32))
+        offs.append(np.asarray(off, np.uint32))
+        sids.append(np.full(len(hi), sid, np.uint32))
+    if his:
+        hi = np.concatenate(his)
+        lo = np.concatenate(los)
+        ex = np.concatenate(exs)
+        sid = np.concatenate(sids)
+        off = np.concatenate(offs)
+    else:
+        hi = lo = ex = sid = off = np.zeros(0, np.uint32)
+    hi, lo, ex, sid, off = _sort_entries(hi, lo, ex, sid, off)
+    ns = n_songs if n_songs is not None else (int(sid.max()) + 1 if len(sid) else 0)
+    max_off = int(off.max()) if len(off) else 0
+    return FingerprintIndex(hi, lo, ex, sid, off, ns, max_off)
+
+
+def merge_indices(indices: Iterable[FingerprintIndex]) -> FingerprintIndex:
+    """Merge sorted indices (incremental ingest; reference appends via SQL)."""
+    indices = [ix for ix in indices if ix.n_hashes > 0]
+    if not indices:
+        return FingerprintIndex(*(np.zeros(0, np.uint32),) * 5, n_songs=0, max_offset=0)
+    hi = np.concatenate([ix.key_hi for ix in indices])
+    lo = np.concatenate([ix.key_lo for ix in indices])
+    ex = np.concatenate([ix.key_ex for ix in indices])
+    sid = np.concatenate([ix.song_id for ix in indices])
+    off = np.concatenate([ix.offset for ix in indices])
+    hi, lo, ex, sid, off = _sort_entries(hi, lo, ex, sid, off)
+    return FingerprintIndex(
+        hi, lo, ex, sid, off,
+        n_songs=max(ix.n_songs for ix in indices),
+        max_offset=max(ix.max_offset for ix in indices),
+    )

@@ -1,0 +1,134 @@
+"""Query matching: batched index lookup + offset-delta histogram voting.
+
+Replaces the reference's L2/L3 stack — batched ``WHERE hash IN``
+round trips (``recognizer.py:222-271``), per-row vote expansion and the
+groupby vote/rank of ``align_matches`` (``recognizer.py:289-338``) — with
+one jitted device program:
+
+1. lane-parallel binary search gives each query (hash, offset) pair its
+   bucket [lb, ub) in the sorted index;
+2. the matched rows are expanded to a fixed-capacity vote list — slot v
+   maps back to its pair by a searchsorted over the bucket-length prefix
+   sums (all vector ops, no data-dependent loops);
+3. votes scatter-add into a dense (n_songs, delta_range) histogram;
+   per-song best delta = row argmax, ranking = top_k. The reference's tie
+   semantics fall out for free: argmax takes the smallest delta, top_k
+   the smallest song id.
+
+Semantics preserved exactly (verified against the oracle in
+tests/test_match.py):
+- every matched DB row votes once per query offset of its hash
+  (the ``mapper[hsh]`` loop, ``recognizer.py:266-269``);
+- ``dedup_hashes`` counts each row once per *distinct* query hash
+  (``recognizer.py:259-264``) — pairs are flagged as first-occurrence of
+  their hash and only those pairs' rows are counted.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..index.search import lexi_lower_bound, lexi_upper_bound
+
+
+class RawMatch(NamedTuple):
+    """Device-side match result (fixed shapes)."""
+
+    top_songs: jnp.ndarray     # int32 (topn,)
+    top_deltas: jnp.ndarray    # int32 (topn,) best db_offset - q_offset per song
+    top_votes: jnp.ndarray     # int32 (topn,) aligned vote count
+    row_counts: jnp.ndarray    # int32 (topn,) dedup_hashes per top song
+    total_rows: jnp.ndarray    # int32 scalar — true expanded match count
+    n_ranked: jnp.ndarray      # int32 scalar — songs with >= 1 vote
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity", "topn"),
+)
+def match_query(
+    index_arrays,
+    q_hi: jnp.ndarray,
+    q_lo: jnp.ndarray,
+    q_ex: jnp.ndarray,
+    q_t: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    q_first: jnp.ndarray,
+    *,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 262144,
+    topn: int = 2,
+) -> RawMatch:
+    """Match padded query pairs against the sorted index.
+
+    :param index_arrays: (key_hi, key_lo, key_ex, song_id, offset) device
+        arrays, lexicographically sorted by key.
+    :param q_*: query (hash, offset) pairs padded to a static length;
+        `q_valid` masks real pairs; `q_first` marks the first pair of each
+        distinct hash (for dedup row counting).
+    :param delta_min: smallest representable delta (-max query offset).
+    :param delta_range: histogram width; deltas clip into
+        [delta_min, delta_min + delta_range).
+    """
+    k_hi, k_lo, k_ex, sid_arr, off_arr = index_arrays
+
+    lb = lexi_lower_bound(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex)
+    ub = lexi_upper_bound(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex)
+    lens = jnp.where(q_valid, ub - lb, 0)
+
+    cum = jnp.cumsum(lens)
+    total = cum[-1] if lens.shape[0] else jnp.int32(0)
+
+    # expand: slot v -> owning pair p (binary search over the prefix sums)
+    v = jnp.arange(match_capacity, dtype=jnp.int32)
+    p = jnp.searchsorted(cum, v, side="right").astype(jnp.int32)
+    p = jnp.minimum(p, lens.shape[0] - 1)
+    prev = jnp.where(p > 0, jnp.take(cum, p - 1), 0)
+    row = jnp.take(lb, p) + (v - prev)
+    valid = v < total
+
+    sid = jnp.take(sid_arr, jnp.where(valid, row, 0)).astype(jnp.int32)
+    doff = jnp.take(off_arr, jnp.where(valid, row, 0)).astype(jnp.int32)
+    qoff = jnp.take(q_t, p).astype(jnp.int32)
+    delta = doff - qoff
+
+    # dense (n_songs, delta_range) vote histogram; deltas outside the
+    # representable window are dropped (callers size the window so real
+    # deltas always fit: delta_min = -max query frame, range covers the
+    # longest catalog song)
+    dbin = delta - delta_min
+    in_range = (dbin >= 0) & (dbin < delta_range)
+    flat_key = jnp.where(in_range, sid * delta_range + dbin, 0)
+    hist = jnp.zeros(n_songs * delta_range, jnp.int32)
+    hist = hist.at[flat_key].add((valid & in_range).astype(jnp.int32), mode="drop")
+    hist = hist.reshape(n_songs, delta_range)
+
+    votes_per_song = jnp.max(hist, axis=1)
+    best_bin = jnp.argmax(hist, axis=1)  # first max => smallest delta (ref tie rule)
+
+    # dedup row counts: one per row per distinct query hash
+    first = jnp.take(q_first, p)
+    rows_hist = jnp.zeros(n_songs, jnp.int32)
+    rows_hist = rows_hist.at[sid].add(
+        (valid & first).astype(jnp.int32), mode="drop"
+    )
+
+    top_votes, top_songs = jax.lax.top_k(votes_per_song, topn)
+    top_deltas = jnp.take(best_bin, top_songs).astype(jnp.int32) + delta_min
+    row_counts = jnp.take(rows_hist, top_songs)
+    n_ranked = jnp.sum((votes_per_song > 0).astype(jnp.int32))
+
+    return RawMatch(
+        top_songs.astype(jnp.int32),
+        top_deltas,
+        top_votes,
+        row_counts,
+        total,
+        n_ranked,
+    )

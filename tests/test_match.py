@@ -1,0 +1,206 @@
+"""Index lookup + vote/align semantics vs the oracle (random synthetic data)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from tests.oracle import oracle_align
+
+
+def _keys_from_hex(hexes):
+    hi = np.array([int(h[0:8], 16) for h in hexes], np.uint32)
+    lo = np.array([int(h[8:16], 16) for h in hexes], np.uint32)
+    ex = np.array([int(h[16:20], 16) for h in hexes], np.uint32)
+    return hi, lo, ex
+
+
+def _random_hex(rng, n):
+    return [
+        hashlib.sha1(bytes(rng.integers(0, 256, 8, dtype=np.uint8))).hexdigest()[:20]
+        for _ in range(n)
+    ]
+
+
+def _build_db(rng, n_songs=6, rows_per_song=300, shared_pool=80):
+    """Random DB with a pool of hashes shared across songs (forces multi-row
+    buckets) plus unique rows."""
+    pool = _random_hex(rng, shared_pool)
+    rows = []  # (hex, sid, offset)
+    for sid in range(n_songs):
+        for _ in range(rows_per_song):
+            if rng.random() < 0.35:
+                h = pool[int(rng.integers(0, shared_pool))]
+            else:
+                h = _random_hex(rng, 1)[0]
+            rows.append((h, sid, int(rng.integers(0, 4000))))
+    # dedupe exact (hash, sid, offset) triples like INSERT IGNORE
+    rows = sorted(set(rows))
+    return rows
+
+
+def _rows_by_hash(rows):
+    d = {}
+    for h, sid, off in rows:
+        d.setdefault(h.upper(), []).append((sid, off))
+    return d
+
+
+def _index_from_rows(rows):
+    from shazam_tpu.index.store import build_index
+
+    per_song = {}
+    for h, sid, off in rows:
+        per_song.setdefault(sid, []).append((h, off))
+    entries = []
+    for sid, pairs in per_song.items():
+        hexes = [p[0] for p in pairs]
+        hi, lo, ex = _keys_from_hex(hexes)
+        off = np.array([p[1] for p in pairs], np.uint32)
+        entries.append((sid, hi, lo, ex, off))
+    return build_index(entries, n_songs=max(r[1] for r in rows) + 1)
+
+
+def _query_from_pairs(pairs, pad_to=None):
+    """pairs: [(hex, q_offset)] unique — build padded QueryPairs arrays."""
+    from shazam_tpu.match.prepare import QueryPairs, _bucket
+
+    pairs = sorted(set(pairs))
+    hexes = [p[0] for p in pairs]
+    hi, lo, ex = _keys_from_hex(hexes)
+    t = np.array([p[1] for p in pairs], np.uint32)
+    n = len(pairs)
+    first = np.ones(n, bool)
+    first[1:] = np.array([hexes[i] != hexes[i - 1] for i in range(1, n)])
+    cap = pad_to or _bucket(max(n, 1))
+    pad = cap - n
+    return QueryPairs(
+        np.pad(hi, (0, pad)), np.pad(lo, (0, pad)), np.pad(ex, (0, pad)),
+        np.pad(t, (0, pad)), np.pad(np.ones(n, bool), (0, pad)),
+        np.pad(first, (0, pad)), n,
+    )
+
+
+def _run_match(index, q, topn=3, match_capacity=65536):
+    import jax.numpy as jnp
+    from shazam_tpu.match.lookup import match_query
+
+    delta_min = -(index.max_offset + 100)  # synthetic q offsets span the DB range
+    delta_range = 2 * (index.max_offset + 100)
+    return match_query(
+        index.device_arrays(),
+        jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
+        jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
+        n_songs=index.n_songs,
+        delta_min=delta_min,
+        delta_range=delta_range,
+        match_capacity=match_capacity,
+        topn=topn,
+    )
+
+
+def test_binary_search_bounds(rng):
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import lexi_lower_bound, lexi_upper_bound
+
+    hexes = _random_hex(rng, 500)
+    hi, lo, ex = _keys_from_hex(hexes)
+    order = np.lexsort((ex, lo, hi))
+    hi, lo, ex = hi[order], lo[order], ex[order]
+    # duplicate some keys to make non-trivial buckets
+    hi = np.concatenate([hi, hi[:100]])
+    lo = np.concatenate([lo, lo[:100]])
+    ex = np.concatenate([ex, ex[:100]])
+    order = np.lexsort((ex, lo, hi))
+    hi, lo, ex = hi[order], lo[order], ex[order]
+
+    q_idx = rng.integers(0, len(hi), 64)
+    q_hi, q_lo, q_ex = hi[q_idx], lo[q_idx], ex[q_idx]
+    lb = np.asarray(lexi_lower_bound(*map(jnp.asarray, (hi, lo, ex, q_hi, q_lo, q_ex))))
+    ub = np.asarray(lexi_upper_bound(*map(jnp.asarray, (hi, lo, ex, q_hi, q_lo, q_ex))))
+
+    packed = hi.astype(object) * (1 << 48) + lo.astype(object) * (1 << 16) + ex.astype(object)
+    q_packed = (
+        q_hi.astype(object) * (1 << 48) + q_lo.astype(object) * (1 << 16) + q_ex.astype(object)
+    )
+    ref_lb = np.searchsorted(packed, q_packed, side="left")
+    ref_ub = np.searchsorted(packed, q_packed, side="right")
+    assert np.array_equal(lb, ref_lb)
+    assert np.array_equal(ub, ref_ub)
+
+
+def test_binary_search_missing_keys(rng):
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import lexi_lower_bound, lexi_upper_bound
+
+    hexes = _random_hex(rng, 200)
+    hi, lo, ex = _keys_from_hex(hexes)
+    order = np.lexsort((ex, lo, hi))
+    hi, lo, ex = hi[order], lo[order], ex[order]
+    other = _random_hex(rng, 64)
+    q_hi, q_lo, q_ex = _keys_from_hex(other)
+    lb = np.asarray(lexi_lower_bound(*map(jnp.asarray, (hi, lo, ex, q_hi, q_lo, q_ex))))
+    ub = np.asarray(lexi_upper_bound(*map(jnp.asarray, (hi, lo, ex, q_hi, q_lo, q_ex))))
+    # keys absent => empty buckets
+    assert np.array_equal(lb, ub)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_match_vs_oracle(seed):
+    rng = np.random.default_rng(seed)
+    rows = _build_db(rng)
+    index = _index_from_rows(rows)
+    by_hash = _rows_by_hash(rows)
+
+    # query: mostly hashes of one song (the "true" match), some noise,
+    # some repeated hashes at different offsets (multi-offset mapper case)
+    true_sid = 2
+    song_rows = [r for r in rows if r[1] == true_sid]
+    q_pairs = []
+    base = 37
+    for h, _sid, off in song_rows[:150]:
+        q_pairs.append((h, max(off - base, 0)))
+    for h in _random_hex(rng, 30):  # absent hashes
+        q_pairs.append((h, int(rng.integers(0, 200))))
+    for h, _sid, off in song_rows[:10]:  # duplicate hash, second offset
+        q_pairs.append((h, max(off - base, 0) + 5))
+    q_pairs = sorted(set(q_pairs))
+
+    raw = _run_match(index, _query_from_pairs(q_pairs), topn=4)
+    ref_ranked, ref_dedup = oracle_align(by_hash, q_pairs, topn=4)
+
+    total_ref = sum(
+        len(by_hash.get(h.upper(), [])) for h, _ in q_pairs
+    )
+    assert int(raw.total_rows) == total_ref
+
+    got = [
+        (int(raw.top_songs[i]), int(raw.top_deltas[i]), int(raw.top_votes[i]))
+        for i in range(min(4, int(raw.n_ranked)))
+    ]
+    assert got == ref_ranked
+    for i, (sid, _d, _v) in enumerate(got):
+        assert int(raw.row_counts[i]) == ref_dedup[sid]
+
+
+def test_match_no_hits(rng):
+    rows = _build_db(rng, n_songs=3, rows_per_song=50)
+    index = _index_from_rows(rows)
+    q_pairs = [(h, i) for i, h in enumerate(_random_hex(rng, 20))]
+    raw = _run_match(index, _query_from_pairs(q_pairs))
+    assert int(raw.total_rows) == 0
+    assert int(raw.n_ranked) == 0
+
+
+def test_index_save_load(tmp_path, rng):
+    rows = _build_db(rng, n_songs=3, rows_per_song=50)
+    index = _index_from_rows(rows)
+    path = str(tmp_path / "idx.npz")
+    index.save(path)
+    from shazam_tpu.index.store import FingerprintIndex
+
+    loaded = FingerprintIndex.load(path)
+    assert loaded.n_hashes == index.n_hashes
+    assert loaded.n_songs == index.n_songs
+    assert np.array_equal(loaded.key_hi, index.key_hi)
+    assert np.array_equal(loaded.offset, index.offset)
