@@ -1,0 +1,318 @@
+"""Public framework API: ingest + recognition.
+
+TPU-native replacement for the reference's driver layer:
+
+- ``SIA.ingest_directory`` — reference ``fingerprint_directory``
+  (``__init__.py:325-405``): walk a folder, dedupe by file SHA-1 (resume),
+  fingerprint in *batches on the device* (vmap over a padded song matrix —
+  the TPU analog of the multiprocessing pool), record songs in the
+  catalog, and merge into the HBM index. A song becomes durable only
+  after its hashes are merged (set_song_fingerprinted semantics).
+- ``SIA.recognize_file`` / ``recognize_samples`` — reference
+  ``recognizer.py`` main path: fingerprint channels, set-union the pairs,
+  match against the index, align + rank, return reference-shaped result
+  dicts plus the same stage timings (fingerprint/query/align) the
+  reference logs per trial.
+
+Shapes are bucketed (padded to the next power-of-two sample count) so
+XLA compiles one program per bucket, not per file.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import FingerprintConfig, DEFAULT_CONFIG
+from .audio.io import read, find_files, unique_file_hash
+from .ops.fingerprint import (
+    Fingerprints,
+    fingerprint_batch,
+    fingerprint_samples,
+    fingerprints_to_pairs,
+)
+from .index.store import FingerprintIndex, build_index, merge_indices
+from .index.catalog import SongCatalog
+from .match.prepare import prepare_query
+from .match.lookup import match_query
+from .match.align import MatchResult, align_results
+
+
+def _bucket_len(n: int, minimum: int = 1 << 17) -> int:
+    """Next power-of-two sample count >= n (min 2^17 ~ 3 s @ 44.1 kHz)."""
+    cap = minimum
+    while cap < n:
+        cap <<= 1
+    return cap
+
+
+def _batch_fingerprints(fp: Fingerprints, i: int) -> Fingerprints:
+    return Fingerprints(*(np.asarray(a)[i] for a in fp))
+
+
+class SIA:
+    """Sistema Identificador de Audio — TPU edition.
+
+    One object owns the config, the song catalog (host sqlite) and the
+    fingerprint index (HBM-resident once queried).
+    """
+
+    def __init__(
+        self,
+        config: FingerprintConfig = DEFAULT_CONFIG,
+        catalog_path: str = ":memory:",
+        index: Optional[FingerprintIndex] = None,
+    ):
+        self.config = config
+        self.catalog = SongCatalog(catalog_path)
+        self.catalog.delete_unfingerprinted()  # reference crash recovery
+        self.index = index or build_index([], n_songs=0)
+        self._device_index = None
+        self._delta_params: Optional[Tuple[int, int]] = None
+
+    # ------------------------------------------------------------------ #
+    # ingest
+    # ------------------------------------------------------------------ #
+    def ingest_directory(
+        self,
+        path: str,
+        extensions: Sequence[str] = (".wav",),
+        limit: Optional[float] = None,
+        batch_size: int = 8,
+        song_peak_capacity: Optional[int] = None,
+        verbose: bool = False,
+    ) -> Dict:
+        """Fingerprint every matching file under `path` into the index.
+
+        Resumable: files whose SHA-1 is already fingerprinted are skipped
+        (reference ``__init__.py:344-349``).
+        """
+        files = [p for p, _ in find_files(path, list(extensions))]
+        files.sort()
+        return self.ingest_files(
+            files, limit=limit, batch_size=batch_size,
+            song_peak_capacity=song_peak_capacity, verbose=verbose,
+        )
+
+    def ingest_files(
+        self,
+        files: Sequence[str],
+        limit: Optional[float] = None,
+        batch_size: int = 8,
+        song_peak_capacity: Optional[int] = None,
+        verbose: bool = False,
+    ) -> Dict:
+        t_start = time.time()
+        known = self.catalog.fingerprinted_file_hashes()
+        todo: List[Tuple[str, str]] = []
+        skipped = 0
+        for f in files:
+            sha = unique_file_hash(f)
+            if sha in known:
+                skipped += 1
+                continue
+            todo.append((f, sha))
+
+        peak_cap = song_peak_capacity or max(self.config.peak_capacity, 16384)
+        new_entries = []
+        stats = {"files": len(files), "skipped": skipped, "ingested": 0,
+                 "hashes": 0, "overflowed": []}
+
+        # decode + de-interleave on host, group channels into device batches
+        pending: List[Tuple[str, str, List[np.ndarray]]] = []
+        for f, sha in todo:
+            channels, fs, _ = read(f, limit)
+            if fs != self.config.sample_rate:
+                raise ValueError(
+                    f"{f}: sample rate {fs} != config {self.config.sample_rate}"
+                )
+            pending.append((f, sha, channels))
+
+        # flatten channels; remember song boundaries
+        chan_meta: List[Tuple[int, int]] = []  # (song_idx, n_samples)
+        chan_data: List[np.ndarray] = []
+        for si, (_f, _sha, channels) in enumerate(pending):
+            for ch in channels:
+                chan_meta.append((si, len(ch)))
+                chan_data.append(ch)
+
+        # bucket channels by padded length, batch within bucket
+        by_bucket: Dict[int, List[int]] = {}
+        for ci, ch in enumerate(chan_data):
+            by_bucket.setdefault(_bucket_len(len(ch)), []).append(ci)
+
+        song_fps: Dict[int, List[Fingerprints]] = {}
+        for blen, chan_ids in sorted(by_bucket.items()):
+            for base in range(0, len(chan_ids), batch_size):
+                ids = chan_ids[base:base + batch_size]
+                batch = np.zeros((len(ids), blen), np.float32)
+                n_valid = np.zeros(len(ids), np.int32)
+                for row, ci in enumerate(ids):
+                    ch = chan_data[ci]
+                    batch[row, : len(ch)] = ch
+                    n_valid[row] = len(ch)
+                fp = fingerprint_batch(
+                    jnp.asarray(batch), jnp.asarray(n_valid),
+                    fs=self.config.sample_rate,
+                    wsize=self.config.window_size,
+                    hop=self.config.hop,
+                    amp_min=self.config.amp_min,
+                    radius=self.config.peak_neighborhood_size,
+                    fan_value=self.config.fan_value,
+                    min_dt=self.config.min_hash_time_delta,
+                    max_dt=self.config.max_hash_time_delta,
+                    peak_capacity=peak_cap,
+                )
+                fp = jax.device_get(fp)
+                for row, ci in enumerate(ids):
+                    si = chan_meta[ci][0]
+                    one = _batch_fingerprints(fp, row)
+                    if int(one.n_peaks) > peak_cap:
+                        stats["overflowed"].append(pending[si][0])
+                    song_fps.setdefault(si, []).append(one)
+
+        # per-song channel union + catalog insert + index entry
+        for si, (f, sha, _channels) in enumerate(pending):
+            fps = song_fps.get(si, [])
+            his, los, exs, t1s = [], [], [], []
+            for one in fps:
+                hi, lo, ex, t1 = fingerprints_to_pairs(one, dedup=False)
+                his.append(hi)
+                los.append(lo)
+                exs.append(ex)
+                t1s.append(t1)
+            hi = np.concatenate(his) if his else np.zeros(0, np.uint32)
+            lo = np.concatenate(los) if los else np.zeros(0, np.uint32)
+            ex = np.concatenate(exs) if exs else np.zeros(0, np.uint32)
+            t1 = np.concatenate(t1s) if t1s else np.zeros(0, np.uint32)
+            if hi.size:
+                stacked = np.unique(
+                    np.stack([hi.astype(np.uint64), lo.astype(np.uint64),
+                              ex.astype(np.uint64), t1.astype(np.uint64)], 1),
+                    axis=0,
+                )
+                hi, lo, ex, t1 = (stacked[:, i].astype(np.uint32) for i in range(4))
+            song_name = os.path.splitext(os.path.basename(f))[0]
+            sid = self.catalog.insert_song(song_name, sha, int(hi.size))
+            new_entries.append((sid, hi, lo, ex, t1))
+            stats["ingested"] += 1
+            stats["hashes"] += int(hi.size)
+            if verbose:
+                print(f"ingested {song_name}: {hi.size} hashes (song_id={sid})")
+
+        if new_entries:
+            n_songs = max(e[0] for e in new_entries) + 1
+            addition = build_index(
+                new_entries, n_songs=max(n_songs, self.index.n_songs)
+            )
+            self.index = merge_indices([self.index, addition])
+            self._device_index = None  # refresh device copy lazily
+            for sid, *_rest in new_entries:
+                self.catalog.set_song_fingerprinted(sid)
+
+        stats["seconds"] = time.time() - t_start
+        return stats
+
+    # ------------------------------------------------------------------ #
+    # recognition
+    # ------------------------------------------------------------------ #
+    def _ensure_device_index(self):
+        if self._device_index is None:
+            self._device_index = self.index.device_arrays()
+            # static histogram window: covers the longest song, rounded up
+            # so catalog growth doesn't recompile every merge
+            max_off = ((self.index.max_offset // 4096) + 1) * 4096
+            q_frames = 1024  # supports queries up to ~47 s
+            self._delta_params = (-q_frames, max_off + 2 * q_frames)
+        return self._device_index
+
+    def _fingerprint_channel(self, samples: np.ndarray) -> Fingerprints:
+        blen = _bucket_len(len(samples))
+        padded = np.zeros(blen, np.float32)
+        padded[: len(samples)] = samples
+        return fingerprint_samples(
+            jnp.asarray(padded), jnp.int32(len(samples)),
+            fs=self.config.sample_rate,
+            wsize=self.config.window_size,
+            hop=self.config.hop,
+            amp_min=self.config.amp_min,
+            radius=self.config.peak_neighborhood_size,
+            fan_value=self.config.fan_value,
+            min_dt=self.config.min_hash_time_delta,
+            max_dt=self.config.max_hash_time_delta,
+            peak_capacity=self.config.peak_capacity,
+        )
+
+    def recognize_samples(
+        self,
+        channels: Sequence[np.ndarray],
+        topn: Optional[int] = None,
+    ) -> Dict:
+        """Recognize already-decoded audio channels.
+
+        Returns the reference's result schema: ranked result dicts plus
+        fingerprint/query/align stage times (``recognizer_test.py:607-610``).
+        """
+        t0 = time.time()
+        fps = [self._fingerprint_channel(np.asarray(ch)) for ch in channels]
+        q = prepare_query(fps)
+        jax.block_until_ready(fps[-1].hi)
+        fingerprint_time = time.time() - t0
+
+        t0 = time.time()
+        dev = self._ensure_device_index()
+        delta_min, delta_range = self._delta_params
+        raw = match_query(
+            dev,
+            jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
+            jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
+            n_songs=max(self.index.n_songs, 1),
+            delta_min=delta_min,
+            delta_range=delta_range,
+            match_capacity=self.config.match_capacity,
+            topn=topn or self.config.topn,
+        )
+        raw = jax.device_get(raw)
+        query_time = time.time() - t0
+
+        t0 = time.time()
+        matched = align_results(
+            raw, q.n_pairs, catalog=self.catalog, config=self.config,
+        )
+        align_time = time.time() - t0
+
+        return {
+            "results": matched.results,
+            "total_matches": matched.total_matches,
+            "overflowed": matched.overflowed,
+            "input_hashes": q.n_pairs,
+            "fingerprint_time": fingerprint_time,
+            "query_time": query_time,
+            "align_time": align_time,
+            "total_time": fingerprint_time + query_time + align_time,
+        }
+
+    def recognize_file(self, path: str, limit: Optional[float] = None,
+                       topn: Optional[int] = None) -> Dict:
+        channels, fs, _sha = read(path, limit)
+        if fs != self.config.sample_rate:
+            raise ValueError(f"{path}: sample rate {fs} != {self.config.sample_rate}")
+        return self.recognize_samples(channels, topn=topn)
+
+    def get_metadata(self, track_id: int):
+        return self.catalog.get_metadata(track_id)
+
+    # ------------------------------------------------------------------ #
+    # persistence
+    # ------------------------------------------------------------------ #
+    def save_index(self, path: str) -> None:
+        self.index.save(path)
+
+    def load_index(self, path: str) -> None:
+        self.index = FingerprintIndex.load(path)
+        self._device_index = None

@@ -44,6 +44,7 @@ class Fingerprints(NamedTuple):
 )
 def fingerprint_samples(
     samples: jnp.ndarray,
+    n_valid_samples: jnp.ndarray | None = None,
     *,
     fs: int = 44100,
     wsize: int = 4096,
@@ -55,8 +56,21 @@ def fingerprint_samples(
     max_dt: int = 200,
     peak_capacity: int = 8192,
 ) -> Fingerprints:
-    """Fingerprint one channel of samples (any float/int 1-D array)."""
+    """Fingerprint one channel of samples (any float/int 1-D array).
+
+    `n_valid_samples` supports pad-to-bucket batching: samples beyond it
+    must be zeros; spectrogram columns whose frame extends past the valid
+    length are zeroed so results are bit-identical to fingerprinting the
+    unpadded signal (zero columns are background for the peak picker and
+    can never pass the strict amp > amp_min gate).
+    """
     spec = spectrogram_db(samples, fs=fs, wsize=wsize, hop=hop)
+    if n_valid_samples is not None:
+        n_valid_frames = jnp.maximum(
+            (n_valid_samples.astype(jnp.int32) - wsize) // hop + 1, 0
+        )
+        col = jnp.arange(spec.shape[1], dtype=jnp.int32)[None, :]
+        spec = jnp.where(col < n_valid_frames, spec, 0.0)
     times, freqs, n_peaks = extract_peaks(
         spec, amp_min, radius=radius, capacity=peak_capacity
     )
@@ -65,6 +79,40 @@ def fingerprint_samples(
         fan_value=fan_value, min_dt=min_dt, max_dt=max_dt,
     )
     return Fingerprints(hi, lo, ex, t1, valid, n_peaks)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "wsize", "hop", "radius", "fan_value",
+                     "min_dt", "max_dt", "peak_capacity"),
+)
+def fingerprint_batch(
+    samples: jnp.ndarray,
+    n_valid_samples: jnp.ndarray,
+    *,
+    fs: int = 44100,
+    wsize: int = 4096,
+    hop: int = 2048,
+    amp_min: float = 10.0,
+    radius: int = 10,
+    fan_value: int = 5,
+    min_dt: int = 0,
+    max_dt: int = 200,
+    peak_capacity: int = 8192,
+) -> Fingerprints:
+    """vmapped fingerprint over a (batch, padded_len) song matrix.
+
+    TPU-native analog of the reference's multiprocessing ingest pool
+    (``__init__.py:335-357``): data parallelism over songs becomes one
+    batched device program.
+    """
+    fn = functools.partial(
+        fingerprint_samples,
+        fs=fs, wsize=wsize, hop=hop, amp_min=amp_min, radius=radius,
+        fan_value=fan_value, min_dt=min_dt, max_dt=max_dt,
+        peak_capacity=peak_capacity,
+    )
+    return jax.vmap(fn)(samples, n_valid_samples)
 
 
 def fingerprint(samples, config: FingerprintConfig = DEFAULT_CONFIG,
