@@ -1,0 +1,153 @@
+"""Headline benchmark. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric: audio-minutes fingerprinted per second per chip (the
+reference CPU pipeline manages ~0.6 — a 15 s clip in ~0.43 s, BASELINE.md).
+Extras report the 5 s query p50 against a 2,714-track / ~13M-hash index
+(reference: ~0.34-1.4 s including its MySQL round trip; target < 10 ms).
+
+Runs on whatever jax.devices() provides (the real TPU chip under axon).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_AUDIO_MIN_PER_S = 0.6     # BASELINE.md: ~15 s clip in ~0.43 s
+REFERENCE_QUERY_P50_S = 0.82        # BASELINE.md: DB query p50 at 2,035 songs
+
+
+def bench_fingerprint_throughput(jax, jnp, seconds_per_song=30.0, batch=16,
+                                 iters=20):
+    from shazam_tpu.ops.fingerprint import fingerprint_batch
+    from shazam_tpu.audio.synth import synth_song
+
+    fs = 44100
+    n = int(seconds_per_song * fs)
+    blen = 1 << (n - 1).bit_length()
+    rng = np.random.default_rng(0)
+    mat = np.zeros((batch, blen), np.float32)
+    for i in range(batch):
+        mat[i, :n] = synth_song(i, duration_s=seconds_per_song, fs=fs, seed=5)
+    n_valid = np.full(batch, n, np.int32)
+
+    mat_d = jnp.asarray(mat)
+    nv_d = jnp.asarray(n_valid)
+
+    def run():
+        return fingerprint_batch(mat_d, nv_d, peak_capacity=4096)
+
+    out = run()
+    jax.block_until_ready(out)  # compile
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = run()
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    dt = float(np.percentile(times, 50))
+    audio_minutes = batch * seconds_per_song / 60.0
+    return audio_minutes / dt, dt
+
+
+def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
+                        q_pairs=1024, iters=50):
+    from shazam_tpu.match.lookup import match_query
+    from shazam_tpu.index.store import FingerprintIndex
+
+    rng = np.random.default_rng(1)
+    # realistic skew: 20% of rows use a 100k popular-hash pool
+    n_pop = 100_000
+    pop_hi = rng.integers(0, 2 ** 32, n_pop, dtype=np.uint32)
+    pop_lo = rng.integers(0, 2 ** 32, n_pop, dtype=np.uint32)
+    pop_ex = rng.integers(0, 2 ** 16, n_pop, dtype=np.uint32)
+
+    hi = rng.integers(0, 2 ** 32, n_hashes, dtype=np.uint32)
+    lo = rng.integers(0, 2 ** 32, n_hashes, dtype=np.uint32)
+    ex = rng.integers(0, 2 ** 16, n_hashes, dtype=np.uint32)
+    pop_rows = rng.random(n_hashes) < 0.2
+    pick = rng.integers(0, n_pop, n_hashes)
+    hi[pop_rows] = pop_hi[pick[pop_rows]]
+    lo[pop_rows] = pop_lo[pick[pop_rows]]
+    ex[pop_rows] = pop_ex[pick[pop_rows]]
+
+    sid = rng.integers(0, n_songs, n_hashes, dtype=np.uint32)
+    max_off = 5200  # ~4 min songs in frames
+    off = rng.integers(0, max_off, n_hashes, dtype=np.uint32)
+    order = np.lexsort((ex, lo, hi))
+    index = FingerprintIndex(hi[order], lo[order], ex[order],
+                             sid[order], off[order], n_songs, max_off)
+    dev = index.device_arrays()
+
+    # query: half existing keys (some popular), half misses
+    qi = rng.integers(0, n_hashes, q_pairs // 2)
+    q_hi = np.concatenate([hi[order][qi],
+                           rng.integers(0, 2 ** 32, q_pairs - q_pairs // 2,
+                                        dtype=np.uint32)])
+    q_lo = np.concatenate([lo[order][qi],
+                           rng.integers(0, 2 ** 32, q_pairs - q_pairs // 2,
+                                        dtype=np.uint32)])
+    q_ex = np.concatenate([ex[order][qi],
+                           rng.integers(0, 2 ** 16, q_pairs - q_pairs // 2,
+                                        dtype=np.uint32)])
+    q_t = rng.integers(0, 320, q_pairs).astype(np.uint32)
+    q_valid = np.ones(q_pairs, bool)
+    q_first = np.ones(q_pairs, bool)
+
+    args = tuple(jnp.asarray(a) for a in (q_hi, q_lo, q_ex, q_t, q_valid, q_first))
+    delta_min = -1024
+    delta_range = ((max_off // 4096) + 1) * 4096 + 2048
+
+    def run():
+        return match_query(
+            dev, *args,
+            n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+            match_capacity=262144, topn=2,
+        )
+
+    out = run()
+    jax.block_until_ready(out)  # compile
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = run()
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    return float(np.percentile(times, 50)), int(out.total_rows)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    except Exception:
+        pass
+
+    platform = jax.devices()[0].platform
+    fp_throughput, fp_dt = bench_fingerprint_throughput(jax, jnp)
+    q_p50, q_rows = bench_query_latency(jax, jnp)
+
+    result = {
+        "metric": "audio_minutes_fingerprinted_per_sec_per_chip",
+        "value": round(fp_throughput, 2),
+        "unit": "audio-min/s",
+        "vs_baseline": round(fp_throughput / REFERENCE_AUDIO_MIN_PER_S, 2),
+        "extras": {
+            "platform": platform,
+            "fingerprint_batch_seconds": round(fp_dt, 5),
+            "query_p50_ms_2714trk_13Mhash": round(q_p50 * 1000, 3),
+            "query_p50_vs_baseline_speedup": round(REFERENCE_QUERY_P50_S / q_p50, 1),
+            "query_matched_rows": q_rows,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

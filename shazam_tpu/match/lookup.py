@@ -46,35 +46,21 @@ class RawMatch(NamedTuple):
     n_ranked: jnp.ndarray      # int32 scalar — songs with >= 1 vote
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity", "topn"),
-)
-def match_query(
+def match_local(
     index_arrays,
-    q_hi: jnp.ndarray,
-    q_lo: jnp.ndarray,
-    q_ex: jnp.ndarray,
-    q_t: jnp.ndarray,
-    q_valid: jnp.ndarray,
-    q_first: jnp.ndarray,
+    q_hi, q_lo, q_ex, q_t, q_valid, q_first,
     *,
     n_songs: int,
     delta_min: int,
     delta_range: int,
-    match_capacity: int = 262144,
-    topn: int = 2,
-) -> RawMatch:
-    """Match padded query pairs against the sorted index.
+    match_capacity: int,
+):
+    """Core match against one (shard of the) sorted index.
 
-    :param index_arrays: (key_hi, key_lo, key_ex, song_id, offset) device
-        arrays, lexicographically sorted by key.
-    :param q_*: query (hash, offset) pairs padded to a static length;
-        `q_valid` masks real pairs; `q_first` marks the first pair of each
-        distinct hash (for dedup row counting).
-    :param delta_min: smallest representable delta (-max query offset).
-    :param delta_range: histogram width; deltas clip into
-        [delta_min, delta_min + delta_range).
+    Returns (hist, rows_hist, total): the dense (n_songs, delta_range)
+    vote histogram, per-song dedup row counts, and the true expanded
+    match count. Pure function of the local index slice — the sharded
+    path psums these across devices before ranking.
     """
     k_hi, k_lo, k_ex, sid_arr, off_arr = index_arrays
 
@@ -109,15 +95,19 @@ def match_query(
     hist = hist.at[flat_key].add((valid & in_range).astype(jnp.int32), mode="drop")
     hist = hist.reshape(n_songs, delta_range)
 
-    votes_per_song = jnp.max(hist, axis=1)
-    best_bin = jnp.argmax(hist, axis=1)  # first max => smallest delta (ref tie rule)
-
     # dedup row counts: one per row per distinct query hash
     first = jnp.take(q_first, p)
     rows_hist = jnp.zeros(n_songs, jnp.int32)
     rows_hist = rows_hist.at[sid].add(
         (valid & first).astype(jnp.int32), mode="drop"
     )
+    return hist, rows_hist, total
+
+
+def rank_votes(hist, rows_hist, total, *, delta_min: int, topn: int) -> RawMatch:
+    """Per-song best delta + top-N ranking with the reference tie rules."""
+    votes_per_song = jnp.max(hist, axis=1)
+    best_bin = jnp.argmax(hist, axis=1)  # first max => smallest delta
 
     top_votes, top_songs = jax.lax.top_k(votes_per_song, topn)
     top_deltas = jnp.take(best_bin, top_songs).astype(jnp.int32) + delta_min
@@ -132,3 +122,39 @@ def match_query(
         total,
         n_ranked,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity", "topn"),
+)
+def match_query(
+    index_arrays,
+    q_hi: jnp.ndarray,
+    q_lo: jnp.ndarray,
+    q_ex: jnp.ndarray,
+    q_t: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    q_first: jnp.ndarray,
+    *,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 262144,
+    topn: int = 2,
+) -> RawMatch:
+    """Match padded query pairs against the sorted index (single device).
+
+    :param index_arrays: (key_hi, key_lo, key_ex, song_id, offset) device
+        arrays, lexicographically sorted by key.
+    :param q_*: query (hash, offset) pairs padded to a static length;
+        `q_valid` masks real pairs; `q_first` marks the first pair of each
+        distinct hash (for dedup row counting).
+    :param delta_min: smallest representable delta (-max query offset).
+    """
+    hist, rows_hist, total = match_local(
+        index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
+        n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+        match_capacity=match_capacity,
+    )
+    return rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)

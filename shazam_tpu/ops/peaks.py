@@ -69,9 +69,10 @@ def peak_mask(db_spec: jnp.ndarray, amp_min: float, radius: int = 10) -> jnp.nda
     return detected & (db_spec > amp_min)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "capacity"))
+@functools.partial(jax.jit, static_argnames=("radius", "capacity", "frame_capacity"))
 def extract_peaks(db_spec: jnp.ndarray, amp_min: float,
-                  radius: int = 10, capacity: int = 8192):
+                  radius: int = 10, capacity: int = 8192,
+                  frame_capacity: int = 128):
     """Compact the peak mask into fixed-size (time, freq) index arrays.
 
     Returns (times, freqs, n_peaks): uint32 arrays of shape (capacity,) in
@@ -79,20 +80,46 @@ def extract_peaks(db_spec: jnp.ndarray, amp_min: float,
     and the true peak count (may exceed capacity; callers must check).
     Slots >= min(n_peaks, capacity) are filled with zeros and must be
     masked by the caller.
+
+    Two-level compaction (TPU-first): a flat top_k over the whole F x T
+    mask costs ~20x the rest of the pipeline on TPU, so we first compact
+    each STFT frame to `frame_capacity` candidates with a per-row top_k
+    over the 2049 freq bins, then run the global order-preserving top_k
+    over only n_frames * frame_capacity candidates. If any frame holds
+    more than `frame_capacity` peaks (a near-constant plateau — degenerate
+    input), n_peaks is clamped above `capacity` so callers see overflow.
     """
     mask = peak_mask(db_spec, amp_min, radius)
     n_freqs, n_frames = mask.shape
-    flat = mask.T.reshape(-1)  # (time-major) => row-major == (t, f) lex order
-    n = flat.shape[0]
-    n_peaks = jnp.sum(flat.astype(jnp.uint32))
-    # top_k over (N - flat_index) for valid cells: descending values =
-    # ascending flat indices = first `capacity` peaks in (t, f) order.
-    score = jnp.where(flat, n - lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0], 0)
-    vals, _ = lax.top_k(score, min(capacity, n))
-    if capacity > n:
-        vals = jnp.pad(vals, (0, capacity - n))
+    mask_t = mask.T  # (T, F): row-major == (t, f) lex order
+    n = n_freqs * n_frames
+    frame_counts = jnp.sum(mask_t.astype(jnp.int32), axis=1)
+    n_peaks = jnp.sum(frame_counts).astype(jnp.uint32)
+
+    # level 1: per-frame compaction (score = F - f: descending top_k
+    # values give ascending freq order; 0 marks empty lanes)
+    f_iota = jnp.arange(n_freqs, dtype=jnp.int32)[None, :]
+    frame_score = jnp.where(mask_t, n_freqs - f_iota, 0)
+    fvals, _ = lax.top_k(frame_score, min(frame_capacity, n_freqs))
+    cand_valid = fvals > 0
+    cand_f = jnp.where(cand_valid, n_freqs - fvals, 0)
+
+    # level 2: global order-preserving compaction over T * frame_capacity
+    t_iota = jnp.arange(n_frames, dtype=jnp.int32)[:, None]
+    flat_idx = t_iota * n_freqs + cand_f
+    score = jnp.where(cand_valid, n - flat_idx, 0).reshape(-1)
+    m = score.shape[0]
+    vals, _ = lax.top_k(score, min(capacity, m))
+    if capacity > m:
+        vals = jnp.pad(vals, (0, capacity - m))
     valid = vals > 0
-    flat_idx = jnp.where(valid, n - vals, 0).astype(jnp.uint32)
-    times = flat_idx // jnp.uint32(n_freqs)
-    freqs = flat_idx % jnp.uint32(n_freqs)
+    out_idx = jnp.where(valid, n - vals, 0).astype(jnp.uint32)
+    times = out_idx // jnp.uint32(n_freqs)
+    freqs = out_idx % jnp.uint32(n_freqs)
+
+    # degenerate plateaus: frame overflow must surface as capacity overflow
+    frame_overflow = jnp.any(frame_counts > frame_capacity)
+    n_peaks = jnp.where(
+        frame_overflow, jnp.maximum(n_peaks, jnp.uint32(capacity + 1)), n_peaks
+    )
     return times, freqs, n_peaks
