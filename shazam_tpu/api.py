@@ -252,11 +252,15 @@ class SIA:
         self,
         channels: Sequence[np.ndarray],
         topn: Optional[int] = None,
+        early_exit: bool = False,
     ) -> Dict:
         """Recognize already-decoded audio channels.
 
         Returns the reference's result schema: ranked result dicts plus
         fingerprint/query/align stage times (``recognizer_test.py:607-610``).
+
+        early_exit=True enables the apriori batched matcher with the
+        reference's 2x-leader stop rule (``recognizer_apriori.py:303``).
         """
         t0 = time.time()
         fps = [self._fingerprint_channel(np.asarray(ch)) for ch in channels]
@@ -267,17 +271,29 @@ class SIA:
         t0 = time.time()
         dev = self._ensure_device_index()
         delta_min, delta_range = self._delta_params
-        raw = match_query(
-            dev,
-            jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
-            jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
-            n_songs=max(self.index.n_songs, 1),
-            delta_min=delta_min,
-            delta_range=delta_range,
-            match_capacity=self.config.match_capacity,
-            topn=topn or self.config.topn,
-        )
-        raw = jax.device_get(raw)
+        if early_exit:
+            from .match.apriori import match_query_apriori
+
+            raw, _batches = match_query_apriori(
+                dev, q,
+                n_songs=max(self.index.n_songs, 1),
+                delta_min=delta_min,
+                delta_range=delta_range,
+                match_capacity=self.config.match_capacity,
+                topn=topn or self.config.topn,
+            )
+        else:
+            raw = match_query(
+                dev,
+                jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
+                jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
+                n_songs=max(self.index.n_songs, 1),
+                delta_min=delta_min,
+                delta_range=delta_range,
+                match_capacity=self.config.match_capacity,
+                topn=topn or self.config.topn,
+            )
+            raw = jax.device_get(raw)
         query_time = time.time() - t0
 
         t0 = time.time()
@@ -298,11 +314,12 @@ class SIA:
         }
 
     def recognize_file(self, path: str, limit: Optional[float] = None,
-                       topn: Optional[int] = None) -> Dict:
+                       topn: Optional[int] = None,
+                       early_exit: bool = False) -> Dict:
         channels, fs, _sha = read(path, limit)
         if fs != self.config.sample_rate:
             raise ValueError(f"{path}: sample rate {fs} != {self.config.sample_rate}")
-        return self.recognize_samples(channels, topn=topn)
+        return self.recognize_samples(channels, topn=topn, early_exit=early_exit)
 
     def get_metadata(self, track_id: int):
         return self.catalog.get_metadata(track_id)

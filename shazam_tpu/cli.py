@@ -1,0 +1,212 @@
+"""Command-line interface: ingest / recognize / bench / stats / sanity /
+plot / synth.
+
+The reference drives everything through per-script ``__main__`` blocks
+with hand-edited config constants (``__init__.py:417-432``,
+``recognizer.py:355-398``, ``recognizer_test.py:516-614``); here the same
+workflows are argparse subcommands over one persistent catalog+index pair
+(--db PREFIX -> PREFIX.sqlite + PREFIX.npz).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _open_sia(args, need_index: bool):
+    from .api import SIA
+    from .config import FingerprintConfig
+
+    config = FingerprintConfig()
+    if getattr(args, "config", None):
+        with open(args.config) as fh:
+            config = FingerprintConfig.from_json(fh.read())
+    sia = SIA(config=config, catalog_path=args.db + ".sqlite")
+    index_path = args.db + ".npz"
+    if os.path.exists(index_path):
+        sia.load_index(index_path)
+    elif need_index:
+        sys.exit(f"no index at {index_path}; run `ingest` first")
+    return sia
+
+
+def cmd_ingest(args):
+    sia = _open_sia(args, need_index=False)
+    stats = sia.ingest_directory(
+        args.path,
+        extensions=args.extensions.split(","),
+        limit=args.limit,
+        batch_size=args.batch_size,
+        verbose=True,
+    )
+    sia.save_index(args.db + ".npz")
+    print(json.dumps(stats, default=str))
+
+
+def cmd_recognize(args):
+    sia = _open_sia(args, need_index=True)
+    out = sia.recognize_file(args.file, limit=args.limit, topn=args.topn,
+                             early_exit=args.early_exit)
+    print(json.dumps(out, default=str, indent=2))
+    if out["results"]:
+        top = out["results"][0]
+        md = sia.get_metadata(_maybe_int(top["song_name"]))
+        if md:
+            print("metadata:", json.dumps(md))
+
+
+def _maybe_int(name):
+    try:
+        return int(name)
+    except (TypeError, ValueError):
+        return -1
+
+
+def cmd_bench(args):
+    from .audio.io import find_files
+    from .bench.harness import BenchConfig, run_recognition_sweep
+
+    sia = _open_sia(args, need_index=True)
+    songs = sorted(p for p, _ in find_files(args.path, args.extensions.split(",")))
+    if args.limit_songs:
+        songs = songs[: args.limit_songs]
+    cfg = BenchConfig(
+        record_seconds=args.seconds,
+        add_noise=args.snr is not None,
+        snr_db=args.snr if args.snr is not None else 0.0,
+        noise_kind="awgn" if args.awgn else "file",
+        noise_file=args.noise_file,
+        topn=args.topn,
+        seed=args.seed,
+        out_dir=args.out_dir,
+    )
+    summary = run_recognition_sweep(sia, songs, cfg)
+    summary.pop("predicted", None)
+    print(json.dumps(summary, default=str, indent=2))
+
+
+def cmd_stats(args):
+    from .tools.stats import dump_song_hash_stats
+
+    sia = _open_sia(args, need_index=False)
+    out = dump_song_hash_stats(sia.catalog, csv_path=args.out)
+    out["index_hashes"] = sia.index.n_hashes
+    print(json.dumps(out, default=str, indent=2))
+
+
+def cmd_sanity(args):
+    from .audio.io import find_files
+    from .tools.sanity import check_corpus_sanity
+
+    files = [p for p, _ in find_files(args.path, args.extensions.split(","))]
+    out = check_corpus_sanity(files, record_seconds=args.seconds,
+                              delete=args.delete)
+    print(json.dumps(out, default=str, indent=2))
+
+
+def cmd_plot(args):
+    from .audio.io import read
+    from .tools.plot import plot_constellation
+
+    channels, fs, _ = read(args.file, limit=args.limit)
+    path = plot_constellation(channels[0], args.out, fs=fs,
+                              title=os.path.basename(args.file))
+    print(json.dumps({"plot": path}))
+
+
+def cmd_synth(args):
+    from .audio.synth import synth_corpus
+
+    files = synth_corpus(args.path, args.n, duration_s=args.seconds,
+                         seed=args.seed)
+    print(json.dumps({"generated": len(files), "dir": args.path}))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="shazam-tpu",
+                                description="TPU-native audio fingerprinting")
+    p.add_argument("--db", default="sia_catalog",
+                   help="catalog prefix (PREFIX.sqlite + PREFIX.npz)")
+    p.add_argument("--config", default=None, help="FingerprintConfig JSON file")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("ingest", help="fingerprint a folder into the index")
+    s.add_argument("path")
+    s.add_argument("--extensions", default=".wav")
+    s.add_argument("--limit", type=float, default=None,
+                   help="seconds per file to fingerprint")
+    s.add_argument("--batch-size", type=int, default=8)
+    s.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("recognize", help="identify one audio file")
+    s.add_argument("file")
+    s.add_argument("--limit", type=float, default=None)
+    s.add_argument("--topn", type=int, default=2)
+    s.add_argument("--early-exit", action="store_true")
+    s.set_defaults(fn=cmd_recognize)
+
+    s = sub.add_parser("bench", help="recognition accuracy/latency sweep")
+    s.add_argument("path", help="corpus folder")
+    s.add_argument("--extensions", default=".wav")
+    s.add_argument("--seconds", type=float, default=5.0)
+    s.add_argument("--snr", type=float, default=None,
+                   help="mix noise at this SNR (dB)")
+    s.add_argument("--awgn", action="store_true", help="use AWGN noise")
+    s.add_argument("--noise-file", default=None)
+    s.add_argument("--topn", type=int, default=3)
+    s.add_argument("--seed", type=int, default=1234)
+    s.add_argument("--out-dir", default="bench_out")
+    s.add_argument("--limit-songs", type=int, default=None)
+    s.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("stats", help="dump per-song hash stats CSV")
+    s.add_argument("--out", default="song_hashes.csv")
+    s.set_defaults(fn=cmd_stats)
+
+    s = sub.add_parser("sanity", help="validate corpus decodability/length")
+    s.add_argument("path")
+    s.add_argument("--extensions", default=".wav")
+    s.add_argument("--seconds", type=float, default=5.0)
+    s.add_argument("--delete", action="store_true")
+    s.set_defaults(fn=cmd_sanity)
+
+    s = sub.add_parser("plot", help="render spectrogram + constellation PNG")
+    s.add_argument("file")
+    s.add_argument("--out", default="constellation.png")
+    s.add_argument("--limit", type=float, default=None)
+    s.set_defaults(fn=cmd_plot)
+
+    s = sub.add_parser("synth", help="generate a deterministic WAV corpus")
+    s.add_argument("path")
+    s.add_argument("-n", type=int, default=10)
+    s.add_argument("--seconds", type=float, default=30.0)
+    s.add_argument("--seed", type=int, default=1234)
+    s.set_defaults(fn=cmd_synth)
+
+    return p
+
+
+def main(argv=None):
+    # persistent XLA compile cache: CLI invocations are separate processes;
+    # without this every run re-pays 20-40 s TPU (or CPU) compiles
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "SHAZAM_TPU_CACHE", os.path.expanduser("~/.cache/shazam_tpu_xla")
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

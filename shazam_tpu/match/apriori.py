@@ -1,0 +1,106 @@
+"""Apriori early-exit matching.
+
+Reproduces the reference's early-termination matcher
+(``recognizer_apriori.py:245-310``): query hashes are processed in
+batches; after each batch the partial per-song matched-row counts are
+ranked and the sweep stops as soon as the leader has more than twice the
+runner-up's matches (``:303``: ``if top1/2 > top2: break``).
+
+Device design: the vote histogram and row counts accumulate in HBM
+across batches (one jitted step per batch); only the two leading row
+counts come back to the host for the margin test, so an early exit skips
+the remaining batches' binary searches entirely.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lookup import match_local, rank_votes, RawMatch
+from .prepare import QueryPairs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity"),
+)
+def _apriori_step(
+    index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
+    hist, rows_hist, total,
+    *, n_songs: int, delta_min: int, delta_range: int, match_capacity: int,
+):
+    h, r, t = match_local(
+        index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
+        n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+        match_capacity=match_capacity,
+    )
+    hist = hist + h
+    rows_hist = rows_hist + r
+    total = total + t
+    top2, _ = jax.lax.top_k(rows_hist, 2)
+    return hist, rows_hist, total, top2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("delta_min", "topn"),
+)
+def _apriori_rank(hist, rows_hist, total, *, delta_min: int, topn: int):
+    return rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)
+
+
+def match_query_apriori(
+    index_arrays,
+    q: QueryPairs,
+    *,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 65536,
+    topn: int = 2,
+    batch_size: int = 1024,
+) -> Tuple[RawMatch, int]:
+    """Batched match with the 2x-leader early exit.
+
+    Returns (RawMatch, batches_used). Results are identical to the full
+    match whenever no early exit triggers; with an exit they reflect the
+    partial scan exactly like the reference's apriori mode.
+    """
+    n = len(q.hi)
+    hist = jnp.zeros((n_songs, delta_range), jnp.int32)
+    rows_hist = jnp.zeros(n_songs, jnp.int32)
+    total = jnp.int32(0)
+
+    n_batches = max(1, -(-n // batch_size))
+    used = 0
+    for b in range(n_batches):
+        sl = slice(b * batch_size, (b + 1) * batch_size)
+
+        def pad(a):
+            chunk = a[sl]
+            if len(chunk) < batch_size:
+                chunk = np.pad(chunk, (0, batch_size - len(chunk)))
+            return jnp.asarray(chunk)
+
+        hist, rows_hist, total, top2 = _apriori_step(
+            index_arrays,
+            pad(q.hi), pad(q.lo), pad(q.ex), pad(q.t),
+            pad(q.valid), pad(q.first),
+            hist, rows_hist, total,
+            n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+            match_capacity=match_capacity,
+        )
+        used += 1
+        top2_host = np.asarray(top2)
+        # reference margin rule (recognizer_apriori.py:303): leader's
+        # matched rows halved still beat the runner-up
+        if top2_host[0] / 2.0 > top2_host[1] and top2_host[1] >= 0:
+            if top2_host[0] > 0 and used < n_batches:
+                break
+
+    raw = _apriori_rank(hist, rows_hist, total, delta_min=delta_min, topn=topn)
+    return jax.device_get(raw), used

@@ -1,0 +1,87 @@
+"""MXU-friendly real FFT via Cooley-Tukey matmul decomposition.
+
+XLA's native TPU FFT lowers to a generic algorithm that leaves the MXU
+idle; for the fixed NFFT=4096 window this module computes the one-sided
+real DFT as two stages of 64x64 DFT matmuls + a twiddle rotation — pure
+systolic-array work at ~30x fewer FLOPs than a direct DFT matmul:
+
+    n = 64*n2 + n1,  k = 64*k1 + k2
+    X[64 k1 + k2] = sum_n1 W64^(n1 k1) [ W4096^(n1 k2) *
+                     sum_n2 x[64 n2 + n1] W64^(n2 k2) ]
+
+All matmuls run in float32 (precision=HIGHEST) so spectrogram parity with
+the float64 oracle stays at the same ~1e-2 dB level as jnp.fft.rfft.
+
+Replaces the hot ``mlab.specgram`` FFT of the reference
+(``__init__.py:232-237``); numerics verified against np.fft.rfft in
+tests/test_fft.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_constants(n: int, n1: int):
+    """Host-side DFT/twiddle factor tables for N = n1 * n2."""
+    n2 = n // n1
+    k2 = np.arange(n2)
+    nn2 = np.arange(n2)
+    ang2 = -2.0 * np.pi * np.outer(k2, nn2) / n2
+    c2, s2 = np.cos(ang2), np.sin(ang2)
+
+    k1 = np.arange(n1)
+    nn1 = np.arange(n1)
+    ang1 = -2.0 * np.pi * np.outer(k1, nn1) / n1
+    c1, s1 = np.cos(ang1), np.sin(ang1)
+
+    # twiddle: W_N^(n1 k2) with rows k2, cols n1
+    angt = -2.0 * np.pi * np.outer(k2, nn1) / n
+    tr, ti = np.cos(angt), np.sin(angt)
+
+    # cache host numpy only — device conversion happens at the use site so
+    # no trace-scoped arrays outlive their jit trace
+    to = lambda a: np.asarray(a, np.float32)
+    return to(c2), to(s2), to(c1), to(s1), to(tr), to(ti)
+
+
+def rfft_power(frames: jnp.ndarray, n: int = 4096, n1: int = 64) -> jnp.ndarray:
+    """|rfft(frames, n)|^2 for real frames (..., n) -> (..., n//2 + 1).
+
+    Two-stage matmul FFT; returns the squared magnitude directly (the
+    spectrogram never needs the complex values).
+    """
+    n2 = n // n1
+    c2, s2, c1, s1, tr, ti = _dft_constants(n, n1)
+    lead = frames.shape[:-1]
+    x = frames.reshape(*lead, n2, n1)  # [.., n2, n1]
+
+    # stage 1: DFT over n2 (real input). The sine tables already carry the
+    # e^{-i...} sign, so D = c + i*s throughout.
+    yr = jnp.einsum("kn,...nm->...km", c2, x, precision=_PRECISION)
+    yi = jnp.einsum("kn,...nm->...km", s2, x, precision=_PRECISION)
+
+    # twiddle rotation (elementwise over [k2, n1])
+    zr = yr * tr - yi * ti
+    zi = yr * ti + yi * tr
+
+    # stage 2: DFT over n1
+    xr = (
+        jnp.einsum("...kn,ln->...kl", zr, c1, precision=_PRECISION)
+        - jnp.einsum("...kn,ln->...kl", zi, s1, precision=_PRECISION)
+    )
+    xi = (
+        jnp.einsum("...kn,ln->...kl", zr, s1, precision=_PRECISION)
+        + jnp.einsum("...kn,ln->...kl", zi, c1, precision=_PRECISION)
+    )
+
+    power = xr * xr + xi * xi           # [.., k2, k1]
+    power = jnp.swapaxes(power, -1, -2)  # [.., k1, k2]; k = n2*k1 + k2
+    return power.reshape(*lead, n)[..., : n // 2 + 1]

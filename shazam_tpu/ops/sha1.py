@@ -168,7 +168,7 @@ def sha1_triples(f1: jnp.ndarray, f2: jnp.ndarray, dt: jnp.ndarray):
         return (w, tmp, a, _rotl(b, 30), c, d)
 
     _, a, b, c, d, e = jax.lax.fori_loop(
-        0, 80, round_fn, (w, a0, b0, c0, d0, e0)
+        0, 80, round_fn, (w, a0, b0, c0, d0, e0), unroll=8
     )
     return a0 + a, b0 + b, c0 + c, d0 + d, e0 + e
 

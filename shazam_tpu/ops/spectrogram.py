@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .fft import rfft_power
+
 
 def hann_window(wsize: int, dtype=jnp.float32) -> jnp.ndarray:
     """np.hanning(wsize): symmetric Hann incl. zero endpoints (mlab's window)."""
@@ -48,23 +50,29 @@ def frame_signal(x: jnp.ndarray, wsize: int, hop: int) -> jnp.ndarray:
     return x[jnp.asarray(idx)]
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "wsize", "hop"))
+@functools.partial(jax.jit, static_argnames=("fs", "wsize", "hop", "fft_impl"))
 def power_spectrogram(
-    samples: jnp.ndarray, fs: int = 44100, wsize: int = 4096, hop: int = 2048
+    samples: jnp.ndarray, fs: int = 44100, wsize: int = 4096, hop: int = 2048,
+    fft_impl: str = "matmul",
 ) -> jnp.ndarray:
     """One-sided PSD spectrogram, shape (n_freqs, n_frames) like mlab's.
 
     Scaling matches mlab.specgram(mode='psd', scale_by_freq=True):
     |rfft(win * frame)|^2 / (fs * sum(win^2)), with all bins except DC and
     Nyquist doubled.
+
+    fft_impl: "matmul" (Cooley-Tukey MXU matmuls, ops/fft.py — ~5x faster
+    on TPU) or "xla" (jnp.fft.rfft).
     """
     x = samples.astype(jnp.float32)
     win = hann_window(wsize)
     frames = frame_signal(x, wsize, hop) * win[None, :]
-    spec = jnp.fft.rfft(frames, n=wsize, axis=1)
-    psd = (spec.real * spec.real + spec.imag * spec.imag) / (
-        jnp.float32(fs) * jnp.sum(win * win)
-    )
+    if fft_impl == "matmul" and wsize % 64 == 0:
+        power = rfft_power(frames, n=wsize)
+    else:
+        spec = jnp.fft.rfft(frames, n=wsize, axis=1)
+        power = spec.real * spec.real + spec.imag * spec.imag
+    psd = power / (jnp.float32(fs) * jnp.sum(win * win))
     # one-sided doubling: every bin except DC and (for even NFFT) Nyquist
     scale = np.full(wsize // 2 + 1, 2.0, np.float32)
     scale[0] = 1.0
@@ -79,9 +87,12 @@ def db_spectrogram(psd: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(psd != 0, 10.0 * jnp.log10(jnp.where(psd != 0, psd, 1.0)), 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "wsize", "hop"))
+@functools.partial(jax.jit, static_argnames=("fs", "wsize", "hop", "fft_impl"))
 def spectrogram_db(
-    samples: jnp.ndarray, fs: int = 44100, wsize: int = 4096, hop: int = 2048
+    samples: jnp.ndarray, fs: int = 44100, wsize: int = 4096, hop: int = 2048,
+    fft_impl: str = "matmul",
 ) -> jnp.ndarray:
     """Fused PSD + dB pipeline: samples -> (n_freqs, n_frames) dB spectrogram."""
-    return db_spectrogram(power_spectrogram(samples, fs=fs, wsize=wsize, hop=hop))
+    return db_spectrogram(
+        power_spectrogram(samples, fs=fs, wsize=wsize, hop=hop, fft_impl=fft_impl)
+    )

@@ -1,0 +1,4 @@
+from .sanity import check_corpus_sanity
+from .stats import dump_song_hash_stats
+
+__all__ = ["check_corpus_sanity", "dump_song_hash_stats"]
