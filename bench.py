@@ -36,7 +36,7 @@ def bench_fingerprint_throughput(jax, jnp, seconds_per_song=30.0, batch=16,
 
     fs = 44100
     n = int(seconds_per_song * fs)
-    blen = 1 << (n - 1).bit_length()
+    blen = -(-n // (1 << 18)) * (1 << 18)  # linear bucket, like the API
     mat = np.zeros((batch, blen), np.float32)
     for i in range(batch):
         mat[i, :n] = synth_song(i, duration_s=seconds_per_song, fs=fs, seed=5)
@@ -128,7 +128,8 @@ def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
             out = match_query(
                 dev, *rolled,
                 n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-                match_capacity=262144, topn=2,
+                match_capacity=65536, topn=2,
+                offset_stride=index.offset_stride,
             )
             s = sum(jnp.sum(l.astype(jnp.float32))
                     for l in jax.tree_util.tree_leaves(out))
@@ -147,7 +148,8 @@ def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
     out = match_query(
         dev, *args,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-        match_capacity=262144, topn=2,
+        match_capacity=65536, topn=2,
+        offset_stride=index.offset_stride,
     )
     return per_query, int(out.total_rows)
 

@@ -43,12 +43,15 @@ from .match.lookup import match_query
 from .match.align import MatchResult, align_results
 
 
-def _bucket_len(n: int, minimum: int = 1 << 17) -> int:
-    """Next power-of-two sample count >= n (min 2^17 ~ 3 s @ 44.1 kHz)."""
-    cap = minimum
-    while cap < n:
-        cap <<= 1
-    return cap
+def _bucket_len(n: int, step: int = 1 << 18) -> int:
+    """Round up to a multiple of 2^18 samples (~5.9 s @ 44.1 kHz).
+
+    Linear buckets waste <= one step of padding (a power-of-two scheme
+    pads a 30 s song by 60%, and every op in the pipeline scales with the
+    padded length); one compiled program per bucket, ~10 buckets covers a
+    4-minute catalog.
+    """
+    return -(-max(n, 1) // step) * step
 
 
 def _batch_fingerprints(fp: Fingerprints, i: int) -> Fingerprints:
@@ -224,6 +227,7 @@ class SIA:
     def _ensure_device_index(self):
         if self._device_index is None:
             self._device_index = self.index.device_arrays()
+            self._offset_stride = self.index.offset_stride
             # static histogram window: covers the longest song, rounded up
             # so catalog growth doesn't recompile every merge
             max_off = ((self.index.max_offset // 4096) + 1) * 4096
@@ -281,6 +285,7 @@ class SIA:
                 delta_range=delta_range,
                 match_capacity=self.config.match_capacity,
                 topn=topn or self.config.topn,
+                offset_stride=self._offset_stride,
             )
         else:
             raw = match_query(
@@ -292,6 +297,7 @@ class SIA:
                 delta_range=delta_range,
                 match_capacity=self.config.match_capacity,
                 topn=topn or self.config.topn,
+                offset_stride=self._offset_stride,
             )
             raw = jax.device_get(raw)
         query_time = time.time() - t0

@@ -37,7 +37,11 @@ class FingerprintConfig:
     # --- static capacities (TPU-only concept; overflow is detected, never silent) ---
     peak_capacity: int = 8192         # max constellation peaks per channel
     hash_capacity: int = 32768        # max hashes per channel (<= 4 * peak_capacity)
-    match_capacity: int = 262144      # max expanded (row x query-offset) vote entries
+    # max expanded (row x query-offset) vote entries. Expansion cost is
+    # ~linear in this cap (random HBM gathers), so it is sized for the
+    # common case; overflow is detected (MatchResult.overflowed) and the
+    # caller can retry with a larger cap.
+    match_capacity: int = 65536
     # --- matching / results ---
     topn: int = 2                     # TOPN (recognizer.py:68)
     # --- numerics ---

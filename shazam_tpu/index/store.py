@@ -52,18 +52,45 @@ class FingerprintIndex:
     def n_hashes(self) -> int:
         return int(len(self.key_hi))
 
+    @property
+    def offset_stride(self) -> int:
+        """Power-of-two stride for packing (song_id, offset) in one uint32.
+
+        The expansion phase of a query is dominated by random HBM gathers
+        from the payload arrays; packing halves them. 0 means the catalog
+        is too large to pack (song_id * stride would overflow 32 bits) and
+        the two-array layout is used instead.
+        """
+        stride = 1
+        while stride <= self.max_offset:
+            stride <<= 1
+        if max(self.n_songs, 1) * stride <= (1 << 32):
+            return stride
+        return 0
+
     def device_arrays(self):
-        """The five arrays as device (jnp) arrays, padded to >= 1 entry."""
+        """(key_hi, key_lo, key_ex, payload...) device arrays, >= 1 entry.
+
+        Returns a 4-tuple (keys + packed payload) when packing fits, else
+        the 5-tuple with separate song_id/offset arrays. Pass
+        ``offset_stride`` to the matcher so it can decode.
+        """
         if self.n_hashes == 0:
             z = np.zeros(1, np.uint32)
-            return tuple(jnp.asarray(a) for a in (z, z, z, z, z))
-        return (
+            return tuple(jnp.asarray(a) for a in (z, z, z, z))
+        stride = self.offset_stride
+        keys = (
             jnp.asarray(self.key_hi),
             jnp.asarray(self.key_lo),
             jnp.asarray(self.key_ex),
-            jnp.asarray(self.song_id),
-            jnp.asarray(self.offset),
         )
+        if stride:
+            packed = (
+                self.song_id.astype(np.uint32) * np.uint32(stride)
+                + self.offset.astype(np.uint32)
+            )
+            return keys + (jnp.asarray(packed),)
+        return keys + (jnp.asarray(self.song_id), jnp.asarray(self.offset))
 
     # ---- persistence ----
     def save(self, path: str) -> None:

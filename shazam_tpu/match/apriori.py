@@ -27,17 +27,19 @@ from .prepare import QueryPairs
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity"),
+    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
+                     "offset_stride"),
 )
 def _apriori_step(
     index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
     hist, rows_hist, total,
     *, n_songs: int, delta_min: int, delta_range: int, match_capacity: int,
+    offset_stride: int = 0,
 ):
     h, r, t = match_local(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-        match_capacity=match_capacity,
+        match_capacity=match_capacity, offset_stride=offset_stride,
     )
     hist = hist + h
     rows_hist = rows_hist + r
@@ -63,6 +65,7 @@ def match_query_apriori(
     match_capacity: int = 65536,
     topn: int = 2,
     batch_size: int = 1024,
+    offset_stride: int = 0,
 ) -> Tuple[RawMatch, int]:
     """Batched match with the 2x-leader early exit.
 
@@ -92,7 +95,7 @@ def match_query_apriori(
             pad(q.valid), pad(q.first),
             hist, rows_hist, total,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-            match_capacity=match_capacity,
+            match_capacity=match_capacity, offset_stride=offset_stride,
         )
         used += 1
         top2_host = np.asarray(top2)

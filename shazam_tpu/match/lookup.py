@@ -54,15 +54,21 @@ def match_local(
     delta_min: int,
     delta_range: int,
     match_capacity: int,
+    offset_stride: int = 0,
 ):
     """Core match against one (shard of the) sorted index.
+
+    index_arrays is (key_hi, key_lo, key_ex, packed_payload) with
+    ``offset_stride`` > 0 (payload = song_id * stride + offset — one HBM
+    gather per matched row), or the 5-tuple (... song_id, offset) with
+    ``offset_stride`` == 0 for catalogs too large to pack.
 
     Returns (hist, rows_hist, total): the dense (n_songs, delta_range)
     vote histogram, per-song dedup row counts, and the true expanded
     match count. Pure function of the local index slice — the sharded
     path psums these across devices before ranking.
     """
-    k_hi, k_lo, k_ex, sid_arr, off_arr = index_arrays
+    k_hi, k_lo, k_ex = index_arrays[:3]
 
     lb = lexi_lower_bound(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex)
     ub = lexi_upper_bound(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex)
@@ -79,8 +85,14 @@ def match_local(
     row = jnp.take(lb, p) + (v - prev)
     valid = v < total
 
-    sid = jnp.take(sid_arr, jnp.where(valid, row, 0)).astype(jnp.int32)
-    doff = jnp.take(off_arr, jnp.where(valid, row, 0)).astype(jnp.int32)
+    safe_row = jnp.where(valid, row, 0)
+    if offset_stride:
+        packed = jnp.take(index_arrays[3], safe_row)
+        sid = (packed // jnp.uint32(offset_stride)).astype(jnp.int32)
+        doff = (packed % jnp.uint32(offset_stride)).astype(jnp.int32)
+    else:
+        sid = jnp.take(index_arrays[3], safe_row).astype(jnp.int32)
+        doff = jnp.take(index_arrays[4], safe_row).astype(jnp.int32)
     qoff = jnp.take(q_t, p).astype(jnp.int32)
     delta = doff - qoff
 
@@ -126,7 +138,8 @@ def rank_votes(hist, rows_hist, total, *, delta_min: int, topn: int) -> RawMatch
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity", "topn"),
+    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
+                     "topn", "offset_stride"),
 )
 def match_query(
     index_arrays,
@@ -140,13 +153,14 @@ def match_query(
     n_songs: int,
     delta_min: int,
     delta_range: int,
-    match_capacity: int = 262144,
+    match_capacity: int = 65536,
     topn: int = 2,
+    offset_stride: int = 0,
 ) -> RawMatch:
     """Match padded query pairs against the sorted index (single device).
 
-    :param index_arrays: (key_hi, key_lo, key_ex, song_id, offset) device
-        arrays, lexicographically sorted by key.
+    :param index_arrays: sorted key arrays + payload — see ``match_local``
+        (use ``FingerprintIndex.device_arrays()`` + ``.offset_stride``).
     :param q_*: query (hash, offset) pairs padded to a static length;
         `q_valid` masks real pairs; `q_first` marks the first pair of each
         distinct hash (for dedup row counting).
@@ -155,6 +169,6 @@ def match_query(
     hist, rows_hist, total = match_local(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-        match_capacity=match_capacity,
+        match_capacity=match_capacity, offset_stride=offset_stride,
     )
     return rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)

@@ -31,12 +31,12 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = SHARD_AXIS) -> M
 def shard_index_arrays(index, n_shards: int) -> Tuple[np.ndarray, ...]:
     """Split the sorted index into n equal contiguous chunks (padded).
 
-    Returns stacked (n_shards, rows_per_shard) arrays for
-    (key_hi, key_lo, key_ex, song_id, offset). Padding rows carry the
-    maximal key so they sort after every real key and can never match a
-    query's equal-range (real sha1 keys are never all-ones across 80 bits
-    for our message family in practice; padded rows also carry song_id =
-    n_songs which the vote histogram drops).
+    Returns stacked (n_shards, rows_per_shard) arrays for the keys plus
+    the payload (packed single array when ``index.offset_stride`` > 0,
+    else separate song_id/offset). Padding rows carry the maximal key so
+    they sort after every real key and can never match a query's
+    equal-range (query ex values are 16-bit, pad ex is 2^32-1); padded
+    payloads decode to song_id >= n_songs which the vote histogram drops.
     """
     n = index.n_hashes
     per = -(-max(n, 1) // n_shards)  # ceil
@@ -47,10 +47,16 @@ def shard_index_arrays(index, n_shards: int) -> Tuple[np.ndarray, ...]:
         out[:n] = arr
         return out.reshape(n_shards, per)
 
-    return (
+    keys = (
         pad(index.key_hi, 0xFFFFFFFF),
         pad(index.key_lo, 0xFFFFFFFF),
         pad(index.key_ex, 0xFFFFFFFF),
-        pad(index.song_id, index.n_songs),
-        pad(index.offset, 0),
     )
+    stride = index.offset_stride
+    if stride:
+        packed = (
+            index.song_id.astype(np.uint32) * np.uint32(stride)
+            + index.offset.astype(np.uint32)
+        )
+        return keys + (pad(packed, min(index.n_songs * stride, 2 ** 32 - 1)),)
+    return keys + (pad(index.song_id, index.n_songs), pad(index.offset, 0))

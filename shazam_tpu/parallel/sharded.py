@@ -38,26 +38,29 @@ from .mesh import SHARD_AXIS
 
 def sharded_match_query(
     mesh: Mesh,
-    sharded_index,          # 5 arrays shaped (n_shards, rows_per_shard)
+    sharded_index,          # 4 or 5 arrays shaped (n_shards, rows_per_shard)
     q_hi, q_lo, q_ex, q_t, q_valid, q_first,
     *,
     n_songs: int,
     delta_min: int,
     delta_range: int,
-    match_capacity: int = 262144,
+    match_capacity: int = 65536,
     topn: int = 2,
+    offset_stride: int = 0,
 ) -> RawMatch:
     """Match a replicated query against a key-range-sharded index."""
     axis = mesh.axis_names[0]
     per_shard_cap = max(match_capacity // mesh.devices.size, 1024)
+    n_index_arrays = len(sharded_index)
 
-    def local_fn(idx_hi, idx_lo, idx_ex, idx_sid, idx_off,
-                 q_hi, q_lo, q_ex, q_t, q_valid, q_first):
-        local = (idx_hi[0], idx_lo[0], idx_ex[0], idx_sid[0], idx_off[0])
+    def local_fn(*args):
+        idx = args[:n_index_arrays]
+        q = args[n_index_arrays:]
+        local = tuple(a[0] for a in idx)
         hist, rows_hist, total = match_local(
-            local, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
+            local, *q,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-            match_capacity=per_shard_cap,
+            match_capacity=per_shard_cap, offset_stride=offset_stride,
         )
         hist = jax.lax.psum(hist, axis)
         rows_hist = jax.lax.psum(rows_hist, axis)
@@ -69,7 +72,7 @@ def sharded_match_query(
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(shard_spec,) * 5 + (rep,) * 6,
+        in_specs=(shard_spec,) * n_index_arrays + (rep,) * 6,
         out_specs=RawMatch(rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )

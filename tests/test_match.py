@@ -96,6 +96,7 @@ def _run_match(index, q, topn=3, match_capacity=65536):
         delta_range=delta_range,
         match_capacity=match_capacity,
         topn=topn,
+        offset_stride=index.offset_stride,
     )
 
 

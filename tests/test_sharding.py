@@ -52,9 +52,11 @@ def test_sharded_matches_single_device(mesh, seed):
     q = _query_from_pairs(q_pairs)
     args = _match_args(index, q)
 
-    single = match_query(index.device_arrays(), **args)
+    single = match_query(index.device_arrays(), **args,
+                         offset_stride=index.offset_stride)
     shards = tuple(jnp.asarray(a) for a in shard_index_arrays(index, 8))
-    sharded = sharded_match_query(mesh, shards, **args)
+    sharded = sharded_match_query(mesh, shards, **args,
+                                  offset_stride=index.offset_stride)
 
     assert int(sharded.total_rows) == int(single.total_rows)
     assert np.array_equal(np.asarray(sharded.top_songs), np.asarray(single.top_songs))
