@@ -31,7 +31,9 @@ def bench_fingerprint_throughput(jax, jnp, seconds_per_song=30.0, batch=16,
     """
     import functools
     from jax import lax
-    from shazam_tpu.ops.fingerprint import fingerprint_batch
+    from shazam_tpu.ops.fingerprint import (
+        fingerprint_batch, fingerprint_batch_fused,
+    )
     from shazam_tpu.audio.synth import synth_song
 
     fs = 44100
@@ -43,10 +45,16 @@ def bench_fingerprint_throughput(jax, jnp, seconds_per_song=30.0, batch=16,
     mat_d = jnp.asarray(mat)
     nv_d = jnp.asarray(np.full(batch, n, np.int32))
 
+    fp_fn = (
+        fingerprint_batch_fused
+        if jax.default_backend() == "tpu"
+        else fingerprint_batch
+    )
+
     @functools.partial(jax.jit, static_argnames=("k",))
     def loop(x, k):
         def body(i, acc):
-            fp = fingerprint_batch(
+            fp = fp_fn(
                 jnp.roll(x, i, axis=0) + acc * 1e-30, nv_d, peak_capacity=4096
             )
             s = sum(jnp.sum(l.astype(jnp.float32))

@@ -33,6 +33,7 @@ from .audio.io import read, find_files, unique_file_hash
 from .ops.fingerprint import (
     Fingerprints,
     fingerprint_batch,
+    fingerprint_batch_fused,
     fingerprint_samples,
     fingerprints_to_pairs,
 )
@@ -56,6 +57,18 @@ def _bucket_len(n: int, step: int = 1 << 18) -> int:
 
 def _batch_fingerprints(fp: Fingerprints, i: int) -> Fingerprints:
     return Fingerprints(*(np.asarray(a)[i] for a in fp))
+
+
+def _fused_ok(config: FingerprintConfig) -> bool:
+    """The Pallas-fused path covers the reference configuration on TPU;
+    anything else falls back to the (identical-semantics) XLA path."""
+    return (
+        jax.default_backend() == "tpu"
+        and config.window_size == 4096
+        and config.window_size % config.hop == 0
+        and config.peak_neighborhood_size == 10
+        and config.amp_min > 0
+    )
 
 
 class SIA:
@@ -159,7 +172,11 @@ class SIA:
                     ch = chan_data[ci]
                     batch[row, : len(ch)] = ch
                     n_valid[row] = len(ch)
-                fp = fingerprint_batch(
+                batch_fn = (
+                    fingerprint_batch_fused if _fused_ok(self.config)
+                    else fingerprint_batch
+                )
+                fp = batch_fn(
                     jnp.asarray(batch), jnp.asarray(n_valid),
                     fs=self.config.sample_rate,
                     wsize=self.config.window_size,
@@ -239,6 +256,21 @@ class SIA:
         blen = _bucket_len(len(samples))
         padded = np.zeros(blen, np.float32)
         padded[: len(samples)] = samples
+        if _fused_ok(self.config):
+            fp = fingerprint_batch_fused(
+                jnp.asarray(padded)[None, :],
+                jnp.asarray([len(samples)], np.int32),
+                fs=self.config.sample_rate,
+                wsize=self.config.window_size,
+                hop=self.config.hop,
+                amp_min=self.config.amp_min,
+                radius=self.config.peak_neighborhood_size,
+                fan_value=self.config.fan_value,
+                min_dt=self.config.min_hash_time_delta,
+                max_dt=self.config.max_hash_time_delta,
+                peak_capacity=self.config.peak_capacity,
+            )
+            return Fingerprints(*(a[0] for a in fp))
         return fingerprint_samples(
             jnp.asarray(padded), jnp.int32(len(samples)),
             fs=self.config.sample_rate,

@@ -192,6 +192,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS even when a sitecustomize pinned another backend
+    # programmatically (this container's axon plugin does)
+    try:
+        import jax
+
+        env_platform = os.environ.get("JAX_PLATFORMS")
+        if env_platform:
+            jax.config.update("jax_platforms", env_platform)
+    except Exception:
+        pass
     # persistent XLA compile cache: CLI invocations are separate processes;
     # without this every run re-pays 20-40 s TPU (or CPU) compiles
     try:

@@ -86,6 +86,51 @@ def fingerprint_samples(
     static_argnames=("fs", "wsize", "hop", "radius", "fan_value",
                      "min_dt", "max_dt", "peak_capacity"),
 )
+def fingerprint_batch_fused(
+    samples: jnp.ndarray,
+    n_valid_samples: jnp.ndarray,
+    *,
+    fs: int = 44100,
+    wsize: int = 4096,
+    hop: int = 2048,
+    amp_min: float = 10.0,
+    radius: int = 10,
+    fan_value: int = 5,
+    min_dt: int = 0,
+    max_dt: int = 200,
+    peak_capacity: int = 8192,
+) -> Fingerprints:
+    """Pallas-fused batch fingerprint (TPU hot path).
+
+    Same contract as ``fingerprint_batch`` but the spectrogram and the
+    peak mask + compaction run as fused Pallas kernels (one HBM pass
+    each) instead of the XLA op graph — ~4x faster on a v5e chip. Peak
+    sets are bit-identical to the XLA path (verified in
+    tests/test_pallas.py); requires wsize=4096, radius=10, amp_min>0.
+    """
+    from .pallas.spectrogram import spectrogram_db_fused
+    from .pallas.peaks import peak_candidates_fused, extract_peaks_from_candidates
+
+    nvf = jnp.maximum((n_valid_samples.astype(jnp.int32) - wsize) // hop + 1, 0)
+    spec = spectrogram_db_fused(samples, nvf, fs=fs, wsize=wsize, hop=hop)
+    table = peak_candidates_fused(spec, amp_min=amp_min, radius=radius)
+    times, freqs, n_peaks = extract_peaks_from_candidates(table, peak_capacity)
+
+    def hash_one(t, f, n):
+        return generate_hashes(
+            t, f, jnp.minimum(n, jnp.uint32(peak_capacity)),
+            fan_value=fan_value, min_dt=min_dt, max_dt=max_dt,
+        )
+
+    hi, lo, ex, t1, valid = jax.vmap(hash_one)(times, freqs, n_peaks)
+    return Fingerprints(hi, lo, ex, t1, valid, n_peaks)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "wsize", "hop", "radius", "fan_value",
+                     "min_dt", "max_dt", "peak_capacity"),
+)
 def fingerprint_batch(
     samples: jnp.ndarray,
     n_valid_samples: jnp.ndarray,

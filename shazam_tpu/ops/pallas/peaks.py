@@ -1,0 +1,237 @@
+"""Fused Pallas constellation kernel: dB spec -> per-group peak candidates.
+
+The XLA peak path costs ~28 ms per 16-song batch on TPU: the separable
+reduce_window mask is fine (~4.5 ms) but every order-preserving
+compaction primitive XLA offers (top_k = full sorts, scatter, cumsum +
+searchsorted gathers) collapses on the 2M-cell-per-song mask. This kernel
+computes the mask AND compacts it in VMEM, emitting a dense per-
+(frame, 128-bin freq group) candidate table that is three orders of
+magnitude smaller — the final global compaction over it is cheap.
+
+Per (song, 64-frame tile) grid step:
+
+1. DMA an (84, 2432) spec tile — the spectrogram is pre-padded with 10
+   zero rows (time halo) and 128 zero cols per side (freq halo), so
+   boundary windows read real zeros. Zeros reproduce scipy's boundary
+   semantics for this pipeline: they are exact background for the erosion
+   (border_value=1, reference ``__init__.py:148``) and can only affect
+   local-max status of cells below the strict amp_min > 0 gate.
+2. 21-wide local max + zero-background erosion, both separable, via
+   log-step running max/AND over static slices (5 ops per axis instead
+   of 21) — reference ``get_2D_peaks`` semantics (``__init__.py:130-151``).
+3. mask = (local_max != eroded) & (spec > amp_min) & (f < 2049).
+4. Peak ranks within each (frame, 128-bin group) via one triangular-
+   matrix matmul on the MXU; ranks c in [0, GROUP_CAP) extracted with
+   masked row reductions.
+
+GROUP_CAP=8 per 128 bins supports 136 peaks per frame — far beyond the
+~6 of real audio and beyond distinct-valued maxima packing (ceil(128/21)
+= 7 per group); only degenerate equal-valued plateaus can exceed it, and
+those are detected downstream via the exact per-group counts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F_OUT = 2049
+F_PAD = 2176          # data cols in the padded spec: [128, 128 + F_PAD)
+F_HALO = 128          # freq pad each side (>= radius, lane-aligned)
+F_TOT = F_HALO + F_PAD + F_HALO  # 2432
+N_GROUPS = F_PAD // 128          # 17
+GROUP_CAP = 8         # candidates kept per (frame, group)
+OUT_LANES = 128       # row: [0:CAP]=global freqs (-1 empty), [CAP]=count
+
+
+def _running(x, width, op, axis):
+    """One-sided running reduce: out[i] = op(x[i : i + width]) along axis."""
+    def shift(a, s):
+        return a[s:] if axis == 0 else a[:, s:]
+
+    def head(a, s):
+        return a[:-s] if axis == 0 else a[:, :-s]
+
+    covered = 1
+    while covered * 2 <= width:
+        x = op(shift(x, covered), head(x, covered))
+        covered *= 2
+    rem = width - covered
+    if rem:
+        x = op(shift(x, rem), head(x, rem))
+    return x
+
+
+def _kernel(spec_hbm, out_ref, buf, sem, *, tile_frames: int, radius: int,
+            pad_rows: int, amp_min: float):
+    b = pl.program_id(0)
+    t_tile = pl.program_id(1)
+    rows = tile_frames + 2 * pad_rows  # 8-aligned DMA slice (pad_rows=12)
+    copy = pltpu.make_async_copy(
+        spec_hbm.at[b, pl.ds(t_tile * tile_frames, rows)], buf, sem
+    )
+    copy.start()
+    copy.wait()
+
+    spec = buf[:]  # (rows, F_TOT); data cols start at F_HALO
+    width = 2 * radius + 1
+    lane0 = F_HALO - radius  # running-window col for data col 0
+    row0 = pad_rows - radius  # running-window row for tile row 0
+
+    # ---- separable 21x21 local max (freq then time) ----
+    fmax = _running(spec, width, jnp.maximum, axis=1)
+    tfmax = _running(fmax, width, jnp.maximum, axis=0)
+    center = spec[pad_rows : pad_rows + tile_frames, F_HALO : F_HALO + F_PAD]
+    local_max = tfmax[row0 : row0 + tile_frames, lane0 : lane0 + F_PAD] == center
+
+    # ---- eroded zero background (border_value=1 == padded zeros) ----
+    bg = spec == 0.0
+    fbg = _running(bg, width, jnp.logical_and, axis=1)
+    tbg = _running(fbg, width, jnp.logical_and, axis=0)
+    eroded = tbg[row0 : row0 + tile_frames, lane0 : lane0 + F_PAD]
+
+    f_ids = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
+    mask = (local_max != eroded) & (center > amp_min) & (f_ids < F_OUT)
+
+    # ---- per-(frame, group) ranks via triangular matmul on the MXU ----
+    # (Mosaic cannot reshape i1 vectors: cast first, re-derive the bool)
+    m_f = mask.astype(jnp.float32).reshape(tile_frames * N_GROUPS, 128)
+    m2 = m_f > 0
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ).astype(jnp.float32)
+    prefix = jax.lax.dot_general(
+        m_f, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # inclusive prefix count along lanes (values <= 128: exact)
+    rank = prefix.astype(jnp.int32) - m2.astype(jnp.int32)
+
+    # ---- extract the first GROUP_CAP peaks per group ----
+    row_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_frames * N_GROUPS, 128), 0
+    )
+    lane_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_frames * N_GROUPS, 128), 1
+    )
+    f_glob = (row_ids % N_GROUPS) * 128 + lane_ids
+    cols = []
+    for c in range(GROUP_CAP):
+        hit = m2 & (rank == c)
+        fval = jnp.sum(jnp.where(hit, f_glob, 0), axis=1, keepdims=True)
+        got = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
+        cols.append(jnp.where(got > 0, fval, -1))
+    counts = jnp.sum(m2.astype(jnp.int32), axis=1, keepdims=True)
+    table = jnp.concatenate(
+        cols + [counts]
+        + [jnp.zeros((tile_frames * N_GROUPS, OUT_LANES - GROUP_CAP - 1),
+                     jnp.int32)],
+        axis=1,
+    )
+    out_ref[0] = table
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_frames", "radius", "amp_min")
+)
+def peak_candidates_fused(
+    spec: jnp.ndarray,
+    *,
+    amp_min: float = 10.0,
+    radius: int = 10,
+    tile_frames: int = 64,
+):
+    """Per-(frame, group) peak candidates from a (B, T_pad, F_PAD) dB spec.
+
+    `spec` is the fused-spectrogram output (time-major, zero rows beyond
+    each song's valid frames, zero cols >= 2049). Requires amp_min > 0
+    (the zero padding must stay sub-threshold).
+
+    Returns int32 (B, T_pad * 17, 128): row r = t * 17 + g holds, in
+    lanes [0:GROUP_CAP], the global freq indices of the first GROUP_CAP
+    peaks of frame t in freq group g (ascending; -1 = empty) and in lane
+    GROUP_CAP the true per-group peak count. Row order == (t, f) order.
+    """
+    if amp_min <= 0:
+        raise ValueError("fused peak kernel requires amp_min > 0")
+    bsz, t_pad, f_pad = spec.shape
+    if f_pad != F_PAD or t_pad % tile_frames:
+        raise ValueError("expected fused-spectrogram layout")
+
+    pad_rows = 12  # >= radius, and tile DMA slices stay 8-row aligned
+    padded = jnp.pad(spec, ((0, 0), (pad_rows, pad_rows), (F_HALO, F_HALO)))
+    t_tiles = t_pad // tile_frames
+    rows_per_tile = tile_frames * N_GROUPS
+
+    kernel = functools.partial(
+        _kernel, tile_frames=tile_frames, radius=radius, pad_rows=pad_rows,
+        amp_min=amp_min,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, t_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, rows_per_tile, OUT_LANES),
+            lambda b, t: (b, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (bsz, t_pad * N_GROUPS, OUT_LANES), jnp.int32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_frames + 24, F_TOT), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(padded)
+
+
+def extract_peaks_from_candidates(table: jnp.ndarray, capacity: int):
+    """XLA finish: candidate table -> (times, freqs, n_peaks) per song.
+
+    Same contract as ops.peaks.extract_peaks: uint32 (capacity,) arrays in
+    (t, f) order plus the true peak count (clamped above capacity when any
+    group overflowed GROUP_CAP so callers see the truncation).
+    """
+    def one(tab):
+        r = tab.shape[0]
+        cand = tab[:, :GROUP_CAP]                     # (R, CAP) global f
+        counts = tab[:, GROUP_CAP]                    # (R,)
+        kept = jnp.minimum(counts, GROUP_CAP)
+        c_ids = jnp.arange(GROUP_CAP, dtype=jnp.int32)[None, :]
+        valid = c_ids < kept[:, None]
+        t_ids = (
+            jnp.arange(r, dtype=jnp.int32) // N_GROUPS
+        )[:, None]
+
+        n = r * GROUP_CAP  # flat candidate count
+        flat_pos = (
+            jnp.arange(r, dtype=jnp.int32)[:, None] * GROUP_CAP + c_ids
+        )
+        score = jnp.where(valid, n - flat_pos, 0).reshape(-1)
+        vals, idx = jax.lax.top_k(score, min(capacity, n))
+        if capacity > n:
+            vals = jnp.pad(vals, (0, capacity - n))
+            idx = jnp.pad(idx, (0, capacity - n))
+        sel_valid = vals > 0
+        times = jnp.where(
+            sel_valid, jnp.take(t_ids[:, 0], idx // GROUP_CAP), 0
+        ).astype(jnp.uint32)
+        freqs = jnp.where(
+            sel_valid, jnp.take(cand.reshape(-1), idx), 0
+        ).astype(jnp.uint32)
+
+        n_peaks = jnp.sum(counts).astype(jnp.uint32)
+        overflow = jnp.any(counts > GROUP_CAP)
+        n_peaks = jnp.where(
+            overflow, jnp.maximum(n_peaks, jnp.uint32(capacity + 1)), n_peaks
+        )
+        return times, freqs, n_peaks
+
+    return jax.vmap(one)(table)

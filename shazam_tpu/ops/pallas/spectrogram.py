@@ -1,0 +1,222 @@
+"""Fused Pallas spectrogram kernel: samples -> dB PSD in one HBM pass.
+
+The XLA pipeline (ops/spectrogram.py) materializes framed windows and six
+FFT-stage intermediates in HBM (~2 GB of traffic for a 16x30 s batch ->
+~12 ms). This kernel streams sample tiles into VMEM and performs
+
+    framing (50% overlap) -> Hann window -> 32x128 Cooley-Tukey matmul
+    rFFT -> |.|^2 -> mlab PSD scaling -> 10*log10 (zeros preserved)
+    -> valid-frame masking
+
+entirely on-chip: HBM traffic is one read of the samples plus one write
+of the spectrogram. The FFT matmuls run on the MXU per tile.
+
+Mosaic layout constraints drive the factorization: reshapes must keep the
+minor dimension 128-aligned, so frames (T, 4096) split as n = 128a + b
+(a in [0,32), b in [0,128)) and both DFT stages contract into shapes with
+a 128 minor dim:
+
+    X[32m + r] = sum_b W128^(bm) W4096^(br) G[r, b]
+    G[r, b]    = sum_a x[128a + b] W32^(ar)
+
+The kernel therefore emits power in a twisted (r, t, m) layout with
+k = 32m + r; the host-side wrapper untwists it with one XLA transpose
+(~1 HBM pass) into the (T, F) layout the peak picker consumes.
+
+Semantics identical to ops/spectrogram.spectrogram_db (mlab.specgram PSD,
+reference ``__init__.py:232-241``): freq bins >= 2049 land at exactly 0
+(eroded background downstream, same as scipy's border_value=1) and frames
+>= n_valid_frames are zeroed (the pad-to-bucket mask).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..spectrogram import hann_window
+
+NA = 32    # outer Cooley-Tukey factor
+NB = 128   # inner factor (native lane width)
+F_OUT = 2049
+F_PAD = 2176  # 17 * 128
+
+
+@functools.lru_cache(maxsize=4)
+def _tables(wsize: int, fs: int):
+    """Host-side DFT/twiddle/scale tables for the 32x128 factorization."""
+    assert wsize == NA * NB
+    a = np.arange(NA)
+    b = np.arange(NB)
+    r = np.arange(NA)
+    m = np.arange(NB)
+    ang32 = -2.0 * np.pi * np.outer(r, a) / NA          # [r, a]
+    ang128 = -2.0 * np.pi * np.outer(m, b) / NB         # [m, b]
+    angt = -2.0 * np.pi * np.outer(r, b) / wsize        # [r, b]
+
+    # PSD scale in twisted [r, m] layout for k = 32 m + r; zero for
+    # k >= F_OUT and k >= wsize//2+1 one-sided fold handled by k range
+    win = np.hanning(wsize)
+    base = 1.0 / (fs * np.sum(win * win))
+    k = 32 * m[None, :] + r[:, None]                    # [r, m]
+    scale = np.where(k < F_OUT, 2.0 * base, 0.0)
+    scale = np.where((k == 0) | (k == wsize // 2), base, scale)
+
+    f32 = lambda x: np.asarray(x, np.float32)
+    return (
+        f32(np.cos(ang32)), f32(np.sin(ang32)),
+        f32(np.cos(ang128)), f32(np.sin(ang128)),
+        f32(np.cos(angt)), f32(np.sin(angt)),
+        f32(scale),
+    )
+
+
+def _kernel(nvf_ref, x_hbm, win_ref, c32_ref, s32_ref, c128_ref, s128_ref,
+            twr_ref, twi_ref, scale_ref, out_ref, x_vmem, sem,
+            *, tile_frames: int, wsize: int, hop: int):
+    b = pl.program_id(0)
+    t_tile = pl.program_id(1)
+    # samples come pre-reshaped to (B, N // 128, 128) so the DMA moves 2D
+    # tiles (1D DMAs hit a Mosaic tiling mismatch)
+    start_row = t_tile * (tile_frames * hop // NB)
+    span_rows = (tile_frames * hop + (wsize - hop)) // NB
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(start_row, span_rows)], x_vmem, sem
+    )
+    copy.start()
+    copy.wait()
+
+    # framing via shifted slices over hop-sized rows (wsize = k * hop)
+    k = wsize // hop
+    rows = x_vmem[:].reshape(tile_frames + k - 1, hop)
+    frames = jnp.concatenate(
+        [rows[j : j + tile_frames] for j in range(k)], axis=1
+    )
+    frames = frames * win_ref[:][None, :]
+
+    # n = 128 a + b
+    x2 = frames.reshape(tile_frames, NA, NB)  # [t, a, b]
+
+    # stage 1: G[r, t, b] = sum_a C32[r, a] x2[t, a, b]
+    dn1 = (((1,), (1,)), ((), ()))
+    gr = jax.lax.dot_general(c32_ref[:], x2, dn1,
+                             preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    gi = jax.lax.dot_general(s32_ref[:], x2, dn1,
+                             preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    # [r, t, b]
+
+    # twiddle W4096^(b r): [r, b] -> broadcast over t
+    twr = twr_ref[:][:, None, :]
+    twi = twi_ref[:][:, None, :]
+    zr = gr * twr - gi * twi
+    zi = gr * twi + gi * twr
+
+    # stage 2: X[r, t, m] = sum_b Z[r, t, b] D128[m, b]
+    dn2 = (((2,), (1,)), ((), ()))
+    xr = (
+        jax.lax.dot_general(zr, c128_ref[:], dn2,
+                            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        - jax.lax.dot_general(zi, s128_ref[:], dn2,
+                              preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    )
+    xi = (
+        jax.lax.dot_general(zr, s128_ref[:], dn2,
+                            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        + jax.lax.dot_general(zi, c128_ref[:], dn2,
+                              preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    )
+
+    power = (xr * xr + xi * xi) * scale_ref[:][:, None, :]  # [r, t, m]
+    db = jnp.where(power > 0, 10.0 * (jnp.log(power) / np.float32(np.log(10.0))), 0.0)
+
+    # valid-frame mask (pad-to-bucket): t dim is axis 1
+    nvf = nvf_ref[b]
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, db.shape, 1) + t_tile * tile_frames
+    db = jnp.where(t_ids < nvf, db, 0.0)
+
+    out_ref[0] = db
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fs", "wsize", "hop", "tile_frames")
+)
+def spectrogram_db_fused(
+    samples: jnp.ndarray,
+    n_valid_frames: jnp.ndarray,
+    *,
+    fs: int = 44100,
+    wsize: int = 4096,
+    hop: int = 2048,
+    tile_frames: int = 64,
+) -> jnp.ndarray:
+    """Batched fused spectrogram.
+
+    :param samples: (B, N) float32, N a multiple of hop.
+    :param n_valid_frames: (B,) int32 — frames >= this are zeroed.
+    :return: (B, T_pad, F_PAD) dB spectrogram (time-major), T_pad =
+        ceil(T / tile) * tile with T = (N - wsize) // hop + 1; rows >= T
+        and freq bins >= F_OUT are exactly zero.
+    """
+    if wsize != NA * NB or wsize % hop != 0:
+        raise ValueError("fused kernel supports wsize=4096 with hop | wsize")
+    bsz, n = samples.shape
+    n_frames = (n - wsize) // hop + 1
+    t_tiles = -(-n_frames // tile_frames)
+    t_pad = t_tiles * tile_frames
+
+    # tail tiles read past the signal: pad so every tile's span is in
+    # bounds (those frames land at t >= n_valid_frames and are zeroed)
+    need = t_pad * hop + (wsize - hop)
+    if need > n:
+        samples = jnp.pad(samples, ((0, 0), (0, need - n)))
+
+    c32, s32, c128, s128, twr, twi, scale = (
+        jnp.asarray(t) for t in _tables(wsize, fs)
+    )
+    win = hann_window(wsize)
+
+    span = tile_frames * hop + (wsize - hop)
+    kernel = functools.partial(
+        _kernel, tile_frames=tile_frames, wsize=wsize, hop=hop
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, t_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # samples stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # window
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # c32
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # s32
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # c128
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # s128
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # twr
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # twi
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # scale
+        ],
+        out_specs=pl.BlockSpec(
+            (1, NA, tile_frames, NB),
+            lambda b, t, *_: (b, 0, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((span // NB, NB), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    samples_2d = samples.astype(jnp.float32).reshape(bsz, -1, NB)
+    twisted = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bsz, NA, t_pad, NB), jnp.float32),
+        grid_spec=grid_spec,
+    )(n_valid_frames.astype(jnp.int32), samples_2d,
+      win, c32, s32, c128, s128, twr, twi, scale)
+
+    # untwist [b, r, t, m] -> [b, t, k = 32 m + r]; one XLA transpose pass
+    spec = jnp.transpose(twisted, (0, 2, 3, 1)).reshape(bsz, t_pad, wsize)
+    return spec[:, :, :F_PAD]

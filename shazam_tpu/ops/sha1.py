@@ -120,56 +120,56 @@ def sha1_triples(f1: jnp.ndarray, f2: jnp.ndarray, dt: jnp.ndarray):
     Returns the five 32-bit digest words (h0..h4), each shaped like f1.
     The 80-bit fingerprint key is (h0, h1, h2 >> 16).
 
-    The 80 rounds run as a ``fori_loop`` with a circular 16-word message
-    schedule buffer — the compression compiles in seconds (an unrolled
-    trace takes minutes through XLA) while the per-round work stays pure
-    lane-parallel VPU ops.
+    The 80 rounds run as a ``fori_loop`` over 5 blocks of 16 fully
+    unrolled rounds: within a block every message-schedule index is
+    static (t mod 16 == j), so there is no dynamic slicing in the hot
+    loop — each round is ~10 pure lane-parallel VPU ops. (A flat
+    80-round loop with a circular buffer spends most of its time in
+    dynamic_index/update ops; a fully unrolled trace compiles too
+    slowly through the remote-compile tunnel.)
     """
-    w = jnp.stack(_build_block_words(f1, f2, dt))  # (16, N)
+    w0 = _build_block_words(f1, f2, dt)  # list of 16 (N,) words
 
-    a0 = jnp.full_like(w[0], np.uint32(0x67452301))
-    b0 = jnp.full_like(w[0], np.uint32(0xEFCDAB89))
-    c0 = jnp.full_like(w[0], np.uint32(0x98BADCFE))
-    d0 = jnp.full_like(w[0], np.uint32(0x10325476))
-    e0 = jnp.full_like(w[0], np.uint32(0xC3D2E1F0))
+    a0 = jnp.full_like(w0[0], np.uint32(0x67452301))
+    b0 = jnp.full_like(w0[0], np.uint32(0xEFCDAB89))
+    c0 = jnp.full_like(w0[0], np.uint32(0x98BADCFE))
+    d0 = jnp.full_like(w0[0], np.uint32(0x10325476))
+    e0 = jnp.full_like(w0[0], np.uint32(0xC3D2E1F0))
     ks = jnp.asarray(_K)
 
-    def round_fn(t, carry):
-        w, a, b, c, d, e = carry
-        slot = jnp.mod(t, 16)
-        w_slot = jax.lax.dynamic_index_in_dim(w, slot, axis=0, keepdims=False)
-
-        def scheduled(_):
-            wt = _rotl(
-                jax.lax.dynamic_index_in_dim(w, jnp.mod(t + 13, 16), 0, False)
-                ^ jax.lax.dynamic_index_in_dim(w, jnp.mod(t + 8, 16), 0, False)
-                ^ jax.lax.dynamic_index_in_dim(w, jnp.mod(t + 2, 16), 0, False)
-                ^ w_slot,
-                1,
+    def block_fn(blk, carry):
+        *w, a, b, c, d, e = carry
+        w = list(w)
+        for j in range(16):
+            t = blk * 16 + j  # traced scalar; w indices below are static
+            if True:
+                # schedule: for t < 16 (blk 0) w[j] is the message word
+                # itself; the update below would corrupt it, so gate on blk
+                wt_sched = _rotl(
+                    w[(j + 13) % 16] ^ w[(j + 8) % 16]
+                    ^ w[(j + 2) % 16] ^ w[j],
+                    1,
+                )
+                wt = jnp.where(blk == 0, w[j], wt_sched)
+                w[j] = wt
+            regime = t // 20
+            f = jax.lax.switch(
+                regime,
+                [
+                    lambda b, c, d: (b & c) | (jnp.invert(b) & d),
+                    lambda b, c, d: b ^ c ^ d,
+                    lambda b, c, d: (b & c) | (b & d) | (c & d),
+                    lambda b, c, d: b ^ c ^ d,
+                ],
+                b, c, d,
             )
-            return wt
+            k = ks[regime]
+            tmp = _rotl(a, 5) + f + e + k + wt
+            a, b, c, d, e = tmp, a, _rotl(b, 30), c, d
+        return (*w, a, b, c, d, e)
 
-        wt = jax.lax.cond(t < 16, lambda _: w_slot, scheduled, None)
-        w = jax.lax.dynamic_update_index_in_dim(w, wt, slot, axis=0)
-
-        regime = t // 20
-        f = jax.lax.switch(
-            regime,
-            [
-                lambda b, c, d: (b & c) | (jnp.invert(b) & d),
-                lambda b, c, d: b ^ c ^ d,
-                lambda b, c, d: (b & c) | (b & d) | (c & d),
-                lambda b, c, d: b ^ c ^ d,
-            ],
-            b, c, d,
-        )
-        k = ks[regime]
-        tmp = _rotl(a, 5) + f + e + k + wt
-        return (w, tmp, a, _rotl(b, 30), c, d)
-
-    _, a, b, c, d, e = jax.lax.fori_loop(
-        0, 80, round_fn, (w, a0, b0, c0, d0, e0), unroll=8
-    )
+    out = jax.lax.fori_loop(0, 5, block_fn, (*w0, a0, b0, c0, d0, e0))
+    a, b, c, d, e = out[16:]
     return a0 + a, b0 + b, c0 + c, d0 + d, e0 + e
 
 

@@ -1,0 +1,106 @@
+"""Pallas fused kernels vs the XLA pipeline (interpret mode on CPU).
+
+On real TPU hardware the fused path was verified bit-identical for peaks
+(jaccard 1.0) and 0.998-jaccard for hash sets (f32 FFT rounding). These
+CI tests run the same kernels through the Pallas interpreter on small
+inputs so regressions are caught without a chip.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def clip():
+    from shazam_tpu.audio.synth import synth_song
+
+    return synth_song(0, duration_s=4.0, seed=3).astype(np.float32)
+
+
+def _interpret():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.force_tpu_interpret_mode()
+
+
+def test_fused_spectrogram_matches_xla(clip):
+    import jax.numpy as jnp
+    from shazam_tpu.ops.pallas.spectrogram import spectrogram_db_fused
+    from shazam_tpu.ops.spectrogram import spectrogram_db
+
+    n = 1 << 18
+    mat = np.zeros((1, n), np.float32)
+    mat[0, : len(clip)] = clip
+    nvf = np.array([(len(clip) - 4096) // 2048 + 1], np.int32)
+    with _interpret():
+        fused = np.asarray(
+            spectrogram_db_fused(jnp.asarray(mat), jnp.asarray(nvf))
+        )
+    ref = np.asarray(spectrogram_db(jnp.asarray(clip))).T
+    # f32 matmul-FFT vs rfft: dB differences concentrate at near-zero
+    # power bins (the parity gate is recognition accuracy, SURVEY.md §7)
+    assert np.abs(fused[0, : nvf[0], :2049] - ref[: nvf[0]]).max() < 0.3
+    strong = ref[: nvf[0]] > -20
+    assert np.abs(
+        fused[0, : nvf[0], :2049][strong] - ref[: nvf[0]][strong]
+    ).max() < 0.02
+    assert fused[0, nvf[0]:, :].max() == 0.0
+    assert np.abs(fused[0, :, 2049:]).max() == 0.0
+
+
+def test_fused_peaks_match_xla(clip):
+    import jax.numpy as jnp
+    from shazam_tpu.ops.pallas.peaks import (
+        peak_candidates_fused, extract_peaks_from_candidates,
+    )
+    from shazam_tpu.ops.peaks import extract_peaks
+    from shazam_tpu.ops.spectrogram import spectrogram_db
+
+    spec_ft = np.asarray(spectrogram_db(jnp.asarray(clip)))
+    t = spec_ft.shape[1]
+    t_pad = -(-t // 64) * 64
+    spec_tf = np.zeros((1, t_pad, 2176), np.float32)
+    spec_tf[0, :t, :2049] = spec_ft.T
+
+    with _interpret():
+        table = peak_candidates_fused(jnp.asarray(spec_tf))
+    times, freqs, n_peaks = extract_peaks_from_candidates(table, 4096)
+
+    rt, rf, rn = extract_peaks(jnp.asarray(spec_ft), 10.0, radius=10,
+                               capacity=4096)
+    n = int(rn)
+    assert int(n_peaks[0]) == n
+    got = list(zip(np.asarray(times)[0][:n].tolist(),
+                   np.asarray(freqs)[0][:n].tolist()))
+    ref = list(zip(np.asarray(rt)[:n].tolist(), np.asarray(rf)[:n].tolist()))
+    assert got == ref
+
+
+def test_fused_fingerprint_batch(clip):
+    import jax.numpy as jnp
+    from shazam_tpu.ops.fingerprint import (
+        fingerprint_batch, fingerprint_batch_fused,
+    )
+
+    n = 1 << 18
+    mat = np.zeros((2, n), np.float32)
+    mat[0, : len(clip)] = clip
+    mat[1, : len(clip) // 2] = clip[: len(clip) // 2]
+    nv = np.array([len(clip), len(clip) // 2], np.int32)
+
+    with _interpret():
+        ff = fingerprint_batch_fused(jnp.asarray(mat), jnp.asarray(nv),
+                                     peak_capacity=2048)
+    fx = fingerprint_batch(jnp.asarray(mat), jnp.asarray(nv),
+                           peak_capacity=2048)
+    for b in range(2):
+        vx = np.asarray(fx.valid[b])
+        vf = np.asarray(ff.valid[b])
+        sx = set(zip(np.asarray(fx.hi[b])[vx].tolist(),
+                     np.asarray(fx.t1[b])[vx].tolist()))
+        sf = set(zip(np.asarray(ff.hi[b])[vf].tolist(),
+                     np.asarray(ff.t1[b])[vf].tolist()))
+        # interpret-mode FFT numerics == XLA f32 up to matmul assoc; peak
+        # identity can only flip for near-equal bins
+        jac = len(sx & sf) / max(len(sx | sf), 1)
+        assert jac > 0.99, jac
