@@ -22,7 +22,7 @@ REFERENCE_QUERY_P50_S = 0.82        # BASELINE.md: DB query p50 at 2,035 songs
 
 
 def bench_fingerprint_throughput(jax, jnp, seconds_per_song=30.0, batch=16,
-                                 chain=8):
+                                 chain=16):
     """Device-honest throughput: K iterations chained inside one jitted
     fori_loop (each consuming ALL outputs of a varied input), timed as
     (T_chain - T_1) / (chain - 1). This defeats both async-dispatch
@@ -127,7 +127,7 @@ def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
     import functools
     from jax import lax
 
-    chain = 16
+    chain = 32
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def loop(qs, k):

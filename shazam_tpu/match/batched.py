@@ -1,0 +1,47 @@
+"""Batched multi-query matching: many clips against the index in one program.
+
+The reference answers one query at a time over a DB socket (thread pools
+just parallelize the SELECT batches, ``recognizer_thread.py:290-298``).
+On TPU the natural form is a vmap over the whole query batch: every
+clip's binary searches, vote expansion and histogram reduce run in one
+compiled program, amortizing dispatch and filling the chip — the serving
+path for high-QPS deployments.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .lookup import match_local, rank_votes, RawMatch
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
+                     "topn", "offset_stride"),
+)
+def match_queries_batched(
+    index_arrays,
+    q_hi, q_lo, q_ex, q_t, q_valid, q_first,   # each (Bq, Q)
+    *,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 65536,
+    topn: int = 2,
+    offset_stride: int = 0,
+) -> RawMatch:
+    """Match a (Bq, Q) batch of padded queries; returns batched RawMatch."""
+    def one(hi, lo, ex, t, valid, first):
+        hist, rows_hist, total = match_local(
+            index_arrays, hi, lo, ex, t, valid, first,
+            n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+            match_capacity=match_capacity, offset_stride=offset_stride,
+        )
+        return rank_votes(hist, rows_hist, total, delta_min=delta_min,
+                          topn=topn)
+
+    return jax.vmap(one)(q_hi, q_lo, q_ex, q_t, q_valid, q_first)
