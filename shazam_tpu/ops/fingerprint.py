@@ -83,7 +83,7 @@ def fingerprint_samples(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fs", "wsize", "hop", "radius", "fan_value",
+    static_argnames=("fs", "wsize", "hop", "amp_min", "radius", "fan_value",
                      "min_dt", "max_dt", "peak_capacity"),
 )
 def fingerprint_batch_fused(

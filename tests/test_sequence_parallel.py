@@ -1,0 +1,43 @@
+"""Sequence-parallel fingerprint == single-device fingerprint (8-dev mesh)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    import jax
+    from shazam_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() >= 8
+    return make_mesh(8)
+
+
+def test_sequence_parallel_matches_single(mesh):
+    import jax.numpy as jnp
+    from shazam_tpu.parallel.sequence import sequence_parallel_fingerprint
+    from shazam_tpu.ops.fingerprint import fingerprint_samples
+    from shazam_tpu.audio.synth import synth_song
+
+    song = synth_song(4, duration_s=6.0, seed=17).astype(np.float32)
+    n_dev, hop = 8, 2048
+    blen = -(-len(song) // (n_dev * hop)) * (n_dev * hop)
+    padded = np.zeros(blen, np.float32)
+    padded[: len(song)] = song
+
+    seq = sequence_parallel_fingerprint(
+        mesh, jnp.asarray(padded), len(song), peak_capacity=4096
+    )
+    ref = fingerprint_samples(
+        jnp.asarray(padded), jnp.int32(len(song)), peak_capacity=4096
+    )
+
+    assert int(seq.n_peaks) == int(ref.n_peaks)
+    vs = np.asarray(seq.valid)
+    vr = np.asarray(ref.valid)
+    got = set(zip(np.asarray(seq.hi)[vs].tolist(), np.asarray(seq.lo)[vs].tolist(),
+                  np.asarray(seq.t1)[vs].tolist()))
+    exp = set(zip(np.asarray(ref.hi)[vr].tolist(), np.asarray(ref.lo)[vr].tolist(),
+                  np.asarray(ref.t1)[vr].tolist()))
+    assert got == exp
+    assert len(got) > 100
