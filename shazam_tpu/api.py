@@ -193,7 +193,26 @@ class SIA:
                     si = chan_meta[ci][0]
                     one = _batch_fingerprints(fp, row)
                     if int(one.n_peaks) > peak_cap:
-                        stats["overflowed"].append(pending[si][0])
+                        # fused-path capacity/plateau overflow: retry this
+                        # channel on the exact XLA path with 2x capacity
+                        ch = chan_data[ci]
+                        pad2 = np.zeros(blen, np.float32)
+                        pad2[: len(ch)] = ch
+                        one = jax.device_get(fingerprint_samples(
+                            jnp.asarray(pad2), jnp.int32(len(ch)),
+                            fs=self.config.sample_rate,
+                            wsize=self.config.window_size,
+                            hop=self.config.hop,
+                            amp_min=self.config.amp_min,
+                            radius=self.config.peak_neighborhood_size,
+                            fan_value=self.config.fan_value,
+                            min_dt=self.config.min_hash_time_delta,
+                            max_dt=self.config.max_hash_time_delta,
+                            peak_capacity=2 * peak_cap,
+                        ))
+                        stats["fallbacks"] = stats.get("fallbacks", 0) + 1
+                        if int(one.n_peaks) > 2 * peak_cap:
+                            stats["overflowed"].append(pending[si][0])
                     song_fps.setdefault(si, []).append(one)
 
         # per-song channel union + catalog insert + index entry
@@ -270,7 +289,10 @@ class SIA:
                 max_dt=self.config.max_hash_time_delta,
                 peak_capacity=self.config.peak_capacity,
             )
-            return Fingerprints(*(a[0] for a in fp))
+            fp = Fingerprints(*(a[0] for a in fp))
+            if int(fp.n_peaks) <= self.config.peak_capacity:
+                return fp
+            # plateau/capacity overflow: fall through to the exact path
         return fingerprint_samples(
             jnp.asarray(padded), jnp.int32(len(samples)),
             fs=self.config.sample_rate,

@@ -142,8 +142,20 @@ def read(path: str, limit: Optional[float] = None):
     :return: (channels, sample_rate, file_sha1) — channels is a list of
         int16 arrays, one per channel (de-interleaved like reference
         ``__init__.py:93-95``).
+
+    WAV files route through the C++ data-loader (shazam_tpu/native) when
+    it is built — GIL-free decode + SHA-1, bit-identical to the Python
+    path below, which remains the fallback.
     """
     if path.lower().endswith(WAV_EXTENSIONS):
+        try:
+            from .. import native
+
+            out = native.decode_all(path, limit)
+            if out is not None:
+                return out
+        except Exception:
+            pass
         data, fs, n_channels = _read_wav(path, limit)
     else:
         data, fs, n_channels = _read_via_ffmpeg(path, limit)
