@@ -1,0 +1,158 @@
+"""Million-track catalogs: song-sharded index + exact distributed ranking.
+
+Two sharding regimes cover the catalog scale spectrum:
+
+- **Key-range shards** (``mesh.shard_index_arrays`` + ``sharded.
+  sharded_match_query``): balanced binary searches, votes combined with a
+  dense-histogram psum. The histogram is (n_songs x delta_range) so this
+  tops out around ~10^5 songs of HBM per chip.
+- **Song shards** (this module): every song's rows live entirely on one
+  shard, sorted by key locally. Voting is then *local* — each shard
+  builds a dense histogram over only its own songs (1M songs / 64 chips
+  x 8K deltas x 4B = 0.5 GB/chip) and ranks its local top-N; one tiny
+  all_gather of (topn x n_shards) candidates + a replicated merge gives
+  the exact global ranking with the reference's tie rules. Communication
+  per query: one all_gather of a few hundred ints over ICI.
+
+The reference's scaling story was a single external DB server (its ES
+shard knob was pinned to 1, ``elastic_database.py:42,80``); this module
+is the part it never had.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..index.store import FingerprintIndex
+from ..match.lookup import match_local, RawMatch
+
+
+def shard_index_by_song(index: FingerprintIndex, n_shards: int):
+    """Partition an index into per-shard sub-indices by song_id % n_shards.
+
+    Returns (stacked_arrays, local_song_counts, pad_rows_per_shard):
+    stacked arrays are (n_shards, rows) for (hi, lo, ex, payload-or-sid/off)
+    with each shard's rows sorted by key; local song s on shard d is
+    global song s * n_shards + d (round-robin keeps shard loads balanced
+    for arbitrary catalog growth).
+    """
+    shard_of = index.song_id % n_shards
+    local_sid = index.song_id // n_shards
+    rows_per = max(
+        int(np.max(np.bincount(shard_of, minlength=n_shards)))
+        if index.n_hashes else 1,
+        1,
+    )
+    stride = index.offset_stride
+
+    n_local_songs = -(-max(index.n_songs, 1) // n_shards)
+    arrays = []
+    for d in range(n_shards):
+        sel = shard_of == d
+        hi, lo, ex = index.key_hi[sel], index.key_lo[sel], index.key_ex[sel]
+        sid, off = local_sid[sel].astype(np.uint32), index.offset[sel]
+        order = np.lexsort((ex, lo, hi))
+        hi, lo, ex, sid, off = (a[order] for a in (hi, lo, ex, sid, off))
+
+        def pad(a, fill):
+            out = np.full(rows_per, fill, np.uint32)
+            out[: len(a)] = a
+            return out
+
+        keys = (pad(hi, 0xFFFFFFFF), pad(lo, 0xFFFFFFFF), pad(ex, 0xFFFFFFFF))
+        if stride:
+            packed = sid * np.uint32(stride) + off.astype(np.uint32)
+            arrays.append(keys + (pad(packed, np.uint32(
+                min(n_local_songs * stride, 2 ** 32 - 1))),))
+        else:
+            arrays.append(keys + (pad(sid, n_local_songs), pad(off, 0)))
+
+    stacked = tuple(
+        np.stack([arrays[d][i] for d in range(n_shards)])
+        for i in range(len(arrays[0]))
+    )
+    return stacked, n_local_songs, stride
+
+
+def sharded_match_by_song(
+    mesh: Mesh,
+    stacked_index,            # from shard_index_by_song
+    n_local_songs: int,
+    offset_stride: int,
+    q_hi, q_lo, q_ex, q_t, q_valid, q_first,
+    *,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 65536,
+    topn: int = 2,
+) -> RawMatch:
+    """Exact global top-N over a song-sharded catalog (replicated queries)."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n_idx = len(stacked_index)
+    cand = max(topn, 2)
+
+    def local_fn(*args):
+        idx = tuple(a[0] for a in args[:n_idx])
+        q = args[n_idx:]
+        hist, rows_hist, total = match_local(
+            idx, *q,
+            n_songs=n_local_songs, delta_min=delta_min,
+            delta_range=delta_range, match_capacity=match_capacity,
+            offset_stride=offset_stride,
+        )
+        d = lax.axis_index(axis)
+        votes = jnp.max(hist, axis=1)
+        best_bin = jnp.argmax(hist, axis=1)
+        k = min(cand, n_local_songs)  # tiny catalogs: fewer songs than topn
+        top_v, top_s_local = lax.top_k(votes, k)
+        if k < cand:
+            top_v = jnp.pad(top_v, (0, cand - k))
+            top_s_local = jnp.pad(top_s_local, (0, cand - k))
+        top_sid = top_s_local.astype(jnp.int32) * n_dev + d  # global ids
+        top_delta = jnp.take(best_bin, top_s_local).astype(jnp.int32) + delta_min
+        top_rows = jnp.take(rows_hist, top_s_local)
+
+        # gather every shard's candidates; merge identically everywhere
+        g_v = lax.all_gather(top_v, axis).reshape(-1)
+        g_s = lax.all_gather(top_sid, axis).reshape(-1)
+        g_d = lax.all_gather(top_delta, axis).reshape(-1)
+        g_r = lax.all_gather(top_rows, axis).reshape(-1)
+        total = lax.psum(total, axis)
+        n_ranked = lax.psum(
+            jnp.sum((votes > 0).astype(jnp.int32)), axis
+        )
+
+        # reference tie rule: votes desc, song id asc — top_k is stable in
+        # index order, so order candidates by sid first
+        order = jnp.argsort(g_s)
+        g_v, g_s, g_d, g_r = (jnp.take(a, order) for a in (g_v, g_s, g_d, g_r))
+        sel_v, sel_i = lax.top_k(g_v, topn)
+        return RawMatch(
+            jnp.take(g_s, sel_i),
+            jnp.take(g_d, sel_i),
+            sel_v,
+            jnp.take(g_r, sel_i),
+            total,
+            n_ranked,
+        )
+
+    shard_spec = P(axis, None)
+    rep = P()
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(shard_spec,) * n_idx + (rep,) * 6,
+        out_specs=RawMatch(rep, rep, rep, rep, rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        *(jnp.asarray(a) for a in stacked_index),
+        q_hi, q_lo, q_ex, q_t, q_valid, q_first,
+    )
