@@ -136,7 +136,9 @@ def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
             out = match_query(
                 dev, *rolled,
                 n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-                match_capacity=65536, topn=2,
+                # the serving path's fast tier (fits this query's ~2.8K
+                # matched rows; the API retries at 64K on overflow)
+                match_capacity=16384, topn=2,
                 offset_stride=index.offset_stride,
             )
             s = sum(jnp.sum(l.astype(jnp.float32))
@@ -156,7 +158,7 @@ def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
     out = match_query(
         dev, *args,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-        match_capacity=65536, topn=2,
+        match_capacity=16384, topn=2,
         offset_stride=index.offset_stride,
     )
     return per_query, int(out.total_rows)

@@ -342,18 +342,26 @@ class SIA:
                 offset_stride=self._offset_stride,
             )
         else:
-            raw = match_query(
-                dev,
-                jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
-                jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
-                n_songs=max(self.index.n_songs, 1),
-                delta_min=delta_min,
-                delta_range=delta_range,
-                match_capacity=self.config.match_capacity,
-                topn=topn or self.config.topn,
-                offset_stride=self._offset_stride,
-            )
-            raw = jax.device_get(raw)
+            # two-tier expansion: the fast capacity covers typical queries
+            # at ~1/4 the gather cost; rare overflows retry at full cap
+            caps = [self.config.match_capacity_fast, self.config.match_capacity]
+            if caps[0] >= caps[1]:
+                caps = caps[1:]
+            for cap in caps:
+                raw = match_query(
+                    dev,
+                    jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
+                    jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
+                    n_songs=max(self.index.n_songs, 1),
+                    delta_min=delta_min,
+                    delta_range=delta_range,
+                    match_capacity=cap,
+                    topn=topn or self.config.topn,
+                    offset_stride=self._offset_stride,
+                )
+                raw = jax.device_get(raw)
+                if int(raw.total_rows) <= cap:
+                    break
         query_time = time.time() - t0
 
         t0 = time.time()

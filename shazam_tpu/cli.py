@@ -119,6 +119,12 @@ def cmd_plot(args):
     print(json.dumps({"plot": path}))
 
 
+def cmd_metadata(args):
+    sia = _open_sia(args, need_index=False)
+    n = sia.catalog.import_metadata_csv(args.csv)
+    print(json.dumps({"imported": n}))
+
+
 def cmd_synth(args):
     from .audio.synth import synth_corpus
 
@@ -180,6 +186,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out", default="constellation.png")
     s.add_argument("--limit", type=float, default=None)
     s.set_defaults(fn=cmd_plot)
+
+    s = sub.add_parser("metadata", help="bulk-import FMA-style metadata CSV")
+    s.add_argument("csv")
+    s.set_defaults(fn=cmd_metadata)
 
     s = sub.add_parser("synth", help="generate a deterministic WAV corpus")
     s.add_argument("path")

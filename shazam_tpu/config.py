@@ -38,10 +38,12 @@ class FingerprintConfig:
     peak_capacity: int = 8192         # max constellation peaks per channel
     hash_capacity: int = 32768        # max hashes per channel (<= 4 * peak_capacity)
     # max expanded (row x query-offset) vote entries. Expansion cost is
-    # ~linear in this cap (random HBM gathers), so it is sized for the
-    # common case; overflow is detected (MatchResult.overflowed) and the
-    # caller can retry with a larger cap.
+    # ~linear in this cap (random HBM gathers), so queries first run at
+    # match_capacity_fast and only retry at match_capacity when the true
+    # match count overflows it; overflow of the large cap is reported
+    # (MatchResult.overflowed).
     match_capacity: int = 65536
+    match_capacity_fast: int = 16384
     # --- matching / results ---
     topn: int = 2                     # TOPN (recognizer.py:68)
     # --- numerics ---

@@ -117,6 +117,33 @@ class SongCatalog:
         )
         self.conn.commit()
 
+    def import_metadata_csv(self, path: str) -> int:
+        """Bulk-load an FMA-style metadata CSV (reference
+        ``metadatatable.sql`` LOAD DATA INFILE). The CSV must have a
+        header row naming at least ``track_id``; other recognized columns
+        are the metadata table fields. Returns rows imported."""
+        import csv as _csv
+
+        allowed = {
+            "album_title", "album_url", "artist_name", "artist_url",
+            "artist_website", "tags", "track_genres", "track_title",
+            "track_url",
+        }
+        n = 0
+        with open(path, newline="", encoding="utf-8", errors="replace") as fh:
+            for row in _csv.DictReader(fh):
+                if "track_id" not in row:
+                    continue
+                try:
+                    tid = int(row["track_id"])
+                except (TypeError, ValueError):
+                    continue
+                fields = {k: v for k, v in row.items()
+                          if k in allowed and v not in (None, "")}
+                self.insert_metadata(tid, **fields)
+                n += 1
+        return n
+
     def get_metadata(self, track_id: int) -> Optional[Dict]:
         """Same projection the reference returns (``mysql_database.py:247-255``)."""
         cur = self.conn.execute(

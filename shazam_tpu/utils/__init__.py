@@ -1,0 +1,3 @@
+from .profiling import StageTimer, device_trace
+
+__all__ = ["StageTimer", "device_trace"]
