@@ -1,0 +1,97 @@
+"""Distributed serving: a sharded catalog engine over a device mesh.
+
+Glue that turns the raw sharded matchers into the multi-chip analog of
+``SIA``: pick a sharding regime by catalog size, hold the device shards,
+and answer queries prepared by ``match.prepare`` — the pod-scale serving
+story the reference delegated to its external DB server.
+
+Regime selection:
+- catalogs whose dense vote histogram fits per-chip HBM replicated
+  (n_songs * delta_range * 4B <= dense_limit) use key-range shards with a
+  psum vote combine (balanced searches);
+- larger catalogs (the 1M-track configuration) use song shards with
+  local voting + an all_gather candidate merge (see bigcatalog.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FingerprintConfig, DEFAULT_CONFIG
+from ..index.store import FingerprintIndex
+from ..match.prepare import QueryPairs
+from ..match.align import align_results, MatchResult
+from .mesh import make_mesh, shard_index_arrays
+from .sharded import sharded_match_query
+from .bigcatalog import shard_index_by_song, sharded_match_by_song
+
+
+class ShardedCatalog:
+    """A fingerprint index sharded across every device of a mesh."""
+
+    def __init__(
+        self,
+        index: FingerprintIndex,
+        mesh=None,
+        config: FingerprintConfig = DEFAULT_CONFIG,
+        catalog=None,
+        dense_limit_bytes: int = 1 << 30,
+    ):
+        self.mesh = mesh or make_mesh()
+        self.config = config
+        self.catalog = catalog
+        self.index = index
+        n_dev = self.mesh.devices.size
+
+        max_off = ((index.max_offset // 4096) + 1) * 4096
+        q_frames = 1024
+        self.delta_min = -q_frames
+        self.delta_range = max_off + 2 * q_frames
+
+        dense_bytes = max(index.n_songs, 1) * self.delta_range * 4
+        self.regime = "key_range" if dense_bytes <= dense_limit_bytes else "by_song"
+        if self.regime == "key_range":
+            self._shards = tuple(
+                jnp.asarray(a) for a in shard_index_arrays(index, n_dev)
+            )
+            self._stride = index.offset_stride
+        else:
+            stacked, self._n_local, self._stride = shard_index_by_song(
+                index, n_dev
+            )
+            self._shards = tuple(jnp.asarray(a) for a in stacked)
+
+    def match(self, q: QueryPairs, topn: Optional[int] = None) -> MatchResult:
+        """Match prepared query pairs; returns reference-shaped results."""
+        args = tuple(
+            jnp.asarray(a) for a in (q.hi, q.lo, q.ex, q.t, q.valid, q.first)
+        )
+        topn = topn or self.config.topn
+        if self.regime == "key_range":
+            raw = sharded_match_query(
+                self.mesh, self._shards, *args,
+                n_songs=max(self.index.n_songs, 1),
+                delta_min=self.delta_min, delta_range=self.delta_range,
+                match_capacity=self.config.match_capacity,
+                topn=topn, offset_stride=self._stride,
+            )
+        else:
+            raw = sharded_match_by_song(
+                self.mesh, self._shards, self._n_local, self._stride, *args,
+                delta_min=self.delta_min, delta_range=self.delta_range,
+                match_capacity=self.config.match_capacity, topn=topn,
+            )
+        return align_results(raw, q.n_pairs, catalog=self.catalog,
+                             config=self.config)
+
+    def stats(self) -> Dict:
+        return {
+            "regime": self.regime,
+            "n_devices": int(self.mesh.devices.size),
+            "n_songs": self.index.n_songs,
+            "n_hashes": self.index.n_hashes,
+            "delta_range": self.delta_range,
+        }
