@@ -23,7 +23,7 @@ Per-song dedup mirrors the reference's ``INSERT IGNORE`` + unique
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,9 +23,6 @@ DB server reached over TCP; thread-pooled SELECT batches in
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -33,7 +30,6 @@ from jax import shard_map
 
 from ..match.lookup import match_local, rank_votes, RawMatch
 from ..ops.fingerprint import fingerprint_batch
-from .mesh import SHARD_AXIS
 
 
 def sharded_match_query(
