@@ -67,18 +67,39 @@ def _running(x, width, op, axis):
     return x
 
 
-def _kernel(spec_hbm, out_ref, buf, sem, *, tile_frames: int, radius: int,
+def _kernel(spec_hbm, out_ref, buf, sems, *, tile_frames: int, radius: int,
             pad_rows: int, amp_min: float):
     b = pl.program_id(0)
     t_tile = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
     rows = tile_frames + 2 * pad_rows  # 8-aligned DMA slice (pad_rows=12)
-    copy = pltpu.make_async_copy(
-        spec_hbm.at[b, pl.ds(t_tile * tile_frames, rows)], buf, sem
-    )
-    copy.start()
-    copy.wait()
 
-    spec = buf[:]  # (rows, F_TOT); data cols start at F_HALO
+    step = b * n_tiles + t_tile
+    slot = jax.lax.rem(step, 2)
+    nxt_slot = jax.lax.rem(step + 1, 2)
+
+    def dma(bb, tt, s):
+        return pltpu.make_async_copy(
+            spec_hbm.at[bb, pl.ds(tt * tile_frames, rows)],
+            buf.at[s], sems.at[s],
+        )
+
+    # double buffering: prefetch the next tile while this one computes
+    @pl.when(step == 0)
+    def _():
+        dma(b, t_tile, slot).start()
+
+    nxt = step + 1
+    nxt_b = nxt // n_tiles
+    nxt_t = jax.lax.rem(nxt, n_tiles)
+
+    @pl.when(nxt < pl.num_programs(0) * n_tiles)
+    def _():
+        dma(nxt_b, nxt_t, nxt_slot).start()
+
+    dma(b, t_tile, slot).wait()
+
+    spec = buf[slot]  # (rows, F_TOT); data cols start at F_HALO
     width = 2 * radius + 1
     lane0 = F_HALO - radius  # running-window col for data col 0
     row0 = pad_rows - radius  # running-window row for tile row 0
@@ -186,9 +207,14 @@ def peak_candidates_fused(
             (bsz, t_pad * N_GROUPS, OUT_LANES), jnp.int32
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_frames + 24, F_TOT), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tile_frames + 24, F_TOT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the double-buffered input tile pushes peak usage slightly
+            # past the default 16M scoped-vmem budget
+            vmem_limit_bytes=24 * 1024 * 1024,
+        ),
     )(padded)
 
 
