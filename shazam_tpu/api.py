@@ -123,7 +123,6 @@ class SIA:
         song_peak_capacity: Optional[int] = None,
         verbose: bool = False,
     ) -> Dict:
-        t_start = time.time()
         known = self.catalog.fingerprinted_file_hashes()
         todo: List[Tuple[str, str]] = []
         skipped = 0
@@ -134,11 +133,6 @@ class SIA:
                 continue
             todo.append((f, sha))
 
-        peak_cap = song_peak_capacity or max(self.config.peak_capacity, 16384)
-        new_entries = []
-        stats = {"files": len(files), "skipped": skipped, "ingested": 0,
-                 "hashes": 0, "overflowed": []}
-
         # decode + de-interleave on host, group channels into device batches
         pending: List[Tuple[str, str, List[np.ndarray]]] = []
         for f, sha in todo:
@@ -148,6 +142,57 @@ class SIA:
                     f"{f}: sample rate {fs} != config {self.config.sample_rate}"
                 )
             pending.append((f, sha, channels))
+        return self._ingest_pending(
+            pending, n_inputs=len(files), skipped=skipped,
+            batch_size=batch_size, song_peak_capacity=song_peak_capacity,
+            verbose=verbose,
+        )
+
+    def ingest_arrays(
+        self,
+        named_samples: Sequence[Tuple[str, np.ndarray]],
+        batch_size: int = 8,
+        song_peak_capacity: Optional[int] = None,
+        verbose: bool = False,
+    ) -> Dict:
+        """Ingest already-decoded mono songs: [(name, samples int16/f32)].
+
+        The in-memory twin of ``ingest_files`` (no filesystem round trip —
+        streaming pipelines and very large synthetic catalogs). Dedup uses
+        the SHA-1 of the raw sample bytes as the "file" hash.
+        """
+        import hashlib
+
+        known = self.catalog.fingerprinted_file_hashes()
+        pending = []
+        skipped = 0
+        for name, samples in named_samples:
+            arr = np.asarray(samples)
+            sha = hashlib.sha1(arr.tobytes()).hexdigest().upper()
+            if sha in known:
+                skipped += 1
+                continue
+            pending.append((name, sha, [arr]))
+        return self._ingest_pending(
+            pending, n_inputs=len(named_samples), skipped=skipped,
+            batch_size=batch_size, song_peak_capacity=song_peak_capacity,
+            verbose=verbose,
+        )
+
+    def _ingest_pending(
+        self,
+        pending: List[Tuple[str, str, List[np.ndarray]]],
+        n_inputs: int,
+        skipped: int,
+        batch_size: int,
+        song_peak_capacity: Optional[int],
+        verbose: bool,
+    ) -> Dict:
+        t_start = time.time()
+        peak_cap = song_peak_capacity or max(self.config.peak_capacity, 16384)
+        new_entries = []
+        stats = {"files": n_inputs, "skipped": skipped, "ingested": 0,
+                 "hashes": 0, "overflowed": []}
 
         # flatten channels; remember song boundaries
         chan_meta: List[Tuple[int, int]] = []  # (song_idx, n_samples)
