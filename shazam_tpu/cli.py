@@ -119,6 +119,16 @@ def cmd_plot(args):
     print(json.dumps({"plot": path}))
 
 
+def cmd_listen(args):
+    """One-shot mic recognition (reference recognizer.py main path)."""
+    from .stream import recognize_from_mic
+
+    sia = _open_sia(args, need_index=True)
+    out = recognize_from_mic(sia, seconds=args.seconds,
+                             channels=args.channels, topn=args.topn)
+    print(json.dumps(out, default=str, indent=2))
+
+
 def cmd_metadata(args):
     sia = _open_sia(args, need_index=False)
     n = sia.catalog.import_metadata_csv(args.csv)
@@ -186,6 +196,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out", default="constellation.png")
     s.add_argument("--limit", type=float, default=None)
     s.set_defaults(fn=cmd_plot)
+
+    s = sub.add_parser("listen", help="record from the microphone and identify")
+    s.add_argument("--seconds", type=float, default=5.0)
+    s.add_argument("--channels", type=int, default=2)
+    s.add_argument("--topn", type=int, default=2)
+    s.set_defaults(fn=cmd_listen)
 
     s = sub.add_parser("metadata", help="bulk-import FMA-style metadata CSV")
     s.add_argument("csv")
