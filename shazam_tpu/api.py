@@ -426,6 +426,72 @@ class SIA:
             "total_time": fingerprint_time + query_time + align_time,
         }
 
+    def recognize_clip(
+        self,
+        samples: np.ndarray,
+        topn: Optional[int] = None,
+    ) -> Dict:
+        """Lowest-latency recognition of one mono clip: ONE device dispatch.
+
+        Fingerprint, on-device query dedup, match and rank run as a single
+        jitted program (see match/ondevice.py) — results identical to
+        ``recognize_samples([samples])``, minus one host round trip.
+        """
+        from .match.ondevice import recognize_on_device
+
+        t0 = time.time()
+        samples = np.asarray(samples)
+        blen = _bucket_len(len(samples))
+        padded = np.zeros(blen, np.float32)
+        padded[: len(samples)] = samples
+        dev = self._ensure_device_index()
+        delta_min, delta_range = self._delta_params
+
+        raw, n_pairs, n_peaks = jax.device_get(recognize_on_device(
+            jnp.asarray(padded)[None, :],
+            jnp.asarray([len(samples)], np.int32),
+            dev,
+            fs=self.config.sample_rate,
+            wsize=self.config.window_size,
+            hop=self.config.hop,
+            amp_min=self.config.amp_min,
+            radius=self.config.peak_neighborhood_size,
+            fan_value=self.config.fan_value,
+            min_dt=self.config.min_hash_time_delta,
+            max_dt=self.config.max_hash_time_delta,
+            peak_capacity=self.config.peak_capacity,
+            n_songs=max(self.index.n_songs, 1),
+            delta_min=delta_min,
+            delta_range=delta_range,
+            match_capacity=self.config.match_capacity_fast,
+            topn=topn or self.config.topn,
+            offset_stride=self._offset_stride,
+            use_fused=_fused_ok(self.config),
+        ))
+        device_time = time.time() - t0
+        if int(n_peaks) > self.config.peak_capacity or (
+            int(raw.total_rows) > self.config.match_capacity_fast
+        ):
+            # rare overflow: take the two-dispatch path with full caps
+            return self.recognize_samples([samples], topn=topn)
+
+        t0 = time.time()
+        matched = align_results(
+            raw, int(n_pairs), catalog=self.catalog, config=self.config,
+            match_capacity=self.config.match_capacity_fast,
+        )
+        align_time = time.time() - t0
+        return {
+            "results": matched.results,
+            "total_matches": matched.total_matches,
+            "overflowed": matched.overflowed,
+            "input_hashes": int(n_pairs),
+            "fingerprint_time": device_time,  # one fused dispatch
+            "query_time": 0.0,
+            "align_time": align_time,
+            "total_time": device_time + align_time,
+        }
+
     def recognize_batch(
         self,
         clips: Sequence[np.ndarray],

@@ -1,0 +1,97 @@
+"""Single-dispatch recognition: samples -> ranked songs in ONE device call.
+
+The two-dispatch path (fingerprint, host dedup via numpy, match) costs two
+host<->device round trips plus host set arithmetic — fine for batch
+benches, but serving latency is dominated by those hops. This program
+keeps everything on device:
+
+1. fused fingerprint (Pallas kernels),
+2. query dedup on device: lexicographic multi-key sort of the hash lanes
+   (invalid lanes forced to the max key), first-occurrence masks for
+   unique (hash, offset) pairs and unique hashes — the reference's
+   Python-set + mapper construction (``recognizer.py:237-242,378-382``)
+   as sort ops,
+3. match + vote + rank against the HBM index.
+
+Returns the RawMatch plus the unique pair count (the reference's
+``len(hashes)`` for the confidence ratios).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.fingerprint import fingerprint_batch_fused, fingerprint_batch
+from .lookup import match_local, rank_votes, RawMatch
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "wsize", "hop", "amp_min", "radius", "fan_value",
+                     "min_dt", "max_dt", "peak_capacity", "n_songs",
+                     "delta_min", "delta_range", "match_capacity", "topn",
+                     "offset_stride", "use_fused"),
+)
+def recognize_on_device(
+    samples: jnp.ndarray,          # (1, padded_len) float32
+    n_valid: jnp.ndarray,          # (1,) int32
+    index_arrays,
+    *,
+    fs: int = 44100,
+    wsize: int = 4096,
+    hop: int = 2048,
+    amp_min: float = 10.0,
+    radius: int = 10,
+    fan_value: int = 5,
+    min_dt: int = 0,
+    max_dt: int = 200,
+    peak_capacity: int = 4096,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 16384,
+    topn: int = 2,
+    offset_stride: int = 0,
+    use_fused: bool = True,
+):
+    """One jitted program: mono clip -> (RawMatch, n_unique_pairs, n_peaks)."""
+    fp_fn = fingerprint_batch_fused if use_fused else fingerprint_batch
+    fp = fp_fn(
+        samples, n_valid,
+        fs=fs, wsize=wsize, hop=hop, amp_min=amp_min, radius=radius,
+        fan_value=fan_value, min_dt=min_dt, max_dt=max_dt,
+        peak_capacity=peak_capacity,
+    )
+    hi = fp.hi[0]
+    lo = fp.lo[0]
+    ex = fp.ex[0]
+    t1 = fp.t1[0]
+    valid = fp.valid[0]
+
+    # device-side set() + mapper: sort by (hash, offset), invalid last
+    sort_hi = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF))
+    sort_hi, lo, ex, t1, valid = jax.lax.sort(
+        (sort_hi, lo, ex, t1, valid), num_keys=4
+    )
+    same_hash = jnp.concatenate([
+        jnp.zeros(1, bool),
+        (sort_hi[1:] == sort_hi[:-1]) & (lo[1:] == lo[:-1])
+        & (ex[1:] == ex[:-1]),
+    ])
+    same_pair = same_hash & jnp.concatenate(
+        [jnp.zeros(1, bool), t1[1:] == t1[:-1]]
+    )
+    q_valid = valid & ~same_pair          # unique (hash, offset) pairs
+    q_first = q_valid & ~same_hash        # first pair of each unique hash
+    n_pairs = jnp.sum(q_valid.astype(jnp.int32))
+
+    hist, rows_hist, total = match_local(
+        index_arrays, sort_hi, lo, ex, t1, q_valid, q_first,
+        n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+        match_capacity=match_capacity, offset_stride=offset_stride,
+    )
+    raw = rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)
+    return raw, n_pairs, fp.n_peaks[0]
