@@ -447,7 +447,7 @@ class SIA:
         dev = self._ensure_device_index()
         delta_min, delta_range = self._delta_params
 
-        raw, n_pairs, n_peaks = jax.device_get(recognize_on_device(
+        raw, n_pairs, n_peaks, n_hashes = jax.device_get(recognize_on_device(
             jnp.asarray(padded)[None, :],
             jnp.asarray([len(samples)], np.int32),
             dev,
@@ -469,10 +469,13 @@ class SIA:
             use_fused=_fused_ok(self.config),
         ))
         device_time = time.time() - t0
-        if int(n_peaks) > self.config.peak_capacity or (
-            int(raw.total_rows) > self.config.match_capacity_fast
+        if (
+            int(n_peaks) > self.config.peak_capacity
+            or int(raw.total_rows) > self.config.match_capacity_fast
+            or int(n_hashes) > 4096
         ):
-            # rare overflow: take the two-dispatch path with full caps
+            # rare overflow (peaks, matches, or query lanes): take the
+            # two-dispatch path with full capacities
             return self.recognize_samples([samples], topn=topn)
 
         t0 = time.time()

@@ -33,7 +33,7 @@ from .lookup import match_local, rank_votes, RawMatch
     static_argnames=("fs", "wsize", "hop", "amp_min", "radius", "fan_value",
                      "min_dt", "max_dt", "peak_capacity", "n_songs",
                      "delta_min", "delta_range", "match_capacity", "topn",
-                     "offset_stride", "use_fused"),
+                     "offset_stride", "use_fused", "query_capacity"),
 )
 def recognize_on_device(
     samples: jnp.ndarray,          # (1, padded_len) float32
@@ -56,8 +56,16 @@ def recognize_on_device(
     topn: int = 2,
     offset_stride: int = 0,
     use_fused: bool = True,
+    query_capacity: int = 4096,
 ):
-    """One jitted program: mono clip -> (RawMatch, n_unique_pairs, n_peaks)."""
+    """One jitted program: mono clip -> (RawMatch, n_pairs, n_peaks, n_hash).
+
+    Binary-search cost is linear in query lanes, so after the dedup sort
+    the query is sliced to `query_capacity` lanes (valid lanes sort to the
+    front; a 5-15 s clip yields 1-8K hashes). The caller checks the
+    returned total hash count against query_capacity and falls back to
+    the two-dispatch path on overflow.
+    """
     fp_fn = fingerprint_batch_fused if use_fused else fingerprint_batch
     fp = fp_fn(
         samples, n_valid,
@@ -70,11 +78,16 @@ def recognize_on_device(
     ex = fp.ex[0]
     t1 = fp.t1[0]
     valid = fp.valid[0]
+    n_hashes_total = jnp.sum(valid.astype(jnp.int32))
 
     # device-side set() + mapper: sort by (hash, offset), invalid last
     sort_hi = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF))
     sort_hi, lo, ex, t1, valid = jax.lax.sort(
         (sort_hi, lo, ex, t1, valid), num_keys=4
+    )
+    cap = min(query_capacity, sort_hi.shape[0])
+    sort_hi, lo, ex, t1, valid = (
+        a[:cap] for a in (sort_hi, lo, ex, t1, valid)
     )
     same_hash = jnp.concatenate([
         jnp.zeros(1, bool),
@@ -94,4 +107,4 @@ def recognize_on_device(
         match_capacity=match_capacity, offset_stride=offset_stride,
     )
     raw = rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)
-    return raw, n_pairs, fp.n_peaks[0]
+    return raw, n_pairs, fp.n_peaks[0], n_hashes_total
