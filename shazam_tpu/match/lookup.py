@@ -121,7 +121,11 @@ def rank_votes(hist, rows_hist, total, *, delta_min: int, topn: int) -> RawMatch
     votes_per_song = jnp.max(hist, axis=1)
     best_bin = jnp.argmax(hist, axis=1)  # first max => smallest delta
 
-    top_votes, top_songs = jax.lax.top_k(votes_per_song, topn)
+    k = min(topn, votes_per_song.shape[0])  # catalogs smaller than topn
+    top_votes, top_songs = jax.lax.top_k(votes_per_song, k)
+    if k < topn:
+        top_votes = jnp.pad(top_votes, (0, topn - k))
+        top_songs = jnp.pad(top_songs, (0, topn - k))
     top_deltas = jnp.take(best_bin, top_songs).astype(jnp.int32) + delta_min
     row_counts = jnp.take(rows_hist, top_songs)
     n_ranked = jnp.sum((votes_per_song > 0).astype(jnp.int32))
