@@ -593,6 +593,30 @@ class SIA:
     def get_metadata(self, track_id: int):
         return self.catalog.get_metadata(track_id)
 
+    def delete_songs(self, song_ids: Sequence[int]) -> int:
+        """Remove songs from the catalog AND the index.
+
+        The reference's ``DELETE_SONGS`` + ON DELETE CASCADE
+        (``mysql_database.py:52-58,136-138``): catalog rows go away and
+        the fingerprint index is rebuilt without the songs' hash rows.
+        Returns the number of hash rows removed.
+        """
+        ids = set(int(s) for s in song_ids)
+        self.catalog.delete_songs(ids)
+        keep = ~np.isin(self.index.song_id, list(ids))
+        removed = int((~keep).sum())
+        if removed:
+            self.index = FingerprintIndex(
+                self.index.key_hi[keep], self.index.key_lo[keep],
+                self.index.key_ex[keep], self.index.song_id[keep],
+                self.index.offset[keep],
+                n_songs=self.index.n_songs,
+                max_offset=int(self.index.offset[keep].max())
+                if keep.any() else 0,
+            )
+            self._device_index = None
+        return removed
+
     # ------------------------------------------------------------------ #
     # persistence
     # ------------------------------------------------------------------ #

@@ -103,6 +103,16 @@ class SongCatalog:
         )
         return {r[0] for r in cur.fetchall()}
 
+    def delete_songs(self, song_ids) -> None:
+        """Remove songs from the catalog (reference ``DELETE_SONGS``,
+        ``mysql_database.py:136-138``; hash rows cascade via the index
+        rebuild in ``SIA.delete_songs``)."""
+        self.conn.executemany(
+            "DELETE FROM songs WHERE song_id = ?",
+            [(int(s),) for s in song_ids],
+        )
+        self.conn.commit()
+
     def insert_metadata(self, track_id: int, **fields) -> None:
         allowed = [
             "album_title", "album_url", "artist_name", "artist_url",
