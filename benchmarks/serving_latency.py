@@ -1,0 +1,39 @@
+import os, sys, time, functools
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np, jax, jax.numpy as jnp
+from jax import lax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from shazam_tpu.index.store import FingerprintIndex
+from shazam_tpu.match.ondevice import recognize_on_device
+from shazam_tpu.audio.synth import synth_song
+
+rng = np.random.default_rng(1)
+n_hashes=13_000_000; n_songs=2714; max_off=5200
+hi = np.sort(rng.integers(0, 2**32, n_hashes, dtype=np.uint32))
+lo = rng.integers(0, 2**32, n_hashes, dtype=np.uint32)
+ex = rng.integers(0, 2**16, n_hashes, dtype=np.uint32)
+sid = rng.integers(0, n_songs, n_hashes, dtype=np.uint32)
+off = rng.integers(0, max_off, n_hashes, dtype=np.uint32)
+index = FingerprintIndex(hi, lo, ex, sid, off, n_songs, max_off)
+dev = index.device_arrays()
+clip = synth_song(7, duration_s=5.0, seed=3)
+blen = 1 << 18
+padded = np.zeros(blen, np.float32); padded[:len(clip)] = clip
+args = (jnp.asarray(padded)[None,:], jnp.asarray([len(clip)], np.int32))
+kw = dict(n_songs=n_songs, delta_min=-1024, delta_range=12288,
+          match_capacity=16384, topn=2, offset_stride=index.offset_stride,
+          peak_capacity=4096)
+@functools.partial(jax.jit, static_argnames=('k',))
+def loop(x, nv, k):
+    def body(i, acc):
+        out = recognize_on_device(jnp.roll(x, i, axis=1) + acc*1e-30, nv, dev, **kw)
+        return acc + sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(out))
+    return lax.fori_loop(0, k, body, jnp.float32(0))
+res={}
+for k in (1, 9):
+    float(loop(*args, k))
+    best=[]
+    for _ in range(3):
+        t0=time.time(); float(loop(*args, k)); best.append(time.time()-t0)
+    res[k]=min(best)
+print('device-only per recognition (q_cap 4096):', round((res[9]-res[1])/8*1000, 2), 'ms')
