@@ -152,16 +152,15 @@ def sha1_triples(f1: jnp.ndarray, f2: jnp.ndarray, dt: jnp.ndarray):
                 )
                 wt = jnp.where(blk == 0, w[j], wt_sched)
                 w[j] = wt
+            # regime select without control flow (a lax.switch per round
+            # costs ~20x the round's VPU work in branch overhead)
             regime = t // 20
-            f = jax.lax.switch(
-                regime,
-                [
-                    lambda b, c, d: (b & c) | (jnp.invert(b) & d),
-                    lambda b, c, d: b ^ c ^ d,
-                    lambda b, c, d: (b & c) | (b & d) | (c & d),
-                    lambda b, c, d: b ^ c ^ d,
-                ],
-                b, c, d,
+            f_parity = b ^ c ^ d
+            f_choose = (b & c) | (jnp.invert(b) & d)
+            f_major = (b & c) | (b & d) | (c & d)
+            f = jnp.where(
+                regime == 0, f_choose,
+                jnp.where(regime == 2, f_major, f_parity),
             )
             k = ks[regime]
             tmp = _rotl(a, 5) + f + e + k + wt
