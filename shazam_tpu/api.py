@@ -14,8 +14,8 @@ TPU-native replacement for the reference's driver layer:
   dicts plus the same stage timings (fingerprint/query/align) the
   reference logs per trial.
 
-Shapes are bucketed (padded to the next power-of-two sample count) so
-XLA compiles one program per bucket, not per file.
+Shapes are bucketed (padded to the next 2^18-sample multiple) so XLA
+compiles one program per bucket, not per file.
 """
 
 from __future__ import annotations
@@ -41,7 +41,7 @@ from .index.store import FingerprintIndex, build_index, merge_indices
 from .index.catalog import SongCatalog
 from .match.prepare import prepare_query
 from .match.lookup import match_query
-from .match.align import MatchResult, align_results
+from .match.align import align_results
 
 
 def _bucket_len(n: int, step: int = 1 << 18) -> int:
