@@ -109,12 +109,13 @@ def fingerprint_batch_fused(
     tests/test_pallas.py); requires wsize=4096, radius=10, amp_min>0.
     """
     from .pallas.spectrogram import spectrogram_db_fused
-    from .pallas.peaks import peak_candidates_fused, extract_peaks_from_candidates
+    from .pallas.peaks import peak_candidates_fused
+    from .pallas.compact import compact_candidates
 
     nvf = jnp.maximum((n_valid_samples.astype(jnp.int32) - wsize) // hop + 1, 0)
     spec = spectrogram_db_fused(samples, nvf, fs=fs, wsize=wsize, hop=hop)
     table = peak_candidates_fused(spec, amp_min=amp_min, radius=radius)
-    times, freqs, n_peaks = extract_peaks_from_candidates(table, peak_capacity)
+    times, freqs, n_peaks = compact_candidates(table, peak_capacity)
 
     def hash_one(t, f, n):
         return generate_hashes(

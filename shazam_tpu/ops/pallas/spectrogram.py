@@ -242,6 +242,9 @@ def spectrogram_db_fused(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bsz, NA, t_pad, NB), jnp.float32),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=28 * 1024 * 1024,
+        ),
     )(n_valid_frames.astype(jnp.int32), samples_2d,
       win, c32, s32, c128, s128, twr, twi, scale)
 

@@ -104,3 +104,26 @@ def test_fused_fingerprint_batch(clip):
         # identity can only flip for near-equal bins
         jac = len(sx & sf) / max(len(sx | sf), 1)
         assert jac > 0.99, jac
+
+
+def test_compact_candidates_matches_topk_finish(clip):
+    import jax.numpy as jnp
+    from shazam_tpu.ops.pallas.peaks import (
+        peak_candidates_fused, extract_peaks_from_candidates,
+    )
+    from shazam_tpu.ops.pallas.compact import compact_candidates
+    from shazam_tpu.ops.spectrogram import spectrogram_db
+
+    spec_ft = np.asarray(spectrogram_db(jnp.asarray(clip)))
+    t = spec_ft.shape[1]
+    t_pad = -(-t // 64) * 64
+    spec_tf = np.zeros((1, t_pad, 2176), np.float32)
+    spec_tf[0, :t, :2049] = spec_ft.T
+    with _interpret():
+        table = peak_candidates_fused(jnp.asarray(spec_tf))
+        t2, f2, n2 = compact_candidates(table, 4096)
+    t1, f1, n1 = extract_peaks_from_candidates(table, 4096)
+    n = int(n1[0])
+    assert int(n2[0]) == n
+    assert np.array_equal(np.asarray(t1)[0][:n], np.asarray(t2)[0][:n])
+    assert np.array_equal(np.asarray(f1)[0][:n], np.asarray(f2)[0][:n])
