@@ -68,3 +68,25 @@ def test_device_trace_noop(tmp_path):
         pass
     with device_trace(str(tmp_path / "trace")):
         jnp.ones(8).sum().block_until_ready()
+
+
+def test_config_json_roundtrip(tmp_path):
+    from shazam_tpu.config import FingerprintConfig
+
+    cfg = FingerprintConfig(fan_value=7, amp_min=12.0, topn=5)
+    p = tmp_path / "cfg.json"
+    p.write_text(cfg.to_json())
+    back = FingerprintConfig.from_json(p.read_text())
+    assert back == cfg
+    assert back.hop == 2048 and back.n_freqs == 2049
+    assert back.frames_to_seconds(43) == round(43 / 44100 * 4096 * 0.5, 5)
+
+
+def test_config_validation():
+    import pytest as _pytest
+    from shazam_tpu.config import FingerprintConfig
+
+    with _pytest.raises(ValueError):
+        FingerprintConfig(window_size=1000)
+    with _pytest.raises(ValueError):
+        FingerprintConfig(overlap_ratio=1.5)
