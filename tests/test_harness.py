@@ -162,3 +162,22 @@ def test_cli_end_to_end(tmp_path):
     assert json.loads(out)["n_songs"] == 3
     out = run("sanity", str(corpus_dir), "--seconds", "5")
     assert json.loads(out)["bad"] == 0
+
+
+def test_sweep_file_noise(engine, corpus, tmp_path):
+    """Noise-from-recording mode (the reference's city-traffic mp3 path,
+    recognizer_test.py:426-435) with a synthetic noise file."""
+    from shazam_tpu.audio.io import write_wav
+    from shazam_tpu.bench.harness import BenchConfig, run_recognition_sweep
+
+    rng = np.random.default_rng(8)
+    noise = (rng.normal(0, 0.3, 44100 * 20) * 32767).astype(np.int16)
+    noise_path = str(tmp_path / "noise.wav")
+    write_wav(noise_path, noise, 44100)
+
+    cfg = BenchConfig(record_seconds=5.0, add_noise=True, snr_db=0.0,
+                      noise_kind="file", noise_file=noise_path,
+                      out_dir=str(tmp_path), seed=6, checkpoints=False)
+    summary = run_recognition_sweep(engine, corpus, cfg)
+    assert summary["accuracy"] >= 0.75
+    assert "0SNR" in os.path.basename(summary["artifacts"][-1]["results"])
