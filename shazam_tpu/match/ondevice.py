@@ -80,14 +80,27 @@ def recognize_on_device(
     valid = fp.valid[0]
     n_hashes_total = jnp.sum(valid.astype(jnp.int32))
 
+    # compact valid pairs to query_capacity lanes first (order-preserving
+    # top_k over flat indices) — the dedup sort below is the latency
+    # hot-spot and its cost is linear in lanes
+    n_lanes = hi.shape[0]
+    cap = min(query_capacity, n_lanes)
+    score = jnp.where(
+        valid, n_lanes - jnp.arange(n_lanes, dtype=jnp.int32), 0
+    )
+    vals, idx = jax.lax.top_k(score, cap)
+    ok = vals > 0
+    safe = jnp.where(ok, idx, 0)
+    hi = jnp.take(hi, safe)
+    lo = jnp.take(lo, safe)
+    ex = jnp.take(ex, safe)
+    t1 = jnp.take(t1, safe)
+    valid = ok
+
     # device-side set() + mapper: sort by (hash, offset), invalid last
     sort_hi = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF))
     sort_hi, lo, ex, t1, valid = jax.lax.sort(
         (sort_hi, lo, ex, t1, valid), num_keys=4
-    )
-    cap = min(query_capacity, sort_hi.shape[0])
-    sort_hi, lo, ex, t1, valid = (
-        a[:cap] for a in (sort_hi, lo, ex, t1, valid)
     )
     same_hash = jnp.concatenate([
         jnp.zeros(1, bool),
