@@ -89,7 +89,7 @@ class SIA:
         self.catalog.delete_unfingerprinted()  # reference crash recovery
         self.index = index or build_index([], n_songs=0)
         self._device_index = None
-        self._delta_params: Optional[Tuple[int, int]] = None
+        self._max_off = 0
 
     # ------------------------------------------------------------------ #
     # ingest
@@ -309,12 +309,30 @@ class SIA:
         if self._device_index is None:
             self._device_index = self.index.device_arrays()
             self._offset_stride = self.index.offset_stride
-            # static histogram window: covers the longest song, rounded up
+            # histogram window base: covers the longest song, rounded up
             # so catalog growth doesn't recompile every merge
-            max_off = ((self.index.max_offset // 4096) + 1) * 4096
-            q_frames = 1024  # supports queries up to ~47 s
-            self._delta_params = (-q_frames, max_off + 2 * q_frames)
+            self._max_off = ((self.index.max_offset // 4096) + 1) * 4096
         return self._device_index
+
+    def _q_frames_for(self, n_samples: int) -> int:
+        """Smallest power-of-two frame window covering a query's offsets.
+
+        The reference handles any clip length (``recognizer.py:289-338``);
+        a fixed window silently drops votes with deltas below -q_frames.
+        Bucketing keeps one compiled program for all <=47 s queries and
+        recompiles only on the rare longer ones.
+        """
+        n_frames = max(
+            (n_samples - self.config.window_size) // self.config.hop + 1, 1
+        )
+        q = 1024
+        while q < n_frames:
+            q *= 2
+        return q
+
+    def _delta_params_for(self, n_samples: int) -> Tuple[int, int]:
+        q_frames = self._q_frames_for(n_samples)
+        return (-q_frames, self._max_off + 2 * q_frames)
 
     def _fingerprint_channel(self, samples: np.ndarray) -> Fingerprints:
         blen = _bucket_len(len(samples))
@@ -366,14 +384,17 @@ class SIA:
         reference's 2x-leader stop rule (``recognizer_apriori.py:303``).
         """
         t0 = time.time()
-        fps = [self._fingerprint_channel(np.asarray(ch)) for ch in channels]
+        channels = [np.asarray(ch) for ch in channels]
+        fps = [self._fingerprint_channel(ch) for ch in channels]
         q = prepare_query(fps)
         jax.block_until_ready(fps[-1].hi)
         fingerprint_time = time.time() - t0
 
         t0 = time.time()
         dev = self._ensure_device_index()
-        delta_min, delta_range = self._delta_params
+        delta_min, delta_range = self._delta_params_for(
+            max(len(ch) for ch in channels) if channels else 0
+        )
         if early_exit:
             from .match.apriori import match_query_apriori
 
@@ -445,7 +466,7 @@ class SIA:
         padded = np.zeros(blen, np.float32)
         padded[: len(samples)] = samples
         dev = self._ensure_device_index()
-        delta_min, delta_range = self._delta_params
+        delta_min, delta_range = self._delta_params_for(len(samples))
 
         raw, n_pairs, n_peaks, n_hashes = jax.device_get(recognize_on_device(
             jnp.asarray(padded)[None, :],
@@ -549,7 +570,9 @@ class SIA:
 
         t0 = time.time()
         dev = self._ensure_device_index()
-        delta_min, delta_range = self._delta_params
+        delta_min, delta_range = self._delta_params_for(
+            max(len(c) for c in clips)
+        )
         raw = match_queries_batched(
             dev,
             *(jnp.asarray(stack[n]) for n in

@@ -113,8 +113,10 @@ def _read_via_ffmpeg(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int
         [_FFMPEG, "-i", path, "-f", "null", "-"],
         capture_output=True, text=True,
     )
-    # parse "Audio: ..., 44100 Hz, stereo" from stderr
-    fs, n_channels = 44100, 2
+    # parse "Audio: ..., 44100 Hz, stereo|mono|5.1|N channels" from stderr;
+    # the decode below forces -ac n_channels so a misparse can garble the
+    # de-interleave — fail loudly on layouts we can't name
+    fs, n_channels = 44100, None
     for line in probe.stderr.splitlines():
         if "Audio:" in line:
             for part in line.split(","):
@@ -125,11 +127,23 @@ def _read_via_ffmpeg(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int
                     n_channels = 1
                 elif part.startswith("stereo"):
                     n_channels = 2
+                elif part.endswith("channels") and part.split()[0].isdigit():
+                    n_channels = int(part.split()[0])
+                elif part.replace(".", "").isdigit() and "." in part:
+                    # "5.1", "7.1" style layouts: total = main + LFE
+                    main, lfe = part.split(".", 1)
+                    n_channels = int(main) + int(lfe)
             break
+    if n_channels is None:
+        raise ValueError(
+            f"cannot determine channel layout of {path!r} from ffmpeg probe; "
+            "transcode to WAV first"
+        )
     cmd = [_FFMPEG, "-v", "quiet", "-i", path]
     if limit is not None:
         cmd += ["-t", str(limit)]
-    cmd += ["-f", "s16le", "-acodec", "pcm_s16le", "-"]
+    # explicit -ac pins the decoded channel count to the probed layout
+    cmd += ["-f", "s16le", "-acodec", "pcm_s16le", "-ac", str(n_channels), "-"]
     out = subprocess.run(cmd, capture_output=True).stdout
     return np.frombuffer(out, dtype="<i2").astype(np.int16), fs, n_channels
 

@@ -153,6 +153,71 @@ def build_index(
     return FingerprintIndex(hi, lo, ex, sid, off, ns, max_off)
 
 
+def merge_into(base: FingerprintIndex, addition: FingerprintIndex) -> FingerprintIndex:
+    """Two-run sorted merge in ~O(n) — no full re-sort of the catalog.
+
+    Incremental ingest appends small sorted runs to a large sorted base;
+    ``merge_indices``' concat + lexsort re-sorts every row on every merge
+    (O(N log N) each time, the reference's INSERT-only model never pays
+    this). Here both runs are merged on the packed 64-bit (hi, lo) key
+    with two searchsorteds; rows where equal (hi, lo) keys from BOTH runs
+    collide get a local repair lexsort restoring (ex, sid, off) order —
+    work proportional to cross-run key collisions, not catalog size.
+    Output is element-identical to ``merge_indices([base, addition])``.
+    """
+    if base.n_hashes == 0 or addition.n_hashes == 0:
+        keep = base if addition.n_hashes == 0 else addition
+        return FingerprintIndex(
+            keep.key_hi, keep.key_lo, keep.key_ex, keep.song_id, keep.offset,
+            n_songs=max(base.n_songs, addition.n_songs),
+            max_offset=max(base.max_offset, addition.max_offset),
+        )
+    kb = (base.key_hi.astype(np.uint64) << 32) | base.key_lo
+    ka = (addition.key_hi.astype(np.uint64) << 32) | addition.key_lo
+    nb, na = len(kb), len(ka)
+    n = nb + na
+    pos_b = np.arange(nb, dtype=np.int64) + np.searchsorted(ka, kb, "left")
+    pos_a = np.arange(na, dtype=np.int64) + np.searchsorted(kb, ka, "right")
+
+    cols = []
+    for name in ("key_hi", "key_lo", "key_ex", "song_id", "offset"):
+        out = np.empty(n, np.uint32)
+        out[pos_b] = getattr(base, name)
+        out[pos_a] = getattr(addition, name)
+        cols.append(out)
+    hi, lo, ex, sid, off = cols
+
+    # repair pass: inside equal-(hi, lo) runs the minor order must be
+    # (ex, sid, off); detect violations and lexsort just those runs
+    k = (hi.astype(np.uint64) << 32) | lo
+    same = k[1:] == k[:-1]
+    disorder = same & (
+        (ex[1:] < ex[:-1])
+        | ((ex[1:] == ex[:-1]) & (sid[1:] < sid[:-1]))
+        | ((ex[1:] == ex[:-1]) & (sid[1:] == sid[:-1]) & (off[1:] < off[:-1]))
+    )
+    if disorder.any():
+        run_id = np.zeros(n, np.int64)
+        run_id[1:] = np.cumsum(~same)
+        starts = np.concatenate([[0], np.nonzero(~same)[0] + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        bad = np.unique(run_id[1:][disorder])
+        delta = np.zeros(n + 1, np.int64)
+        delta[starts[bad]] += 1
+        delta[ends[bad]] -= 1
+        mask = np.cumsum(delta[:-1]) > 0
+        idx = np.nonzero(mask)[0]
+        sub = np.lexsort((off[idx], sid[idx], ex[idx], run_id[idx]))
+        for arr in cols:
+            arr[idx] = arr[idx][sub]
+
+    return FingerprintIndex(
+        hi, lo, ex, sid, off,
+        n_songs=max(base.n_songs, addition.n_songs),
+        max_offset=max(base.max_offset, addition.max_offset),
+    )
+
+
 def merge_indices(indices: Iterable[FingerprintIndex]) -> FingerprintIndex:
     """Merge sorted indices (incremental ingest; reference appends via SQL)."""
     indices = [ix for ix in indices if ix.n_hashes > 0]

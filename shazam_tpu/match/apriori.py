@@ -44,7 +44,16 @@ def _apriori_step(
     hist = hist + h
     rows_hist = rows_hist + r
     total = total + t
-    top2, _ = jax.lax.top_k(rows_hist, 2)
+    # the reference ranks the partial result by aligned votes and then
+    # compares the top-2 songs' dedup row counts (HASHES_MATCHED of the
+    # align_matches output, recognizer_apriori.py:296-310) — NOT the two
+    # largest row counts themselves
+    votes_per_song = jnp.max(hist, axis=1)
+    k = min(2, votes_per_song.shape[0])
+    _, top_songs = jax.lax.top_k(votes_per_song, k)
+    top2 = jnp.take(rows_hist, top_songs)
+    if k < 2:
+        top2 = jnp.pad(top2, (0, 2 - k))
     return hist, rows_hist, total, top2
 
 
@@ -99,11 +108,11 @@ def match_query_apriori(
         )
         used += 1
         top2_host = np.asarray(top2)
-        # reference margin rule (recognizer_apriori.py:303): leader's
-        # matched rows halved still beat the runner-up
-        if top2_host[0] / 2.0 > top2_host[1] and top2_host[1] >= 0:
-            if top2_host[0] > 0 and used < n_batches:
-                break
+        # reference margin rule (recognizer_apriori.py:303): the
+        # vote-ranked leader's matched rows halved still beat the
+        # vote-ranked runner-up's
+        if top2_host[0] / 2.0 > top2_host[1] and used < n_batches:
+            break
 
     raw = _apriori_rank(hist, rows_hist, total, delta_min=delta_min, topn=topn)
     return jax.device_get(raw), used

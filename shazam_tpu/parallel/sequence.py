@@ -109,6 +109,14 @@ def sequence_parallel_fingerprint(
         own &= jnp.arange(times_l.shape[0]) < jnp.minimum(
             n_peaks_l, jnp.uint32(cap_shard * 4)
         )
+        # true own-peak count BEFORE the cap_shard clamp, plus the
+        # extract_peaks capacity signal — a dense shard must not drop
+        # peaks silently (the repo invariant: overflow is detected)
+        cnt_raw = jnp.sum(own.astype(jnp.int32))
+        over_l = (
+            (n_peaks_l > jnp.uint32(cap_shard * 4)).astype(jnp.int32)
+            + (cnt_raw > cap_shard).astype(jnp.int32)
+        )
         # compact own peaks to cap_shard (they are already in (t, f) order)
         rank = jnp.cumsum(own.astype(jnp.int32)) - 1
         slot = jnp.where(own & (rank < cap_shard), rank, cap_shard)
@@ -141,7 +149,16 @@ def sequence_parallel_fingerprint(
             times = jnp.pad(times, (0, peak_capacity - m))
             freqs = jnp.pad(freqs, (0, peak_capacity - m))
             ok = jnp.pad(ok, (0, peak_capacity - m))
-        n_peaks = jnp.sum(all_c).astype(jnp.uint32)
+        # report the UNclamped global count; when any shard truncated
+        # (quota or extract capacity) force it above peak_capacity so the
+        # caller sees the overflow exactly like single-device extract_peaks
+        n_true = lax.psum(cnt_raw, axis)
+        any_over = lax.psum(over_l, axis)
+        n_peaks = jnp.where(
+            any_over > 0,
+            jnp.maximum(n_true, peak_capacity + 1),
+            n_true,
+        ).astype(jnp.uint32)
 
         # ---- hash pairing on the replicated gathered set (cheap) ----
         hi, lo, ex, t1, valid_h = generate_hashes(

@@ -46,12 +46,9 @@ class ShardedCatalog:
         self.index = index
         n_dev = self.mesh.devices.size
 
-        max_off = ((index.max_offset // 4096) + 1) * 4096
-        q_frames = 1024
-        self.delta_min = -q_frames
-        self.delta_range = max_off + 2 * q_frames
+        self._max_off = ((index.max_offset // 4096) + 1) * 4096
 
-        dense_bytes = max(index.n_songs, 1) * self.delta_range * 4
+        dense_bytes = max(index.n_songs, 1) * self._delta_range_for(1024) * 4
         self.regime = "key_range" if dense_bytes <= dense_limit_bytes else "by_song"
         if self.regime == "key_range":
             self._shards = tuple(
@@ -64,24 +61,40 @@ class ShardedCatalog:
             )
             self._shards = tuple(jnp.asarray(a) for a in stacked)
 
+    def _delta_range_for(self, q_frames: int) -> int:
+        return self._max_off + 2 * q_frames
+
+    def _q_frames_for(self, q: QueryPairs) -> int:
+        """Power-of-two window covering the query's max frame offset —
+        long queries must not silently drop low deltas (the reference
+        handles any clip length, ``recognizer.py:289-338``)."""
+        max_t = int(np.max(q.t[: q.n_pairs])) if q.n_pairs else 0
+        frames = 1024
+        while frames <= max_t:
+            frames *= 2
+        return frames
+
     def match(self, q: QueryPairs, topn: Optional[int] = None) -> MatchResult:
         """Match prepared query pairs; returns reference-shaped results."""
         args = tuple(
             jnp.asarray(a) for a in (q.hi, q.lo, q.ex, q.t, q.valid, q.first)
         )
         topn = topn or self.config.topn
+        q_frames = self._q_frames_for(q)
+        delta_min = -q_frames
+        delta_range = self._delta_range_for(q_frames)
         if self.regime == "key_range":
             raw = sharded_match_query(
                 self.mesh, self._shards, *args,
                 n_songs=max(self.index.n_songs, 1),
-                delta_min=self.delta_min, delta_range=self.delta_range,
+                delta_min=delta_min, delta_range=delta_range,
                 match_capacity=self.config.match_capacity,
                 topn=topn, offset_stride=self._stride,
             )
         else:
             raw = sharded_match_by_song(
                 self.mesh, self._shards, self._n_local, self._stride, *args,
-                delta_min=self.delta_min, delta_range=self.delta_range,
+                delta_min=delta_min, delta_range=delta_range,
                 match_capacity=self.config.match_capacity, topn=topn,
             )
         return align_results(raw, q.n_pairs, catalog=self.catalog,
@@ -93,5 +106,5 @@ class ShardedCatalog:
             "n_devices": int(self.mesh.devices.size),
             "n_songs": self.index.n_songs,
             "n_hashes": self.index.n_hashes,
-            "delta_range": self.delta_range,
+            "delta_range": self._delta_range_for(1024),
         }

@@ -58,9 +58,18 @@ def sharded_match_query(
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             match_capacity=per_shard_cap, offset_stride=offset_stride,
         )
+        # key-range sharding concentrates popular hashes: a hot shard can
+        # blow its per-shard expansion cap (votes dropped) while the global
+        # total stays under match_capacity — surface that by clamping the
+        # reported total above the full capacity so align_results flags it
+        local_over = (total > per_shard_cap).astype(jnp.int32)
         hist = jax.lax.psum(hist, axis)
         rows_hist = jax.lax.psum(rows_hist, axis)
         total = jax.lax.psum(total, axis)
+        any_over = jax.lax.psum(local_over, axis)
+        total = jnp.where(
+            any_over > 0, jnp.maximum(total, match_capacity + 1), total
+        )
         return rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)
 
     shard_spec = P(axis, None)

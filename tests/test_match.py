@@ -229,15 +229,76 @@ def test_apriori_without_exit_matches_full(rng):
         match_capacity=65536, topn=3, batch_size=256,
         offset_stride=index.offset_stride,
     )
-    import numpy as np
     got = [(int(raw.top_songs[i]), int(raw.top_deltas[i]), int(raw.top_votes[i]))
            for i in range(min(3, int(raw.n_ranked)))]
     ref = [(int(full.top_songs[i]), int(full.top_deltas[i]), int(full.top_votes[i]))
            for i in range(min(3, int(full.n_ranked)))]
-    if used == -(-q.n_pairs // 256) + (1 if q.n_pairs % 256 == 0 else 0) or True:
-        # when no early exit happened, results must be identical; with an
-        # exit the leader must still be the same song
-        assert got[0][0] == ref[0][0]
-        if used * 256 >= len(q.hi):
-            assert got == ref
-            assert int(raw.total_rows) == int(full.total_rows)
+    # near-equal support: the 2x margin must never fire, so every batch
+    # runs and the accumulated result is identical to the one-shot match
+    assert used == -(-len(q.hi) // 256)
+    assert got == ref
+    assert int(raw.total_rows) == int(full.total_rows)
+
+
+def test_apriori_early_exit_fires(rng):
+    """A heavily skewed query makes the 2x-leader margin fire mid-sweep
+    (the reference's distinguishing behavior, recognizer_apriori.py:303):
+    batches_used < n_batches and the partial leader is the true song."""
+    from shazam_tpu.match.apriori import match_query_apriori
+
+    rows = _build_db(rng, n_songs=6, rows_per_song=150)
+    index = _index_from_rows(rows)
+    # query = many hashes of song 3 at one consistent offset shift (all
+    # aligned votes land in a single delta bin -> huge vote leader whose
+    # dedup row count dwarfs every other song's)
+    song3 = [r for r in rows if r[1] == 3]
+    q_pairs = sorted({(h, off + 7) for h, _s, off in song3[:400]})
+    q = _query_from_pairs(q_pairs, pad_to=2048)
+
+    raw, used = match_query_apriori(
+        index.device_arrays(), q,
+        n_songs=index.n_songs,
+        delta_min=-(index.max_offset + 100),
+        delta_range=2 * (index.max_offset + 100),
+        match_capacity=65536, topn=3, batch_size=256,
+        offset_stride=index.offset_stride,
+    )
+    n_batches = -(-len(q.hi) // 256)
+    assert used < n_batches, f"early exit never fired ({used}/{n_batches})"
+    assert int(raw.top_songs[0]) == 3
+    assert int(raw.top_votes[0]) > 0
+
+
+def test_long_query_votes_not_dropped(rng):
+    """Queries longer than the old fixed 1024-frame window (~47 s) must
+    still count votes: the delta window now derives from the clip length
+    (the reference handles any length, recognizer.py:289-338)."""
+    from shazam_tpu.api import SIA
+    from shazam_tpu.match.lookup import match_query
+    import jax.numpy as jnp
+
+    hexes = _random_hex(rng, 50)
+    rows = [(h, 0, i) for i, h in enumerate(hexes)]
+    index = _index_from_rows(rows)
+    # query offsets near frame 3000 -> deltas ~ -3000, far below -1024
+    q_pairs = [(h, off + 2990) for h, _s, off in rows]
+    q = _query_from_pairs(q_pairs)
+
+    sia = SIA(index=index)
+    sia._ensure_device_index()
+    # a 5 s clip stays in the baseline bucket (no recompile churn)
+    assert sia._q_frames_for(5 * 44100) == 1024
+    # a ~145 s clip gets a window that covers its deltas
+    n_samples = 3100 * 2048 + 4096
+    delta_min, delta_range = sia._delta_params_for(n_samples)
+    assert delta_min <= -2990
+
+    raw = match_query(
+        index.device_arrays(),
+        jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
+        jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
+        n_songs=index.n_songs, delta_min=delta_min, delta_range=delta_range,
+        match_capacity=4096, topn=2, offset_stride=index.offset_stride,
+    )
+    assert int(raw.top_songs[0]) == 0
+    assert int(raw.top_votes[0]) == 50  # every pair voted at delta -2990

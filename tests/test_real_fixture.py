@@ -1,0 +1,86 @@
+"""Parity + recognition on the reference's REAL audio fixture.
+
+``/root/reference/signal_with_noise.wav`` is the noise-injector output the
+reference itself queries with (``recognizer_test.py:557`` writes it, mono
+22,050 Hz, 10 s) — the one real-audio artifact in the tree that decodes
+with the stdlib. BASELINE.json config 1 names it verbatim: "Single 5s WAV
+query vs 1-song in-memory index (signal_with_noise.wav — CPU NumPy
+parity)". Every other accuracy test here uses synthetic tones; this file
+is the real-music gate.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.oracle import oracle_fingerprint
+
+FIXTURE = "/root/reference/signal_with_noise.wav"
+FS = 22050
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(FIXTURE), reason="reference fixture not present"
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_audio():
+    from shazam_tpu.audio.io import read
+
+    channels, fs, sha = read(FIXTURE)
+    assert fs == FS
+    assert len(channels) == 1
+    return channels[0]
+
+
+def test_fixture_decodes(fixture_audio):
+    # 10.0 s mono int16, non-silent real signal
+    assert fixture_audio.dtype == np.int16
+    assert len(fixture_audio) == 220500
+    assert np.abs(fixture_audio.astype(np.int64)).mean() > 100
+
+
+def test_fixture_hash_parity_vs_oracle(fixture_audio):
+    """JAX pipeline (f32) vs the NumPy/scipy oracle (f64) on real audio,
+    at the fixture's native 22,050 Hz through the fs-parameterized path."""
+    from shazam_tpu.ops.fingerprint import (
+        fingerprint_samples, fingerprint_to_hex_pairs,
+    )
+    import jax.numpy as jnp
+
+    fp = fingerprint_samples(
+        jnp.asarray(fixture_audio.astype(np.float32)), fs=FS,
+        peak_capacity=16384,
+    )
+    assert int(fp.n_peaks) <= 16384
+    ours = set(fingerprint_to_hex_pairs(fp))
+    ref = set(oracle_fingerprint(fixture_audio, fs=FS))
+    assert len(ref) > 200  # a real 10 s clip fingerprints densely
+    jaccard = len(ours & ref) / len(ours | ref)
+    assert jaccard > 0.95, f"jaccard={jaccard} ({len(ours)} vs {len(ref)})"
+
+
+def test_fixture_one_song_recognition(fixture_audio):
+    """BASELINE config 1: the fixture as a 1-song index, a 5 s cut of it
+    as the query — top-1 must be the fixture with a confident offset."""
+    import dataclasses
+
+    from shazam_tpu.api import SIA
+    from shazam_tpu.config import DEFAULT_CONFIG
+
+    config = dataclasses.replace(DEFAULT_CONFIG, sample_rate=FS)
+    sia = SIA(config=config)
+    stats = sia.ingest_arrays([("signal_with_noise", fixture_audio)])
+    assert stats["ingested"] == 1
+    assert stats["hashes"] > 200
+
+    # 5 s clip starting at 2.0 s (frame offset 2*22050/2048 ~ 21)
+    clip = fixture_audio[2 * FS : 7 * FS]
+    out = sia.recognize_samples([clip], topn=2)
+    assert out["results"], "no match for a clip of the only indexed song"
+    top = out["results"][0]
+    assert top["song_name"] == "signal_with_noise"
+    assert top["hashes_matched_in_input"] > 50
+    # offset_seconds must place the clip near its true 2 s start
+    assert abs(top["offset_seconds"] - 2.0) < 0.5

@@ -41,3 +41,28 @@ def test_sequence_parallel_matches_single(mesh):
                   np.asarray(ref.t1)[vr].tolist()))
     assert got == exp
     assert len(got) > 100
+
+
+def test_sequence_parallel_peak_overflow_detected(mesh):
+    """A temporally dense region that blows one shard's peak quota must
+    surface n_peaks > peak_capacity (never a silent drop)."""
+    import jax.numpy as jnp
+    from shazam_tpu.parallel.sequence import sequence_parallel_fingerprint
+    from shazam_tpu.ops.fingerprint import fingerprint_samples
+
+    n_dev, hop = 8, 2048
+    rng = np.random.default_rng(3)
+    blen = n_dev * hop * 16
+    samples = np.zeros(blen, np.float32)
+    # loud wideband noise confined to the first shard's chunk
+    samples[: blen // n_dev] = rng.normal(0, 8000, blen // n_dev)
+
+    cap = 64  # cap_shard = 8 per device
+    seq = sequence_parallel_fingerprint(
+        mesh, jnp.asarray(samples), blen, peak_capacity=cap
+    )
+    ref = fingerprint_samples(
+        jnp.asarray(samples), jnp.int32(blen), peak_capacity=16384
+    )
+    assert int(ref.n_peaks) > cap  # the signal really is dense
+    assert int(seq.n_peaks) > cap  # ...and the sharded path says so

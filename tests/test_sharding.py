@@ -100,3 +100,31 @@ def test_sharded_ingest_step(mesh):
     assert np.array_equal(np.asarray(fp.hi[3])[v], np.asarray(ref.hi)[rv])
     assert np.array_equal(np.asarray(fp.t1[3])[v], np.asarray(ref.t1)[rv])
     assert int(fp.n_peaks[3]) == int(ref.n_peaks)
+
+
+def test_sharded_hot_shard_overflow_detected(mesh):
+    """A popular hash concentrates its rows on ONE key-range shard: when
+    that shard's expansion cap is exceeded the query must report overflow
+    even though the global total stays under match_capacity."""
+    import jax.numpy as jnp
+    from shazam_tpu.parallel.mesh import shard_index_arrays
+    from shazam_tpu.parallel.sharded import sharded_match_query
+
+    rng = np.random.default_rng(11)
+    rows = _build_db(rng, n_songs=4, rows_per_song=1000)
+    hot = _random_hex(rng, 1)[0]
+    # 5000 contiguous rows of one hash: with ~9000 rows over 8 row-balanced
+    # shards (~1125 rows each) several shards are entirely hot (>1024 rows)
+    rows += [(hot, 2, int(off)) for off in range(5000)]
+    index = _index_from_rows(sorted(set(rows)))
+
+    q = _query_from_pairs([(hot, 3)], pad_to=256)
+    # match_capacity 8192 over 8 devices -> per-shard cap 1024
+    args = _match_args(index, q)
+    args["match_capacity"] = 8192
+    shards = tuple(jnp.asarray(a) for a in shard_index_arrays(index, 8))
+    raw = sharded_match_query(mesh, shards, **args,
+                              offset_stride=index.offset_stride)
+    # the true total (5000) is under the global cap, but hot shards
+    # truncated their expansion: total_rows must be clamped above capacity
+    assert int(raw.total_rows) > 8192
