@@ -37,7 +37,7 @@ from .ops.fingerprint import (
     fingerprint_samples,
     fingerprints_to_pairs,
 )
-from .index.store import FingerprintIndex, build_index, merge_indices
+from .index.store import FingerprintIndex, build_index, merge_into
 from .index.catalog import SongCatalog
 from .match.prepare import prepare_query
 from .match.lookup import match_query
@@ -122,30 +122,36 @@ class SIA:
         batch_size: int = 8,
         song_peak_capacity: Optional[int] = None,
         verbose: bool = False,
+        merge_chunk_hashes: int = 4_000_000,
     ) -> Dict:
+        """Streaming ingest: host memory stays O(batch), not O(corpus).
+
+        The reference's pool streams song-by-song (``__init__.py:335-357``);
+        here decode and device fingerprinting overlap (one batch in
+        flight: the C++ loader fills batch k+1 while the device chews
+        batch k) and the index absorbs finished songs in sorted-run
+        merges every ``merge_chunk_hashes`` hashes (``merge_into``, ~O(n))
+        instead of one corpus-sized sort at the end.
+        """
         known = self.catalog.fingerprinted_file_hashes()
         todo: List[Tuple[str, str]] = []
         skipped = 0
+        try:
+            from . import native as _native
+
+            native_sha = _native.sha1_file if _native.available() else None
+        except Exception:
+            native_sha = None
         for f in files:
-            sha = unique_file_hash(f)
+            sha = (native_sha(f) if native_sha else None) or unique_file_hash(f)
             if sha in known:
                 skipped += 1
                 continue
             todo.append((f, sha))
-
-        # decode + de-interleave on host, group channels into device batches
-        pending: List[Tuple[str, str, List[np.ndarray]]] = []
-        for f, sha in todo:
-            channels, fs, _ = read(f, limit)
-            if fs != self.config.sample_rate:
-                raise ValueError(
-                    f"{f}: sample rate {fs} != config {self.config.sample_rate}"
-                )
-            pending.append((f, sha, channels))
-        return self._ingest_pending(
-            pending, n_inputs=len(files), skipped=skipped,
+        return self._ingest_stream(
+            todo, n_inputs=len(files), skipped=skipped, limit=limit,
             batch_size=batch_size, song_peak_capacity=song_peak_capacity,
-            verbose=verbose,
+            merge_chunk_hashes=merge_chunk_hashes, verbose=verbose,
         )
 
     def ingest_arrays(
@@ -178,6 +184,240 @@ class SIA:
             batch_size=batch_size, song_peak_capacity=song_peak_capacity,
             verbose=verbose,
         )
+
+    def _ingest_stream(
+        self,
+        todo: List[Tuple[str, str]],
+        *,
+        n_inputs: int,
+        skipped: int,
+        limit: Optional[float],
+        batch_size: int,
+        song_peak_capacity: Optional[int],
+        merge_chunk_hashes: int,
+        verbose: bool,
+    ) -> Dict:
+        t_start = time.time()
+        peak_cap = song_peak_capacity or max(self.config.peak_capacity, 16384)
+        fs_cfg = self.config.sample_rate
+        stats = {"files": n_inputs, "skipped": skipped, "ingested": 0,
+                 "hashes": 0, "overflowed": [], "merges": 0,
+                 "peak_pending_channels": 0}
+
+        try:
+            from . import native as _native
+
+            native_batch = _native.load_batch if _native.available() else None
+        except Exception:
+            native_batch = None
+
+        from .audio.io import probe
+
+        # ---- plan: header probes only; (file, channel) rows per bucket ----
+        rows_by_bucket: Dict[int, List[Tuple[int, int, int]]] = {}
+        song_expect: List[int] = []    # outstanding channels per song
+        unknown: List[int] = []        # songs needing an eager decode
+        for si, (f, _sha) in enumerate(todo):
+            info = probe(f)
+            if info is None:
+                unknown.append(si)
+                song_expect.append(-1)
+                continue
+            n_ch, fs, frames = info
+            if fs != fs_cfg:
+                raise ValueError(f"{f}: sample rate {fs} != config {fs_cfg}")
+            if limit is not None:
+                frames = min(frames, int(limit * fs))
+            song_expect.append(n_ch)
+            rows_by_bucket.setdefault(_bucket_len(frames), []).extend(
+                (si, c, frames) for c in range(n_ch)
+            )
+
+        song_fps: Dict[int, List[Fingerprints]] = {}
+        chunk_entries: List[Tuple[int, np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+        chunk_sids: List[int] = []
+        pending_hashes = 0
+        pending_channels = 0
+        batch_fn = (
+            fingerprint_batch_fused if _fused_ok(self.config)
+            else fingerprint_batch
+        )
+
+        def decode_rows(rows, blen):
+            """(len(rows), blen) float32 batch + valid lengths.
+
+            Fast path: the threaded C++ loader fills the whole matrix
+            GIL-free when every row is a channel-0 read.
+            """
+            if native_batch is not None and all(c == 0 for _si, c, _n in rows):
+                out = native_batch([todo[si][0] for si, _c, _n in rows], blen)
+                if out is not None:
+                    mat, nv, _shas = out
+                    n_valid = np.minimum(
+                        nv.astype(np.int32),
+                        np.array([n for _si, _c, n in rows], np.int32),
+                    )
+                    for i, lim in enumerate(n_valid):
+                        mat[i, lim:] = 0.0
+                    return mat, n_valid
+            batch = np.zeros((len(rows), blen), np.float32)
+            n_valid = np.zeros(len(rows), np.int32)
+            cache: Dict[str, List[np.ndarray]] = {}
+            for i, (si, c, frames) in enumerate(rows):
+                f = todo[si][0]
+                if f not in cache:
+                    cache.clear()  # one file's channels at a time
+                    cache[f] = read(f, limit)[0]
+                data = cache[f][c][:frames]
+                batch[i, : len(data)] = data
+                n_valid[i] = len(data)
+            return batch, n_valid
+
+        def finalize_song(si):
+            nonlocal pending_hashes
+            f, sha = todo[si]
+            hi, lo, ex, t1 = self._union_channel_pairs(song_fps.pop(si, []))
+            song_name = os.path.splitext(os.path.basename(f))[0]
+            sid = self.catalog.insert_song(song_name, sha, int(hi.size))
+            chunk_entries.append((sid, hi, lo, ex, t1))
+            chunk_sids.append(sid)
+            pending_hashes += int(hi.size)
+            stats["ingested"] += 1
+            stats["hashes"] += int(hi.size)
+            if verbose:
+                print(f"ingested {song_name}: {hi.size} hashes (song_id={sid})")
+
+        def maybe_merge(force=False):
+            nonlocal pending_hashes
+            if not chunk_entries or (not force and pending_hashes < merge_chunk_hashes):
+                return
+            n_songs = max(max(e[0] for e in chunk_entries) + 1,
+                          self.index.n_songs)
+            addition = build_index(chunk_entries, n_songs=n_songs)
+            self.index = merge_into(self.index, addition)
+            self._device_index = None
+            for sid in chunk_sids:
+                self.catalog.set_song_fingerprinted(sid)
+            chunk_entries.clear()
+            chunk_sids.clear()
+            pending_hashes = 0
+            stats["merges"] += 1
+
+        def collect(inflight):
+            nonlocal pending_channels
+            fp_dev, rows, batch_np = inflight
+            fp = jax.device_get(fp_dev)
+            for row, (si, _c, _n) in enumerate(rows):
+                one = _batch_fingerprints(fp, row)
+                if int(one.n_peaks) > peak_cap:
+                    # fused-path capacity/plateau overflow: retry exact
+                    # XLA path at 2x capacity (never a silent drop)
+                    one = jax.device_get(fingerprint_samples(
+                        jnp.asarray(batch_np[row]), jnp.int32(int(_n)),
+                        fs=fs_cfg, wsize=self.config.window_size,
+                        hop=self.config.hop, amp_min=self.config.amp_min,
+                        radius=self.config.peak_neighborhood_size,
+                        fan_value=self.config.fan_value,
+                        min_dt=self.config.min_hash_time_delta,
+                        max_dt=self.config.max_hash_time_delta,
+                        peak_capacity=2 * peak_cap,
+                    ))
+                    stats["fallbacks"] = stats.get("fallbacks", 0) + 1
+                    if int(one.n_peaks) > 2 * peak_cap:
+                        stats["overflowed"].append(todo[si][0])
+                song_fps.setdefault(si, []).append(one)
+                pending_channels -= 1
+                song_expect[si] -= 1
+                if song_expect[si] == 0:
+                    finalize_song(si)
+            maybe_merge()
+
+        # ---- stream: decode chunk k+1 while the device runs chunk k ----
+        inflight = None
+        for blen in sorted(rows_by_bucket):
+            rows = rows_by_bucket[blen]
+            for base in range(0, len(rows), batch_size):
+                chunk = rows[base : base + batch_size]
+                batch_np, n_valid = decode_rows(chunk, blen)
+                pending_channels += len(chunk)
+                stats["peak_pending_channels"] = max(
+                    stats["peak_pending_channels"], pending_channels
+                )
+                fp_dev = batch_fn(
+                    jnp.asarray(batch_np), jnp.asarray(n_valid),
+                    fs=fs_cfg, wsize=self.config.window_size,
+                    hop=self.config.hop, amp_min=self.config.amp_min,
+                    radius=self.config.peak_neighborhood_size,
+                    fan_value=self.config.fan_value,
+                    min_dt=self.config.min_hash_time_delta,
+                    max_dt=self.config.max_hash_time_delta,
+                    peak_capacity=peak_cap,
+                )  # async dispatch: host decodes on while this runs
+                if inflight is not None:
+                    collect(inflight)
+                inflight = (fp_dev, chunk, batch_np)
+        if inflight is not None:
+            collect(inflight)
+
+        # ---- files the probe couldn't size: eager decode, same machinery
+        for si in unknown:
+            f, _sha = todo[si]
+            channels, fs, _ = read(f, limit)
+            if fs != fs_cfg:
+                raise ValueError(f"{f}: sample rate {fs} != config {fs_cfg}")
+            song_expect[si] = len(channels)
+            blen = _bucket_len(max(len(ch) for ch in channels))
+            batch_np = np.zeros((len(channels), blen), np.float32)
+            n_valid = np.zeros(len(channels), np.int32)
+            for i, ch in enumerate(channels):
+                batch_np[i, : len(ch)] = ch
+                n_valid[i] = len(ch)
+            fp_dev = batch_fn(
+                jnp.asarray(batch_np), jnp.asarray(n_valid),
+                fs=fs_cfg, wsize=self.config.window_size,
+                hop=self.config.hop, amp_min=self.config.amp_min,
+                radius=self.config.peak_neighborhood_size,
+                fan_value=self.config.fan_value,
+                min_dt=self.config.min_hash_time_delta,
+                max_dt=self.config.max_hash_time_delta,
+                peak_capacity=peak_cap,
+            )
+            pending_channels += len(channels)
+            stats["peak_pending_channels"] = max(
+                stats["peak_pending_channels"], pending_channels
+            )
+            collect((fp_dev, [(si, c, int(n_valid[c])) for c in range(len(channels))],
+                     batch_np))
+
+        maybe_merge(force=True)
+        stats["seconds"] = time.time() - t_start
+        return stats
+
+    @staticmethod
+    def _union_channel_pairs(fps: List[Fingerprints]):
+        """Per-song channel set-union of (hash, offset) pairs
+        (reference ``get_file_fingerprints``, ``__init__.py:254-266``)."""
+        his, los, exs, t1s = [], [], [], []
+        for one in fps:
+            hi, lo, ex, t1 = fingerprints_to_pairs(one, dedup=False)
+            his.append(hi)
+            los.append(lo)
+            exs.append(ex)
+            t1s.append(t1)
+        hi = np.concatenate(his) if his else np.zeros(0, np.uint32)
+        lo = np.concatenate(los) if los else np.zeros(0, np.uint32)
+        ex = np.concatenate(exs) if exs else np.zeros(0, np.uint32)
+        t1 = np.concatenate(t1s) if t1s else np.zeros(0, np.uint32)
+        if hi.size:
+            stacked = np.unique(
+                np.stack([hi.astype(np.uint64), lo.astype(np.uint64),
+                          ex.astype(np.uint64), t1.astype(np.uint64)], 1),
+                axis=0,
+            )
+            hi, lo, ex, t1 = (
+                stacked[:, i].astype(np.uint32) for i in range(4)
+            )
+        return hi, lo, ex, t1
 
     def _ingest_pending(
         self,
@@ -262,25 +502,7 @@ class SIA:
 
         # per-song channel union + catalog insert + index entry
         for si, (f, sha, _channels) in enumerate(pending):
-            fps = song_fps.get(si, [])
-            his, los, exs, t1s = [], [], [], []
-            for one in fps:
-                hi, lo, ex, t1 = fingerprints_to_pairs(one, dedup=False)
-                his.append(hi)
-                los.append(lo)
-                exs.append(ex)
-                t1s.append(t1)
-            hi = np.concatenate(his) if his else np.zeros(0, np.uint32)
-            lo = np.concatenate(los) if los else np.zeros(0, np.uint32)
-            ex = np.concatenate(exs) if exs else np.zeros(0, np.uint32)
-            t1 = np.concatenate(t1s) if t1s else np.zeros(0, np.uint32)
-            if hi.size:
-                stacked = np.unique(
-                    np.stack([hi.astype(np.uint64), lo.astype(np.uint64),
-                              ex.astype(np.uint64), t1.astype(np.uint64)], 1),
-                    axis=0,
-                )
-                hi, lo, ex, t1 = (stacked[:, i].astype(np.uint32) for i in range(4))
+            hi, lo, ex, t1 = self._union_channel_pairs(song_fps.get(si, []))
             song_name = os.path.splitext(os.path.basename(f))[0]
             sid = self.catalog.insert_song(song_name, sha, int(hi.size))
             new_entries.append((sid, hi, lo, ex, t1))
@@ -294,7 +516,7 @@ class SIA:
             addition = build_index(
                 new_entries, n_songs=max(n_songs, self.index.n_songs)
             )
-            self.index = merge_indices([self.index, addition])
+            self.index = merge_into(self.index, addition)
             self._device_index = None  # refresh device copy lazily
             for sid, *_rest in new_entries:
                 self.catalog.set_song_fingerprinted(sid)
@@ -391,43 +613,10 @@ class SIA:
         fingerprint_time = time.time() - t0
 
         t0 = time.time()
-        dev = self._ensure_device_index()
-        delta_min, delta_range = self._delta_params_for(
-            max(len(ch) for ch in channels) if channels else 0
+        raw = self._match_prepared(
+            q, n_samples=max(len(ch) for ch in channels) if channels else 0,
+            topn=topn, early_exit=early_exit,
         )
-        if early_exit:
-            from .match.apriori import match_query_apriori
-
-            raw, _batches = match_query_apriori(
-                dev, q,
-                n_songs=max(self.index.n_songs, 1),
-                delta_min=delta_min,
-                delta_range=delta_range,
-                match_capacity=self.config.match_capacity,
-                topn=topn or self.config.topn,
-                offset_stride=self._offset_stride,
-            )
-        else:
-            # two-tier expansion: the fast capacity covers typical queries
-            # at ~1/4 the gather cost; rare overflows retry at full cap
-            caps = [self.config.match_capacity_fast, self.config.match_capacity]
-            if caps[0] >= caps[1]:
-                caps = caps[1:]
-            for cap in caps:
-                raw = match_query(
-                    dev,
-                    jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
-                    jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
-                    n_songs=max(self.index.n_songs, 1),
-                    delta_min=delta_min,
-                    delta_range=delta_range,
-                    match_capacity=cap,
-                    topn=topn or self.config.topn,
-                    offset_stride=self._offset_stride,
-                )
-                raw = jax.device_get(raw)
-                if int(raw.total_rows) <= cap:
-                    break
         query_time = time.time() - t0
 
         t0 = time.time()
@@ -446,6 +635,51 @@ class SIA:
             "align_time": align_time,
             "total_time": fingerprint_time + query_time + align_time,
         }
+
+    def _match_prepared(self, q, n_samples: int, topn: Optional[int] = None,
+                        early_exit: bool = False):
+        """Match prepared query pairs; returns the host RawMatch.
+
+        The shared match stage behind ``recognize_samples`` and the
+        incremental ``StreamRecognizer`` (which fingerprints its own
+        pairs and only needs the index lookup + vote here).
+        """
+        dev = self._ensure_device_index()
+        delta_min, delta_range = self._delta_params_for(n_samples)
+        if early_exit:
+            from .match.apriori import match_query_apriori
+
+            raw, _batches = match_query_apriori(
+                dev, q,
+                n_songs=max(self.index.n_songs, 1),
+                delta_min=delta_min,
+                delta_range=delta_range,
+                match_capacity=self.config.match_capacity,
+                topn=topn or self.config.topn,
+                offset_stride=self._offset_stride,
+            )
+            return raw
+        # two-tier expansion: the fast capacity covers typical queries
+        # at ~1/4 the gather cost; rare overflows retry at full cap
+        caps = [self.config.match_capacity_fast, self.config.match_capacity]
+        if caps[0] >= caps[1]:
+            caps = caps[1:]
+        for cap in caps:
+            raw = match_query(
+                dev,
+                jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
+                jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
+                n_songs=max(self.index.n_songs, 1),
+                delta_min=delta_min,
+                delta_range=delta_range,
+                match_capacity=cap,
+                topn=topn or self.config.topn,
+                offset_stride=self._offset_stride,
+            )
+            raw = jax.device_get(raw)
+            if int(raw.total_rows) <= cap:
+                break
+        return raw
 
     def recognize_clip(
         self,

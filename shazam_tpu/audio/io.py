@@ -59,6 +59,31 @@ def find_files(path: str, extensions: Sequence[str]) -> List[Tuple[str, str]]:
     return results
 
 
+def probe(path: str) -> Optional[Tuple[int, int, int]]:
+    """Header-only (n_channels, sample_rate, n_frames) — no decode.
+
+    Lets ingest plan batches (bucket by length, size device buffers)
+    before paying for decode. Returns None for containers that need a
+    full decode to know (non-WAV without the native loader).
+    """
+    if not path.lower().endswith(WAV_EXTENSIONS):
+        return None
+    try:
+        from .. import native
+
+        info = native.wav_info(path)
+        if info is not None:
+            n_ch, rate, frames = info
+            return n_ch, rate, frames
+    except Exception:
+        pass
+    try:
+        with wave.open(path, "rb") as wf:
+            return wf.getnchannels(), wf.getframerate(), wf.getnframes()
+    except Exception:
+        return None
+
+
 def _read_wav(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int, int]:
     """Decode a PCM/float WAV into an interleaved int16 array + sample rate."""
     with wave.open(path, "rb") as wf:

@@ -1,4 +1,4 @@
-from .store import FingerprintIndex, build_index, merge_indices
+from .store import FingerprintIndex, build_index, merge_indices, merge_into
 from .catalog import SongCatalog
 from .search import lexi_lower_bound, lexi_upper_bound
 
@@ -6,6 +6,7 @@ __all__ = [
     "FingerprintIndex",
     "build_index",
     "merge_indices",
+    "merge_into",
     "SongCatalog",
     "lexi_lower_bound",
     "lexi_upper_bound",

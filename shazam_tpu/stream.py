@@ -1,11 +1,21 @@
-"""Streaming recognition: fixed-size chunk feed + optional mic capture.
+"""Streaming recognition: incremental fingerprinting + optional mic capture.
 
 The reference records CHUNK=8192-sample pyaudio buffers into channel
-lists and fingerprints after RECORD_SECONDS (``recognizer.py:355-382``).
-This module keeps that contract but makes the chunk source pluggable:
-``StreamRecognizer.feed(chunk)`` consumes interleaved int16 chunks from
-any producer (microphone, socket, file reader) into a bounded ring, and
-``recognize()`` fingerprints the current window through the HBM index.
+lists and fingerprints the WHOLE window after RECORD_SECONDS
+(``recognizer.py:355-382``). A continuous-listening deployment calling
+``recognize()`` repeatedly would redo ~15 s of STFT per call, so here the
+per-channel fingerprint state is incremental:
+
+- spectrogram columns are computed once per frame as samples arrive
+  (device work per ``recognize()`` is proportional to NEW audio);
+- constellation-peak mask columns "settle" once their full ±radius frame
+  context exists and are cached; only two radius-wide strips at the
+  current window's edges are recomputed per call (the window boundary
+  clips the peak neighborhood there, exactly like a full recompute);
+- hash pairing + the index match run on the window's peak set (cheap).
+
+Results are identical to fingerprinting the window's samples from
+scratch (tests/test_stream.py asserts bit-equality of the hash sets).
 
 Mic capture itself stays host-side and optional: ``mic_chunks`` yields
 chunks via pyaudio when (and only when) that package exists — CI and
@@ -15,47 +25,297 @@ correctness oracle).
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
 from .api import SIA
+from .config import FingerprintConfig
+from .ops.fingerprint import Fingerprints
 
 CHUNK = 8192  # samples per chunk per channel (recognizer.py:25)
 
 
+class IncrementalFingerprinter:
+    """Per-channel incremental fingerprint state over a sliding window.
+
+    Absolute frame t covers stream samples [t*hop, t*hop + wsize); the
+    recognition window is the last ``window_frames`` computed frames
+    (its start is always hop-aligned, so window frames coincide with
+    stream frames and cached columns stay valid as the window slides).
+    """
+
+    def __init__(self, config: FingerprintConfig, window_seconds: float):
+        self.config = config
+        wsize, hop = config.window_size, config.hop
+        self.n_freqs = wsize // 2 + 1
+        self.window_frames = max(
+            (int(window_seconds * config.sample_rate) - wsize) // hop + 1, 1
+        )
+        self.radius = config.peak_neighborhood_size
+        self._residual = np.zeros(0, np.float32)   # unframed sample tail
+        self._spec = np.zeros((self.n_freqs, 0), np.float32)
+        self._mask = np.zeros((self.n_freqs, 0), bool)  # settled columns
+        self._base = 0          # absolute frame index of _spec[:, 0]
+        self._settled = 0       # absolute frames with settled peak mask
+        self.frames_computed = 0   # lifetime STFT columns (stats/tests)
+        self.strip_frames_computed = 0  # edge-strip mask columns (stats)
+
+    @property
+    def n_frames(self) -> int:
+        """Absolute frames computed so far (= window end W1)."""
+        return self._base + self._spec.shape[1]
+
+    @property
+    def window_bounds(self) -> Tuple[int, int]:
+        """[W0, W1) absolute frame range of the current window."""
+        w1 = self.n_frames
+        return max(0, w1 - self.window_frames), w1
+
+    def feed(self, samples: np.ndarray) -> None:
+        """Append mono samples; compute spectrogram columns for every
+        newly completed frame (the only per-sample device work)."""
+        import jax
+        from .ops.spectrogram import spectrogram_db
+
+        wsize, hop = self.config.window_size, self.config.hop
+        data = np.concatenate([
+            self._residual, np.asarray(samples, np.float32)
+        ])
+        if len(data) < wsize:
+            self._residual = data
+            return
+        n_new = (len(data) - wsize) // hop + 1
+        used = (n_new - 1) * hop + wsize
+        cols = np.asarray(jax.device_get(spectrogram_db(
+            data[:used], fs=self.config.sample_rate, wsize=wsize, hop=hop,
+        )))
+        self._residual = data[n_new * hop :]
+        self._spec = np.concatenate([self._spec, cols], axis=1)
+        self.frames_computed += n_new
+        self._settle()
+        self._evict()
+
+    def _settle(self) -> None:
+        """Extend the cached peak mask to every frame whose full ±radius
+        context exists. Interior columns of any slab equal the full
+        computation (the separable max pads with -inf outside the slab,
+        so columns >= radius from the slab edge see only real data)."""
+        import jax
+        from .ops.peaks import peak_mask
+
+        r = self.radius
+        new_until = max(self.n_frames - r, 0)
+        if new_until <= self._settled:
+            return
+        a = self._settled            # absolute col range to settle: [a, b)
+        b = new_until
+        slab_lo = max(a - r, 0)
+        slab = self._spec[:, slab_lo - self._base : b + r - self._base]
+        m = np.asarray(jax.device_get(peak_mask(
+            slab, self.config.amp_min, radius=r,
+        )))
+        keep = m[:, a - slab_lo : b - slab_lo]
+        # columns < radius from the stream start have true (clipped)
+        # context: the slab starts at frame 0 exactly like a full pass
+        grow = b - (self._base + self._mask.shape[1])
+        if grow > 0:
+            self._mask = np.concatenate(
+                [self._mask, np.zeros((self.n_freqs, grow), bool)], axis=1
+            )
+        self._mask[:, a - self._base : b - self._base] = keep
+        self._settled = b
+
+    def _evict(self) -> None:
+        """Drop cached columns older than the current window start."""
+        w0, _ = self.window_bounds
+        drop = w0 - self._base
+        if drop > 0:
+            self._spec = self._spec[:, drop:]
+            self._mask = self._mask[:, drop:]
+            self._base = w0
+
+    def _edge_strip(self, lo: int, hi: int, window: Tuple[int, int]) -> np.ndarray:
+        """Peak-mask columns [lo, hi) computed with the WINDOW's boundary
+        clipping (exactly what a from-scratch pass over the window sees)."""
+        import jax
+        from .ops.peaks import peak_mask
+
+        r = self.radius
+        w0, w1 = window
+        slab_lo = max(lo - r, w0)
+        slab_hi = min(hi + r, w1)
+        slab = self._spec[:, slab_lo - self._base : slab_hi - self._base]
+        m = np.asarray(jax.device_get(peak_mask(
+            slab, self.config.amp_min, radius=r,
+        )))
+        self.strip_frames_computed += hi - lo
+        return m[:, lo - slab_lo : hi - slab_lo]
+
+    def window_peaks(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(times, freqs) of the current window's peaks, window-relative,
+        in (t, f) order — identical to extract_peaks on the window."""
+        w0, w1 = self.window_bounds
+        if w1 <= w0:
+            return np.zeros(0, np.uint32), np.zeros(0, np.uint32)
+        r = self.radius
+        if w1 - w0 <= 2 * r:
+            mask = self._edge_strip(w0, w1, (w0, w1))
+        else:
+            left = self._edge_strip(w0, w0 + r, (w0, w1))
+            right = self._edge_strip(w1 - r, w1, (w0, w1))
+            interior = self._mask[:, w0 + r - self._base : w1 - r - self._base]
+            mask = np.concatenate([left, interior, right], axis=1)
+        t_idx, f_idx = np.nonzero(mask.T)   # (t, f) lex order
+        return t_idx.astype(np.uint32), f_idx.astype(np.uint32)
+
+    def fingerprints(self, capacity: Optional[int] = None) -> Fingerprints:
+        """Hash the window's peaks (pairing + SHA-1 on device)."""
+        import jax
+        import jax.numpy as jnp
+        from .ops.hashes import generate_hashes
+
+        times, freqs = self.window_peaks()
+        cap = capacity or self.config.peak_capacity
+        n = len(times)
+        if n > cap:
+            raise OverflowError(
+                f"window holds {n} peaks > capacity {cap}; raise peak_capacity"
+            )
+        t_pad = np.zeros(cap, np.uint32)
+        f_pad = np.zeros(cap, np.uint32)
+        t_pad[:n] = times
+        f_pad[:n] = freqs
+        hi, lo, ex, t1, valid = generate_hashes(
+            jnp.asarray(t_pad), jnp.asarray(f_pad), jnp.uint32(n),
+            fan_value=self.config.fan_value,
+            min_dt=self.config.min_hash_time_delta,
+            max_dt=self.config.max_hash_time_delta,
+        )
+        return Fingerprints(*jax.device_get((hi, lo, ex, t1, valid)),
+                            np.uint32(n))
+
+    def window_sample_range(self) -> Tuple[int, int]:
+        """[start, end) absolute sample range a full recompute of this
+        window would fingerprint (for parity tests / fallbacks)."""
+        w0, w1 = self.window_bounds
+        wsize, hop = self.config.window_size, self.config.hop
+        return w0 * hop, (w1 - 1) * hop + wsize if w1 > w0 else w0 * hop
+
+    def reset(self) -> None:
+        self._residual = np.zeros(0, np.float32)
+        self._spec = np.zeros((self.n_freqs, 0), np.float32)
+        self._mask = np.zeros((self.n_freqs, 0), bool)
+        self._base = 0
+        self._settled = 0
+
+
 class StreamRecognizer:
-    """Bounded rolling window of interleaved audio chunks + recognition."""
+    """Rolling window of interleaved audio chunks + incremental recognition.
+
+    ``feed()`` consumes interleaved int16 chunks from any producer
+    (microphone, socket, file reader); ``recognize()`` matches the current
+    window. Fingerprint state is incremental per channel; a raw sample
+    ring is kept only as the overflow fallback and for parity tests.
+    """
 
     def __init__(self, sia: SIA, channels: int = 2,
                  window_seconds: float = 15.0):
         self.sia = sia
         self.channels = channels
+        self.window_seconds = window_seconds
         self.window_samples = int(window_seconds * sia.config.sample_rate)
-        self._buffers = [np.zeros(0, np.int16) for _ in range(channels)]
+        self._fps = [
+            IncrementalFingerprinter(sia.config, window_seconds)
+            for _ in range(channels)
+        ]
+        self._rings: List[np.ndarray] = [
+            np.zeros(0, np.int16) for _ in range(channels)
+        ]
+        self._ring_start = 0   # absolute sample index of ring[0]
 
     def feed(self, chunk: np.ndarray) -> None:
-        """Consume one interleaved int16 chunk (len = CHUNK * channels)."""
+        """Consume one interleaved int16 chunk (len = n * channels)."""
         chunk = np.asarray(chunk, np.int16)
         for c in range(self.channels):
             ch = chunk[c :: self.channels]
-            buf = np.concatenate([self._buffers[c], ch])
-            if len(buf) > self.window_samples:
-                buf = buf[-self.window_samples :]
-            self._buffers[c] = buf
+            self._fps[c].feed(ch)
+            self._rings[c] = np.concatenate([self._rings[c], ch])
+        keep = self.window_samples + self.sia.config.window_size
+        if len(self._rings[0]) > keep:
+            drop = len(self._rings[0]) - keep
+            self._rings = [r[drop:] for r in self._rings]
+            self._ring_start += drop
 
     @property
     def buffered_seconds(self) -> float:
-        return len(self._buffers[0]) / self.sia.config.sample_rate
+        return len(self._rings[0]) / self.sia.config.sample_rate
 
-    def recognize(self, topn: Optional[int] = None) -> Dict:
-        """Recognize the current window (channel set-union, like the ref)."""
-        return self.sia.recognize_samples(
-            [b for b in self._buffers if len(b)], topn=topn
+    def _window_channels(self) -> List[np.ndarray]:
+        """Raw samples of the exact window range (fallback path)."""
+        a, b = self._fps[0].window_sample_range()
+        return [
+            r[a - self._ring_start : b - self._ring_start]
+            for r in self._rings if len(r)
+        ]
+
+    def recognize(self, topn: Optional[int] = None,
+                  incremental: bool = True) -> Dict:
+        """Recognize the current window (channel set-union, like the ref).
+
+        incremental=True fingerprints only audio that arrived since the
+        previous call; False recomputes the window from the sample ring
+        (identical results, more device work).
+        """
+        import time
+
+        from .match.prepare import prepare_query
+        from .match.align import align_results
+
+        if not incremental:
+            return self.sia.recognize_samples(
+                self._window_channels(), topn=topn
+            )
+        t0 = time.time()
+        try:
+            fps = [
+                f.fingerprints() for f in self._fps
+                if f.n_frames > f.window_bounds[0]
+            ]
+        except OverflowError:
+            return self.sia.recognize_samples(
+                self._window_channels(), topn=topn
+            )
+        if not fps:
+            fps = [self._fps[0].fingerprints()]
+        q = prepare_query(fps)
+        fingerprint_time = time.time() - t0
+
+        a, b = self._fps[0].window_sample_range()
+        t0 = time.time()
+        raw = self.sia._match_prepared(q, n_samples=b - a, topn=topn)
+        query_time = time.time() - t0
+        t0 = time.time()
+        matched = align_results(
+            raw, q.n_pairs, catalog=self.sia.catalog, config=self.sia.config,
         )
+        align_time = time.time() - t0
+        return {
+            "results": matched.results,
+            "total_matches": matched.total_matches,
+            "overflowed": matched.overflowed,
+            "input_hashes": q.n_pairs,
+            "fingerprint_time": fingerprint_time,
+            "query_time": query_time,
+            "align_time": align_time,
+            "total_time": fingerprint_time + query_time + align_time,
+        }
 
     def reset(self) -> None:
-        self._buffers = [np.zeros(0, np.int16) for _ in range(self.channels)]
+        for f in self._fps:
+            f.reset()
+        self._rings = [np.zeros(0, np.int16) for _ in range(self.channels)]
+        self._ring_start = 0
 
 
 def mic_chunks(seconds: float, channels: int = 2, rate: int = 44100,

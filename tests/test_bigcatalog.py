@@ -64,3 +64,109 @@ def test_song_sharded_matches_single(mesh, seed):
     assert got == ref
     assert int(sharded.total_rows) == int(single.total_rows)
     assert int(sharded.n_ranked) == int(single.n_ranked)
+
+
+def _synth_big_index(n_songs, rows_per_song, rng, planted):
+    """Vectorized synthetic index: unique keys derived by bit-mixing the
+    row number (no SHA-1 cost at 10^5-song scale), plus planted songs with
+    known rows for exact expectations.
+
+    planted: dict sid -> list of (key_seed, offset).
+    """
+    from shazam_tpu.index.store import FingerprintIndex, _sort_entries
+
+    n = n_songs * rows_per_song
+    row = np.arange(n, dtype=np.uint64)
+    # splitmix-style mixing -> effectively unique 64-bit values
+    z = (row + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    hi = (z >> np.uint64(32)).astype(np.uint32) | np.uint32(0x80000000)
+    lo = z.astype(np.uint32)
+    ex = ((z >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.uint32)
+    sid = np.repeat(
+        np.arange(n_songs, dtype=np.uint32), rows_per_song
+    )
+    max_off = 16383  # stride 16384: exercises the uint32 packing edge
+    off = rng.integers(0, max_off + 1, n, dtype=np.uint32)
+
+    extra = []
+    for p_sid, rows in planted.items():
+        for seed, p_off in rows:
+            extra.append((np.uint32(seed), np.uint32(~seed & 0xFFFFFFFF),
+                          np.uint32(seed & 0x7FFF), np.uint32(p_sid),
+                          np.uint32(p_off)))
+    if extra:
+        e = np.array(extra, np.uint32)
+        # planted keys use hi < 0x80000000 -> cannot collide with synthetic
+        hi = np.concatenate([hi, e[:, 0] & np.uint32(0x7FFFFFFF)])
+        lo = np.concatenate([lo, e[:, 1]])
+        ex = np.concatenate([ex, e[:, 2]])
+        sid = np.concatenate([sid, e[:, 3]])
+        off = np.concatenate([off, e[:, 4]])
+    cols = _sort_entries(hi, lo, ex, sid, off)
+    return FingerprintIndex(*cols, n_songs=n_songs, max_offset=max_off)
+
+
+def test_song_sharded_at_catalog_scale(mesh):
+    """The by-song regime at the scale it exists for: 10^5 songs
+    (12,500 local songs/shard), uint32 payload packing at the stride
+    edge, round-robin boundary ids (0, 99_999) — expectations exact by
+    construction (reference real scale: fingerprints_queries.sql:2-3)."""
+    import jax.numpy as jnp
+    from shazam_tpu.parallel.bigcatalog import (
+        shard_index_by_song, sharded_match_by_song,
+    )
+
+    rng = np.random.default_rng(9)
+    n_songs = 100_000
+    # planted song 99_999: 80 rows at the top of the offset range (its
+    # local id 12_499 on shard 7 packs to ~2.05e8, near the shard's max)
+    hit_rows = [(1000 + i, 16303 + i) for i in range(80)]
+    # planted song 0: 40 rows at the bottom boundary
+    low_rows = [(500_000 + i, 10 + i) for i in range(40)]
+    index = _synth_big_index(
+        n_songs, rows_per_song=3, rng=rng,
+        planted={99_999: hit_rows, 0: low_rows},
+    )
+    assert index.n_hashes == n_songs * 3 + 120
+    assert index.offset_stride == 16384
+
+    stacked, n_local, stride = shard_index_by_song(index, 8)
+    assert n_local == 12_500
+    assert stride == 16384
+
+    def run_query(rows, shift):
+        pairs_hi = np.array([np.uint32(s) & np.uint32(0x7FFFFFFF)
+                             for s, _ in rows], np.uint32)
+        pairs_lo = np.array([np.uint32(~np.uint32(s)) for s, _ in rows],
+                            np.uint32)
+        pairs_ex = np.array([np.uint32(s) & np.uint32(0x7FFF)
+                             for s, _ in rows], np.uint32)
+        t = np.array([off - shift for _s, off in rows], np.uint32)
+        n = len(rows)
+        cap = 256
+        pad = cap - n
+        order = np.lexsort((t, pairs_ex, pairs_lo, pairs_hi))
+        q = [np.pad(a[order], (0, pad)) for a in
+             (pairs_hi, pairs_lo, pairs_ex, t)]
+        valid = np.pad(np.ones(n, bool), (0, pad))
+        return sharded_match_by_song(
+            mesh, stacked, n_local, stride,
+            *(jnp.asarray(a) for a in q),
+            jnp.asarray(valid), jnp.asarray(valid),
+            delta_min=-128, delta_range=256, match_capacity=4096, topn=4,
+        )
+
+    raw = run_query(hit_rows, shift=7)
+    assert int(raw.top_songs[0]) == 99_999
+    assert int(raw.top_votes[0]) == 80      # all aligned at delta +7
+    assert int(raw.top_deltas[0]) == 7
+    assert int(raw.row_counts[0]) == 80
+    assert int(raw.total_rows) == 80        # unique keys -> no other hits
+
+    raw = run_query(low_rows, shift=3)
+    assert int(raw.top_songs[0]) == 0
+    assert int(raw.top_votes[0]) == 40
+    assert int(raw.top_deltas[0]) == 3
+    assert int(raw.total_rows) == 40

@@ -1,0 +1,119 @@
+"""Incremental streaming fingerprinting: equality with full recompute and
+device work proportional to new audio (VERDICT round-1 item 5; reference
+capture loop ``recognizer.py:355-382``)."""
+
+import numpy as np
+import pytest
+
+from shazam_tpu import SIA
+from shazam_tpu.audio.synth import synth_song
+from shazam_tpu.stream import IncrementalFingerprinter, StreamRecognizer, CHUNK
+
+
+@pytest.fixture(scope="module")
+def engine():
+    sia = SIA()
+    songs = [
+        (f"track{i}", synth_song(i, duration_s=20.0, seed=33 + i))
+        for i in range(4)
+    ]
+    sia.ingest_arrays(songs)
+    return sia
+
+
+def _fingerprint_window(sia, samples):
+    """Ground truth: from-scratch fingerprint of the window's samples."""
+    from shazam_tpu.ops.fingerprint import (
+        fingerprint_samples, fingerprint_to_hex_pairs,
+    )
+    import jax.numpy as jnp
+
+    fp = fingerprint_samples(
+        jnp.asarray(np.asarray(samples, np.float32)),
+        fs=sia.config.sample_rate, peak_capacity=sia.config.peak_capacity,
+    )
+    return set(fingerprint_to_hex_pairs(fp))
+
+
+def _hex_pairs(fp):
+    from shazam_tpu.ops.fingerprint import fingerprint_to_hex_pairs
+
+    return set(fingerprint_to_hex_pairs(fp))
+
+
+def test_incremental_equals_full_recompute(engine):
+    """After every feed, the incremental window hash set must equal a
+    from-scratch fingerprint of exactly the window's sample range."""
+    song = synth_song(1, duration_s=20.0, seed=34)
+    inc = IncrementalFingerprinter(engine.config, window_seconds=6.0)
+
+    stream = song.astype(np.float32)
+    fed = 0
+    checks = 0
+    step = CHUNK
+    while fed + step <= len(stream):
+        inc.feed(stream[fed : fed + step])
+        fed += step
+        if fed < 3 * step or (fed // step) % 8:
+            continue  # check a few window positions, incl. post-slide
+        a, b = inc.window_sample_range()
+        if b <= a:
+            continue
+        got = _hex_pairs(inc.fingerprints())
+        ref = _fingerprint_window(engine, stream[a:b])
+        assert got == ref, f"window [{a},{b}): {len(got)} vs {len(ref)}"
+        checks += 1
+    assert checks >= 3  # several positions verified, incl. slid windows
+
+
+def test_incremental_work_proportional_to_new_audio(engine):
+    """Per recognize: STFT columns computed == new frames only, and mask
+    recompute is bounded by the two radius-wide edge strips."""
+    song = synth_song(2, duration_s=20.0, seed=35).astype(np.float32)
+    inc = IncrementalFingerprinter(engine.config, window_seconds=6.0)
+    hop = engine.config.hop
+    r = engine.config.peak_neighborhood_size
+
+    # fill past one full window
+    fed = 0
+    while fed + CHUNK <= 15 * CHUNK:
+        inc.feed(song[fed : fed + CHUNK])
+        fed += CHUNK
+    frames_before = inc.frames_computed
+    strips_before = inc.strip_frames_computed
+
+    inc.feed(song[fed : fed + CHUNK])
+    inc.fingerprints()
+    # exactly the new chunk's frames were STFT'd (no window recompute)
+    assert inc.frames_computed - frames_before == CHUNK // hop
+    # edge recompute bounded by two strips
+    assert inc.strip_frames_computed - strips_before <= 2 * r
+
+
+def test_stream_recognizer_incremental(engine):
+    """End-to-end: chunked feed + incremental recognize() finds the song
+    and equals the non-incremental (full recompute) result."""
+    song = synth_song(3, duration_s=20.0, seed=36)
+    clip = song[int(2.0 * 44100) : int(9.0 * 44100)]
+    stereo = np.empty(2 * len(clip), np.int16)
+    stereo[0::2] = clip
+    stereo[1::2] = clip
+
+    rec = StreamRecognizer(engine, channels=2, window_seconds=5.0)
+    outs = []
+    for base in range(0, len(stereo) - 2 * CHUNK, 2 * CHUNK):
+        rec.feed(stereo[base : base + 2 * CHUNK])
+        if rec.buffered_seconds > 4.0:
+            outs.append(rec.recognize())
+    assert len(outs) >= 3
+    for out in outs:
+        assert out["results"][0]["song_name"] == "track3"
+
+    full = rec.recognize(incremental=False)
+    inc = rec.recognize(incremental=True)
+    assert inc["input_hashes"] == full["input_hashes"]
+    assert (
+        inc["results"][0]["hashes_matched_in_input"]
+        == full["results"][0]["hashes_matched_in_input"]
+    )
+    assert inc["results"][0]["offset"] == full["results"][0]["offset"]
