@@ -822,20 +822,29 @@ class SIA:
 
         out = []
         for i in range(n_clips):
+            t0 = time.time()
             one = type(raw)(*(np.asarray(a)[i] for a in raw))
             matched = align_results(
                 one, queries[i].n_pairs, catalog=self.catalog,
                 config=self.config,
             )
+            align_time = time.time() - t0  # measured per clip
             out.append({
                 "results": matched.results,
                 "total_matches": matched.total_matches,
                 "overflowed": matched.overflowed,
                 "input_hashes": queries[i].n_pairs,
+                # clips are fingerprinted/matched in ONE device program,
+                # so per-clip stage times are the measured batch times
+                # amortized; the batch totals are reported alongside
                 "fingerprint_time": fingerprint_time / n_clips,
                 "query_time": query_time / n_clips,
-                "align_time": 0.0,
-                "total_time": (fingerprint_time + query_time) / n_clips,
+                "align_time": align_time,
+                "total_time": (fingerprint_time + query_time) / n_clips
+                + align_time,
+                "batch_fingerprint_time": fingerprint_time,
+                "batch_query_time": query_time,
+                "batch_size": n_clips,
             })
         return out
 

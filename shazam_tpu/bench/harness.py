@@ -62,24 +62,34 @@ def run_recognition_sweep(
 
     for i, path in enumerate(songs):
         channels, file_fs, _sha = read(path)
-        samples = channels[0]
-        dur = len(samples) / file_fs
+        dur = len(channels[0]) / file_fs
         max_start = max(int(dur) - int(config.record_seconds), 1)
         start_s = int(rng.integers(0, max_start))
         a = int(start_s * file_fs)
-        clip = samples[a : a + int(config.record_seconds * file_fs)]
+        b = a + int(config.record_seconds * file_fs)
+        # every channel of the recording, set-unioned by the recognizer —
+        # the reference records stereo and unions both channels
+        # (recognizer_test.py:564-580, recognizer.py:377-382)
+        clips = [ch[a:b] for ch in channels]
 
         if config.add_noise:
-            if config.noise_kind == "awgn":
-                sig = renormalize(clip)
-                noisy = sig + white_noise_for_snr(sig, config.snr_db, rng=rng)
-            else:
-                if noise_samples is None:
-                    raise ValueError("noise_kind='file' requires noise_file")
-                noisy = mix_at_snr(clip, noise_samples, config.snr_db, rng=rng)
-            clip = np.clip(noisy * 32767.0, -32768, 32767).astype(np.int16)
+            noisy_clips = []
+            for clip in clips:
+                if config.noise_kind == "awgn":
+                    sig = renormalize(clip)
+                    noisy = sig + white_noise_for_snr(sig, config.snr_db,
+                                                      rng=rng)
+                else:
+                    if noise_samples is None:
+                        raise ValueError("noise_kind='file' requires noise_file")
+                    noisy = mix_at_snr(clip, noise_samples, config.snr_db,
+                                       rng=rng)
+                noisy_clips.append(
+                    np.clip(noisy * 32767.0, -32768, 32767).astype(np.int16)
+                )
+            clips = noisy_clips
 
-        out = sia.recognize_samples([clip], topn=config.topn)
+        out = sia.recognize_samples(clips, topn=config.topn)
         if out["results"]:
             predicted.append(str(out["results"][0]["song_name"]))
             finals.append(str(out["results"]))

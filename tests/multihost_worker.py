@@ -1,0 +1,89 @@
+"""Worker for the 2-process multi-host catalog test (run via subprocess).
+
+Usage: python multihost_worker.py <process_id> <port>
+Both processes build the SAME deterministic index, keep only their own
+devices' song shards, and answer a query whose exact result is known by
+construction. Prints MULTIHOST_OK on success.
+"""
+
+import os
+import sys
+
+
+def main() -> None:
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    os.environ.pop("JAX_PLATFORMS", None)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from shazam_tpu.parallel.multihost import (
+        SpannedCatalog, global_mesh, init_multihost,
+    )
+
+    init_multihost(f"localhost:{port}", num_processes=2, process_id=pid,
+                   local_device_count=4)
+    assert jax.device_count() == 8
+    assert jax.local_device_count() == 4
+
+    # deterministic synthetic index: 4000 songs, unique keys by bit-mix,
+    # plus a planted song with known rows (same recipe on both processes)
+    from shazam_tpu.index.store import FingerprintIndex, _sort_entries
+
+    n_songs, rows_per = 4000, 5
+    n = n_songs * rows_per
+    z = (np.arange(n, dtype=np.uint64) + np.uint64(11)) * np.uint64(
+        0xBF58476D1CE4E5B9
+    )
+    z ^= z >> np.uint64(27)
+    hi = (z >> np.uint64(32)).astype(np.uint32) | np.uint32(0x80000000)
+    lo = z.astype(np.uint32)
+    ex = (z & np.uint64(0x7FFF)).astype(np.uint32)
+    sid = np.repeat(np.arange(n_songs, dtype=np.uint32), rows_per)
+    off = (z % np.uint64(3000)).astype(np.uint32)
+
+    planted_sid = 3777
+    n_plant = 60
+    p_hi = np.arange(n_plant, dtype=np.uint32)  # < 0x80000000: no collision
+    p_lo = p_hi * np.uint32(77)
+    p_ex = p_hi & np.uint32(0xFF)
+    p_off = np.uint32(500) + np.arange(n_plant, dtype=np.uint32)
+    cols = _sort_entries(
+        np.concatenate([hi, p_hi]), np.concatenate([lo, p_lo]),
+        np.concatenate([ex, p_ex]),
+        np.concatenate([sid, np.full(n_plant, planted_sid, np.uint32)]),
+        np.concatenate([off, p_off]),
+    )
+    index = FingerprintIndex(*cols, n_songs=n_songs, max_offset=3000)
+
+    mesh = global_mesh()
+    cat = SpannedCatalog.from_full_index(index, mesh=mesh)
+
+    # query the planted song at a uniform shift of 13 frames
+    from shazam_tpu.match.prepare import QueryPairs
+
+    t = (p_off - np.uint32(13)).astype(np.uint32)
+    order = np.lexsort((t, p_ex, p_lo, p_hi))
+    cap, pad = 128, 128 - n_plant
+    q = QueryPairs(
+        np.pad(p_hi[order], (0, pad)), np.pad(p_lo[order], (0, pad)),
+        np.pad(p_ex[order], (0, pad)), np.pad(t[order], (0, pad)),
+        np.pad(np.ones(n_plant, bool), (0, pad)),
+        np.pad(np.ones(n_plant, bool), (0, pad)),
+        n_plant,
+    )
+    res = cat.match(q, topn=3, q_frames=1024)
+    top = res.results[0]
+    assert top["song_id"] == planted_sid, res.results
+    assert top["hashes_matched_in_input"] == n_plant
+    assert top["offset"] == 13
+    assert res.total_matches == n_plant
+    print(f"MULTIHOST_OK pid={pid} top={top['song_id']} "
+          f"votes={top['hashes_matched_in_input']}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
