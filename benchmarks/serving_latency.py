@@ -22,7 +22,7 @@ padded = np.zeros(blen, np.float32); padded[:len(clip)] = clip
 args = (jnp.asarray(padded)[None,:], jnp.asarray([len(clip)], np.int32))
 kw = dict(n_songs=n_songs, delta_min=-1024, delta_range=12288,
           match_capacity=16384, topn=2, offset_stride=index.offset_stride,
-          peak_capacity=4096)
+          peak_capacity=4096, query_capacity=2048)
 @functools.partial(jax.jit, static_argnames=('k',))
 def loop(x, nv, k):
     def body(i, acc):
@@ -36,4 +36,5 @@ for k in (1, 9):
     for _ in range(3):
         t0=time.time(); float(loop(*args, k)); best.append(time.time()-t0)
     res[k]=min(best)
-print('device-only per recognition (q_cap 4096):', round((res[9]-res[1])/8*1000, 2), 'ms')
+print('device-only per recognition (q_cap 2048, 3-key sort, fenced search):',
+      round((res[9]-res[1])/8*1000, 2), 'ms')

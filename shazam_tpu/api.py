@@ -701,6 +701,10 @@ class SIA:
         padded[: len(samples)] = samples
         dev = self._ensure_device_index()
         delta_min, delta_range = self._delta_params_for(len(samples))
+        # dedup-sort + binary-search cost is linear in query lanes: a 5 s
+        # clip yields ~1-2K unique pairs, so 2K lanes cover it; longer
+        # clips get 4K (overflow falls back to the two-dispatch path)
+        q_cap = 2048 if len(samples) <= 6 * self.config.sample_rate else 4096
 
         raw, n_pairs, n_peaks, n_hashes = jax.device_get(recognize_on_device(
             jnp.asarray(padded)[None, :],
@@ -722,12 +726,13 @@ class SIA:
             topn=topn or self.config.topn,
             offset_stride=self._offset_stride,
             use_fused=_fused_ok(self.config),
+            query_capacity=q_cap,
         ))
         device_time = time.time() - t0
         if (
             int(n_peaks) > self.config.peak_capacity
             or int(raw.total_rows) > self.config.match_capacity_fast
-            or int(n_hashes) > 4096
+            or int(n_hashes) > q_cap
         ):
             # rare overflow (peaks, matches, or query lanes): take the
             # two-dispatch path with full capacities

@@ -23,19 +23,13 @@ def _lt(a_hi, a_lo, a_ex, b_hi, b_lo, b_ex):
     )
 
 
-def _binary_search(keys, queries, keep_left_on):
-    """Shared lower/upper bound machinery.
+FENCE_STRIDE = 512  # span refined by the fence pre-search
 
-    keep_left_on(k_mid, q) -> True where the search range should move right
-    (i.e. mid is strictly before the boundary).
-    """
+
+def _search_rounds(keys, queries, keep_left_on, lo, hi, steps):
+    """`steps` rounds of lane-parallel gather+compare on [lo, hi]."""
     k_hi, k_lo, k_ex = keys
     q_hi, q_lo, q_ex = queries
-    n = k_hi.shape[0]
-    steps = max(1, (n - 1).bit_length() if n > 0 else 1)
-
-    lo = jnp.zeros(q_hi.shape, jnp.int32)
-    hi = jnp.full(q_hi.shape, n, jnp.int32)
 
     def body(_, carry):
         lo, hi = carry
@@ -48,8 +42,47 @@ def _binary_search(keys, queries, keep_left_on):
         new_hi = jnp.where(go_right | (lo >= hi), hi, mid)
         return new_lo, new_hi
 
-    lo, hi = jax.lax.fori_loop(0, steps + 1, body, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     return lo
+
+
+def _binary_search(keys, queries, keep_left_on):
+    """Shared lower/upper bound machinery, fence-accelerated.
+
+    keep_left_on(k_mid, q) -> True where the search range should move right
+    (i.e. mid is strictly before the boundary).
+
+    Random gathers into the full key arrays are the latency hot-spot at
+    13M+ rows (~25 rounds x 3 gathers/lane). A fence of every 512th key
+    (~300 KB at 13M rows — cache-resident after the first rounds) absorbs
+    all but log2(512)+1 of the rounds: the fence search narrows each lane
+    to one 512-row span, and only ~10 rounds touch the big arrays.
+    """
+    k_hi = keys[0]
+    n = k_hi.shape[0]
+    q_shape = queries[0].shape
+
+    if n > 8 * FENCE_STRIDE:
+        fence = tuple(k[::FENCE_STRIDE] for k in keys)
+        nf = fence[0].shape[0]
+        f_steps = max(1, (nf - 1).bit_length()) + 1
+        f0 = _search_rounds(
+            fence, queries, keep_left_on,
+            jnp.zeros(q_shape, jnp.int32), jnp.full(q_shape, nf, jnp.int32),
+            f_steps,
+        )
+        # fence[f0-1] is before the boundary, fence[f0] is not (or past
+        # the end): the answer lies in [(f0-1)*S + 1, min(f0*S, n)] —
+        # widen the left edge to (f0-1)*S to keep the invariant simple
+        lo = jnp.maximum(f0 - 1, 0) * FENCE_STRIDE
+        hi = jnp.minimum(f0 * FENCE_STRIDE, n)
+        steps = FENCE_STRIDE.bit_length() + 1
+    else:
+        lo = jnp.zeros(q_shape, jnp.int32)
+        hi = jnp.full(q_shape, n, jnp.int32)
+        steps = max(1, (n - 1).bit_length() if n > 0 else 1) + 1
+
+    return _search_rounds(keys, queries, keep_left_on, lo, hi, steps)
 
 
 @functools.partial(jax.jit)

@@ -10,12 +10,14 @@ magnitude smaller — the final global compaction over it is cheap.
 
 Per (song, 64-frame tile) grid step:
 
-1. DMA an (84, 2432) spec tile — the spectrogram is pre-padded with 10
-   zero rows (time halo) and 128 zero cols per side (freq halo), so
-   boundary windows read real zeros. Zeros reproduce scipy's boundary
-   semantics for this pipeline: they are exact background for the erosion
-   (border_value=1, reference ``__init__.py:148``) and can only affect
-   local-max status of cells below the strict amp_min > 0 gate.
+1. DMA a (96, 2432) spec tile — the fused spectrogram bakes the zero
+   freq-halo into its stage-2 DFT matrix, and time boundaries need no
+   padding at all: boundary tiles clamp their DMA to the valid rows and
+   mask the out-of-range rows to zero in VMEM, so no XLA pad pass runs
+   anywhere between the kernels. Zeros reproduce scipy's boundary
+   semantics for this pipeline: they are exact background for the
+   erosion (border_value=1, reference ``__init__.py:148``) and can only
+   affect local-max status of cells below the strict amp_min > 0 gate.
 2. 21-wide local max + zero-background erosion, both separable, via
    log-step running max/AND over static slices (5 ops per axis instead
    of 21) — reference ``get_2D_peaks`` semantics (``__init__.py:130-151``).
@@ -72,22 +74,56 @@ def _kernel(spec_hbm, out_ref, buf, sems, *, tile_frames: int, radius: int,
     b = pl.program_id(0)
     t_tile = pl.program_id(1)
     n_tiles = pl.num_programs(1)
-    rows = tile_frames + 2 * pad_rows  # 8-aligned DMA slice (pad_rows=12)
+    rows = tile_frames + 2 * pad_rows  # 8-aligned DMA slice (pad_rows=16)
 
     step = b * n_tiles + t_tile
     slot = jax.lax.rem(step, 2)
     nxt_slot = jax.lax.rem(step + 1, 2)
 
-    def dma(bb, tt, s):
-        return pltpu.make_async_copy(
-            spec_hbm.at[bb, pl.ds(tt * tile_frames, rows)],
+    # The spec has NO time padding (its freq halo is baked in): boundary
+    # tiles clamp their DMA to the valid rows (every offset stays 8-row
+    # aligned since pad_rows and tile_frames are multiples of 16) and the
+    # rows outside [0, t_pad) are masked to zero after the wait — exactly
+    # the zeros a pre-padded read would have produced.
+    def _dma_cases(bb, tt, s):
+        first = tt == 0
+        last = tt == n_tiles - 1
+        # written as 8*(...) so Mosaic can prove the 8-row tiling holds
+        # (it can't see through `tt * 64 - 16`)
+        off = (tt * (tile_frames // 8) - pad_rows // 8) * 8
+        full = pltpu.make_async_copy(
+            spec_hbm.at[bb, pl.ds(off, rows)],
             buf.at[s], sems.at[s],
         )
+        head = pltpu.make_async_copy(
+            spec_hbm.at[bb, pl.ds(0, rows - pad_rows)],
+            buf.at[s, pl.ds(pad_rows, rows - pad_rows)], sems.at[s],
+        )
+        tail = pltpu.make_async_copy(
+            spec_hbm.at[bb, pl.ds(off, rows - pad_rows)],
+            buf.at[s, pl.ds(0, rows - pad_rows)], sems.at[s],
+        )
+        single = pltpu.make_async_copy(
+            spec_hbm.at[bb, pl.ds(0, tile_frames)],
+            buf.at[s, pl.ds(pad_rows, tile_frames)], sems.at[s],
+        )
+        return (
+            (~first & ~last, full), (first & ~last, head),
+            (last & ~first, tail), (first & last, single),
+        )
+
+    def dma_start(bb, tt, s):
+        for cond, copy in _dma_cases(bb, tt, s):
+            pl.when(cond)(copy.start)
+
+    def dma_wait(bb, tt, s):
+        for cond, copy in _dma_cases(bb, tt, s):
+            pl.when(cond)(copy.wait)
 
     # double buffering: prefetch the next tile while this one computes
     @pl.when(step == 0)
     def _():
-        dma(b, t_tile, slot).start()
+        dma_start(b, t_tile, slot)
 
     nxt = step + 1
     nxt_b = nxt // n_tiles
@@ -95,11 +131,18 @@ def _kernel(spec_hbm, out_ref, buf, sems, *, tile_frames: int, radius: int,
 
     @pl.when(nxt < pl.num_programs(0) * n_tiles)
     def _():
-        dma(nxt_b, nxt_t, nxt_slot).start()
+        dma_start(nxt_b, nxt_t, nxt_slot)
 
-    dma(b, t_tile, slot).wait()
+    dma_wait(b, t_tile, slot)
 
     spec = buf[slot]  # (rows, F_TOT); data cols start at F_HALO
+    # zero rows outside the valid frame range (boundary tiles only read
+    # a partial window; the rest of the slot buffer is stale)
+    g = jax.lax.broadcasted_iota(jnp.int32, spec.shape, 0) \
+        + (t_tile * tile_frames - pad_rows)
+    spec = jnp.where(
+        (g >= 0) & (g < n_tiles * tile_frames), spec, 0.0
+    )
     width = 2 * radius + 1
     lane0 = F_HALO - radius  # running-window col for data col 0
     row0 = pad_rows - radius  # running-window row for tile row 0
@@ -168,11 +211,14 @@ def peak_candidates_fused(
     radius: int = 10,
     tile_frames: int = 64,
 ):
-    """Per-(frame, group) peak candidates from a (B, T_pad, F_PAD) dB spec.
+    """Per-(frame, group) peak candidates from the freq-pre-padded dB spec.
 
-    `spec` is the fused-spectrogram output (time-major, zero rows beyond
-    each song's valid frames, zero cols >= 2049). Requires amp_min > 0
-    (the zero padding must stay sub-threshold).
+    `spec` is the fused-spectrogram output, shape (B, T_pad, F_TOT) with
+    data bins at cols [F_HALO, F_HALO + F_PAD) and zero freq halos baked
+    in by the spectrogram's DFT tables. Time boundaries need no padding
+    at all: boundary tiles clamp their DMA and mask the out-of-range
+    rows to zero in VMEM — NO XLA pad pass anywhere. Requires
+    amp_min > 0 (the zero padding must stay sub-threshold).
 
     Returns int32 (B, T_pad * 17, 128): row r = t * 17 + g holds, in
     lanes [0:GROUP_CAP], the global freq indices of the first GROUP_CAP
@@ -181,12 +227,12 @@ def peak_candidates_fused(
     """
     if amp_min <= 0:
         raise ValueError("fused peak kernel requires amp_min > 0")
-    bsz, t_pad, f_pad = spec.shape
-    if f_pad != F_PAD or t_pad % tile_frames:
-        raise ValueError("expected fused-spectrogram layout")
+    bsz, t_pad, f_tot = spec.shape
+    if f_tot != F_TOT or t_pad <= 0 or t_pad % tile_frames:
+        raise ValueError("expected freq-pre-padded fused-spectrogram layout")
 
-    pad_rows = 12  # >= radius, and tile DMA slices stay 8-row aligned
-    padded = jnp.pad(spec, ((0, 0), (pad_rows, pad_rows), (F_HALO, F_HALO)))
+    pad_rows = 16  # multiple of 8: every clamped DMA offset stays aligned
+    padded = spec
     t_tiles = t_pad // tile_frames
     rows_per_tile = tile_frames * N_GROUPS
 
@@ -207,7 +253,7 @@ def peak_candidates_fused(
             (bsz, t_pad * N_GROUPS, OUT_LANES), jnp.int32
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_frames + 24, F_TOT), jnp.float32),
+            pltpu.VMEM((2, tile_frames + 32, F_TOT), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

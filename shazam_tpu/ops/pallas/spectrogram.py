@@ -51,32 +51,48 @@ NA = 32    # outer Cooley-Tukey factor
 NB = 128   # inner factor (native lane width)
 F_OUT = 2049
 F_PAD = 2176  # 17 * 128
+F_TOT = 2432  # F_HALO + F_PAD + F_HALO (pre-padded output width)
+
+
+F_HALO = 128          # freq zero-halo per side (= 32 * M_SHIFT)
+M_SHIFT = F_HALO // NA  # 4: halo in twisted m-units (k = 32 m + r)
+M_OUT = (F_HALO + F_PAD) // NA  # 72: m' rows carrying halo + data
 
 
 @functools.lru_cache(maxsize=4)
 def _tables(wsize: int, fs: int):
-    """Host-side DFT/twiddle/scale tables for the 32x128 factorization."""
+    """Host-side DFT/twiddle/scale tables for the 32x128 factorization.
+
+    The stage-2 DFT matrix is built in SHIFTED m' coordinates,
+    m' = m + M_SHIFT with zero rows outside [M_SHIFT, M_OUT): the
+    downstream peak kernel's frequency zero-halo comes straight out of
+    the matmul — no XLA pad pass over the (B, T, F) spectrogram.
+    """
     assert wsize == NA * NB
     a = np.arange(NA)
     b = np.arange(NB)
     r = np.arange(NA)
-    m = np.arange(NB)
+    m_sh = np.arange(NB) - M_SHIFT                      # m for row m'
+    live = (m_sh >= 0) & (m_sh < (F_PAD // NA))
     ang32 = -2.0 * np.pi * np.outer(r, a) / NA          # [r, a]
-    ang128 = -2.0 * np.pi * np.outer(m, b) / NB         # [m, b]
+    ang128 = -2.0 * np.pi * np.outer(m_sh, b) / NB      # [m', b]
     angt = -2.0 * np.pi * np.outer(r, b) / wsize        # [r, b]
 
-    # PSD scale in twisted [r, m] layout for k = 32 m + r; zero for
-    # k >= F_OUT and k >= wsize//2+1 one-sided fold handled by k range
+    # PSD scale in twisted [r, m'] layout for k = 32 (m' - M_SHIFT) + r;
+    # zero for halo rows and k >= F_OUT (one-sided fold by k range)
     win = np.hanning(wsize)
     base = 1.0 / (fs * np.sum(win * win))
-    k = 32 * m[None, :] + r[:, None]                    # [r, m]
-    scale = np.where(k < F_OUT, 2.0 * base, 0.0)
+    k = 32 * m_sh[None, :] + r[:, None]                 # [r, m']
+    scale = np.where((k >= 0) & (k < F_OUT), 2.0 * base, 0.0)
     scale = np.where((k == 0) | (k == wsize // 2), base, scale)
+
+    c128 = np.where(live[:, None], np.cos(ang128), 0.0)
+    s128 = np.where(live[:, None], np.sin(ang128), 0.0)
 
     f32 = lambda x: np.asarray(x, np.float32)
     return (
         f32(np.cos(ang32)), f32(np.sin(ang32)),
-        f32(np.cos(ang128)), f32(np.sin(ang128)),
+        f32(c128), f32(s128),
         f32(np.cos(angt)), f32(np.sin(angt)),
         f32(scale),
     )
@@ -103,9 +119,7 @@ def _kernel(nvf_ref, x_hbm, win_ref, c32_ref, s32_ref, c128_ref, s128_ref,
             sems.at[s],
         )
 
-    # double buffering: the first step fetches its own tile; every step
-    # prefetches the next tile (possibly the next song's first) so the DMA
-    # overlaps this step's FFT matmuls
+    # double buffering: prefetch the next tile while this one computes
     @pl.when(step == 0)
     def _():
         dma(b, t_tile, slot).start()
@@ -119,10 +133,20 @@ def _kernel(nvf_ref, x_hbm, win_ref, c32_ref, s32_ref, c128_ref, s128_ref,
         dma(nxt_b, nxt_t, nxt_slot).start()
 
     dma(b, t_tile, slot).wait()
+    _compute_tile(
+        nvf_ref, win_ref, c32_ref, s32_ref, c128_ref, s128_ref,
+        twr_ref, twi_ref, scale_ref, out_ref, x_vmem[slot],
+        b=b, t_tile=t_tile,
+        tile_frames=tile_frames, wsize=wsize, hop=hop,
+    )
 
+
+def _compute_tile(nvf_ref, win_ref, c32_ref, s32_ref, c128_ref, s128_ref,
+                  twr_ref, twi_ref, scale_ref, out_ref, x_tile,
+                  *, b, t_tile, tile_frames: int, wsize: int, hop: int):
     # framing via shifted slices over hop-sized rows (wsize = k * hop)
     k = wsize // hop
-    rows = x_vmem[slot].reshape(tile_frames + k - 1, hop)
+    rows = x_tile.reshape(tile_frames + k - 1, hop)
     frames = jnp.concatenate(
         [rows[j : j + tile_frames] for j in range(k)], axis=1
     )
@@ -183,13 +207,17 @@ def spectrogram_db_fused(
     hop: int = 2048,
     tile_frames: int = 64,
 ) -> jnp.ndarray:
-    """Batched fused spectrogram.
+    """Batched fused spectrogram, emitted freq-PRE-PADDED for the peak kernel.
 
     :param samples: (B, N) float32, N a multiple of hop.
     :param n_valid_frames: (B,) int32 — frames >= this are zeroed.
-    :return: (B, T_pad, F_PAD) dB spectrogram (time-major), T_pad =
-        ceil(T / tile) * tile with T = (N - wsize) // hop + 1; rows >= T
-        and freq bins >= F_OUT are exactly zero.
+    :return: (B, T_pad, F_TOT) dB spectrogram with T_pad =
+        ceil(T / tile) * tile, T = (N - wsize) // hop + 1. Data bins live
+        at cols [F_HALO, F_HALO + F_PAD); the freq halos (and bins >=
+        F_OUT) are exactly zero — baked into the stage-2 DFT matrix as
+        zero rows, so the peak kernel's frequency boundary context costs
+        no XLA pad pass. (Time boundaries are handled by the peak
+        kernel's own clamped DMAs.)
     """
     if wsize != NA * NB or wsize % hop != 0:
         raise ValueError("fused kernel supports wsize=4096 with hop | wsize")
@@ -248,6 +276,9 @@ def spectrogram_db_fused(
     )(n_valid_frames.astype(jnp.int32), samples_2d,
       win, c32, s32, c128, s128, twr, twi, scale)
 
-    # untwist [b, r, t, m] -> [b, t, k = 32 m + r]; one XLA transpose pass
+    # untwist [b, r, t, m'] -> [b, t, k' = 32 m' + r]: keep all 128 m'
+    # through the transpose (a 76-lane minor slice de-aligns the
+    # transpose tiling and measures slower) and slice the 2432 live
+    # k' columns afterwards — XLA fuses the slice into the transpose
     spec = jnp.transpose(twisted, (0, 2, 3, 1)).reshape(bsz, t_pad, wsize)
-    return spec[:, :, :F_PAD]
+    return spec[:, :, :F_TOT]

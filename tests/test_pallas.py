@@ -37,15 +37,17 @@ def test_fused_spectrogram_matches_xla(clip):
             spectrogram_db_fused(jnp.asarray(mat), jnp.asarray(nvf))
         )
     ref = np.asarray(spectrogram_db(jnp.asarray(clip))).T
+    # freq-pre-padded layout: data at cols [128, 128+2049)
+    data = fused[0, : nvf[0], 128 : 128 + 2049]
     # f32 matmul-FFT vs rfft: dB differences concentrate at near-zero
     # power bins (the parity gate is recognition accuracy, SURVEY.md §7)
-    assert np.abs(fused[0, : nvf[0], :2049] - ref[: nvf[0]]).max() < 0.3
+    assert np.abs(data - ref[: nvf[0]]).max() < 0.3
     strong = ref[: nvf[0]] > -20
-    assert np.abs(
-        fused[0, : nvf[0], :2049][strong] - ref[: nvf[0]][strong]
-    ).max() < 0.02
-    assert fused[0, nvf[0]:, :].max() == 0.0
-    assert np.abs(fused[0, :, 2049:]).max() == 0.0
+    assert np.abs(data[strong] - ref[: nvf[0]][strong]).max() < 0.02
+    # freq halos and invalid frames are exactly zero
+    assert np.abs(fused[0, nvf[0] :, :]).max() == 0.0     # padded frames
+    assert np.abs(fused[0, :, :128]).max() == 0.0         # left freq halo
+    assert np.abs(fused[0, :, 128 + 2049 :]).max() == 0.0  # right halo
 
 
 def test_fused_peaks_match_xla(clip):
@@ -59,8 +61,9 @@ def test_fused_peaks_match_xla(clip):
     spec_ft = np.asarray(spectrogram_db(jnp.asarray(clip)))
     t = spec_ft.shape[1]
     t_pad = -(-t // 64) * 64
-    spec_tf = np.zeros((1, t_pad, 2176), np.float32)
-    spec_tf[0, :t, :2049] = spec_ft.T
+    # freq-pre-padded layout the fused spectrogram now emits
+    spec_tf = np.zeros((1, t_pad, 2432), np.float32)
+    spec_tf[0, :t, 128 : 128 + 2049] = spec_ft.T
 
     with _interpret():
         table = peak_candidates_fused(jnp.asarray(spec_tf))
@@ -117,8 +120,9 @@ def test_compact_candidates_matches_topk_finish(clip):
     spec_ft = np.asarray(spectrogram_db(jnp.asarray(clip)))
     t = spec_ft.shape[1]
     t_pad = -(-t // 64) * 64
-    spec_tf = np.zeros((1, t_pad, 2176), np.float32)
-    spec_tf[0, :t, :2049] = spec_ft.T
+    # freq-pre-padded layout the fused spectrogram now emits
+    spec_tf = np.zeros((1, t_pad, 2432), np.float32)
+    spec_tf[0, :t, 128 : 128 + 2049] = spec_ft.T
     with _interpret():
         table = peak_candidates_fused(jnp.asarray(spec_tf))
         t2, f2, n2 = compact_candidates(table, 4096)
@@ -127,3 +131,29 @@ def test_compact_candidates_matches_topk_finish(clip):
     assert int(n2[0]) == n
     assert np.array_equal(np.asarray(t1)[0][:n], np.asarray(t2)[0][:n])
     assert np.array_equal(np.asarray(f1)[0][:n], np.asarray(f2)[0][:n])
+
+
+def test_fused_peaks_single_tile(clip):
+    """A one-tile spectrogram exercises the first&last clamped-DMA branch."""
+    import jax.numpy as jnp
+    from shazam_tpu.ops.pallas.peaks import (
+        peak_candidates_fused, extract_peaks_from_candidates,
+    )
+    from shazam_tpu.ops.peaks import extract_peaks
+    from shazam_tpu.ops.spectrogram import spectrogram_db
+
+    short = clip[: 2048 * 63 + 4096]  # exactly 64 frames
+    spec_ft = np.asarray(spectrogram_db(jnp.asarray(short)))
+    assert spec_ft.shape[1] == 64
+    spec_tf = np.zeros((1, 64, 2432), np.float32)
+    spec_tf[0, :, 128 : 128 + 2049] = spec_ft.T
+
+    with _interpret():
+        table = peak_candidates_fused(jnp.asarray(spec_tf))
+    times, freqs, n_peaks = extract_peaks_from_candidates(table, 2048)
+    rt, rf, rn = extract_peaks(jnp.asarray(spec_ft), 10.0, radius=10,
+                               capacity=2048)
+    n = int(rn)
+    assert int(n_peaks[0]) == n
+    assert np.array_equal(np.asarray(times)[0][:n], np.asarray(rt)[:n])
+    assert np.array_equal(np.asarray(freqs)[0][:n], np.asarray(rf)[:n])
