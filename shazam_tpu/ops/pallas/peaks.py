@@ -209,7 +209,7 @@ def peak_candidates_fused(
     *,
     amp_min: float = 10.0,
     radius: int = 10,
-    tile_frames: int = 64,
+    tile_frames: int = 128,
 ):
     """Per-(frame, group) peak candidates from the freq-pre-padded dB spec.
 
@@ -259,7 +259,7 @@ def peak_candidates_fused(
         compiler_params=pltpu.CompilerParams(
             # the double-buffered input tile pushes peak usage slightly
             # past the default 16M scoped-vmem budget
-            vmem_limit_bytes=24 * 1024 * 1024,
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(padded)
 

@@ -86,20 +86,28 @@ def _tables(wsize: int, fs: int):
     scale = np.where((k >= 0) & (k < F_OUT), 2.0 * base, 0.0)
     scale = np.where((k == 0) | (k == wsize // 2), base, scale)
 
-    c128 = np.where(live[:, None], np.cos(ang128), 0.0)
+    c128 = np.where(live[:, None], np.cos(ang128), 0.0)  # [m', b]
     s128 = np.where(live[:, None], np.sin(ang128), 0.0)
+
+    # fold the W4096^(br) twiddle into r-BATCHED stage-2 matrices:
+    # E[r, b, m'] = tw[r, b] * D128[m', b] (complex) — one batched
+    # matmul replaces twiddle mul + separate DFT contraction, dropping
+    # a 6-op VPU pass and two (r, t, b) temporaries per tile
+    twr = np.cos(angt)[:, :, None]                      # [r, b, 1]
+    twi = np.sin(angt)[:, :, None]
+    er = twr * c128.T[None] - twi * s128.T[None]        # [r, b, m']
+    ei = twr * s128.T[None] + twi * c128.T[None]
 
     f32 = lambda x: np.asarray(x, np.float32)
     return (
         f32(np.cos(ang32)), f32(np.sin(ang32)),
-        f32(c128), f32(s128),
-        f32(np.cos(angt)), f32(np.sin(angt)),
+        f32(er), f32(ei),
         f32(scale),
     )
 
 
-def _kernel(nvf_ref, x_hbm, win_ref, c32_ref, s32_ref, c128_ref, s128_ref,
-            twr_ref, twi_ref, scale_ref, out_ref, x_vmem, sems,
+def _kernel(nvf_ref, x_hbm, win_ref, c32_ref, s32_ref, er_ref, ei_ref,
+            scale_ref, out_ref, x_vmem, sems,
             *, tile_frames: int, wsize: int, hop: int):
     b = pl.program_id(0)
     t_tile = pl.program_id(1)
@@ -134,15 +142,15 @@ def _kernel(nvf_ref, x_hbm, win_ref, c32_ref, s32_ref, c128_ref, s128_ref,
 
     dma(b, t_tile, slot).wait()
     _compute_tile(
-        nvf_ref, win_ref, c32_ref, s32_ref, c128_ref, s128_ref,
-        twr_ref, twi_ref, scale_ref, out_ref, x_vmem[slot],
+        nvf_ref, win_ref, c32_ref, s32_ref, er_ref, ei_ref,
+        scale_ref, out_ref, x_vmem[slot],
         b=b, t_tile=t_tile,
         tile_frames=tile_frames, wsize=wsize, hop=hop,
     )
 
 
-def _compute_tile(nvf_ref, win_ref, c32_ref, s32_ref, c128_ref, s128_ref,
-                  twr_ref, twi_ref, scale_ref, out_ref, x_tile,
+def _compute_tile(nvf_ref, win_ref, c32_ref, s32_ref, er_ref, ei_ref,
+                  scale_ref, out_ref, x_tile,
                   *, b, t_tile, tile_frames: int, wsize: int, hop: int):
     # framing via shifted slices over hop-sized rows (wsize = k * hop)
     k = wsize // hop
@@ -163,24 +171,19 @@ def _compute_tile(nvf_ref, win_ref, c32_ref, s32_ref, c128_ref, s128_ref,
                              preferred_element_type=jnp.float32, precision=PRECISION)
     # [r, t, b]
 
-    # twiddle W4096^(b r): [r, b] -> broadcast over t
-    twr = twr_ref[:][:, None, :]
-    twi = twi_ref[:][:, None, :]
-    zr = gr * twr - gi * twi
-    zi = gr * twi + gi * twr
-
-    # stage 2: X[r, t, m] = sum_b Z[r, t, b] D128[m, b]
-    dn2 = (((2,), (1,)), ((), ()))
+    # stage 2 with the twiddle folded in: X[r, t, m] = sum_b G[r, t, b]
+    # E[r, b, m], batched over r (E = W4096^(br) * D128, see _tables)
+    dnb = (((2,), (1,)), ((0,), (0,)))
     xr = (
-        jax.lax.dot_general(zr, c128_ref[:], dn2,
+        jax.lax.dot_general(gr, er_ref[:], dnb,
                             preferred_element_type=jnp.float32, precision=PRECISION)
-        - jax.lax.dot_general(zi, s128_ref[:], dn2,
+        - jax.lax.dot_general(gi, ei_ref[:], dnb,
                               preferred_element_type=jnp.float32, precision=PRECISION)
     )
     xi = (
-        jax.lax.dot_general(zr, s128_ref[:], dn2,
+        jax.lax.dot_general(gr, ei_ref[:], dnb,
                             preferred_element_type=jnp.float32, precision=PRECISION)
-        + jax.lax.dot_general(zi, c128_ref[:], dn2,
+        + jax.lax.dot_general(gi, er_ref[:], dnb,
                               preferred_element_type=jnp.float32, precision=PRECISION)
     )
 
@@ -205,7 +208,7 @@ def spectrogram_db_fused(
     fs: int = 44100,
     wsize: int = 4096,
     hop: int = 2048,
-    tile_frames: int = 64,
+    tile_frames: int = 128,
 ) -> jnp.ndarray:
     """Batched fused spectrogram, emitted freq-PRE-PADDED for the peak kernel.
 
@@ -232,7 +235,7 @@ def spectrogram_db_fused(
     if need > n:
         samples = jnp.pad(samples, ((0, 0), (0, need - n)))
 
-    c32, s32, c128, s128, twr, twi, scale = (
+    c32, s32, er, ei, scale = (
         jnp.asarray(t) for t in _tables(wsize, fs)
     )
     win = hann_window(wsize)
@@ -249,10 +252,8 @@ def spectrogram_db_fused(
             pl.BlockSpec(memory_space=pltpu.VMEM),   # window
             pl.BlockSpec(memory_space=pltpu.VMEM),   # c32
             pl.BlockSpec(memory_space=pltpu.VMEM),   # s32
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # c128
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # s128
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # twr
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # twi
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # er (twiddle-folded)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ei
             pl.BlockSpec(memory_space=pltpu.VMEM),   # scale
         ],
         out_specs=pl.BlockSpec(
@@ -271,10 +272,10 @@ def spectrogram_db_fused(
         out_shape=jax.ShapeDtypeStruct((bsz, NA, t_pad, NB), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=28 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(n_valid_frames.astype(jnp.int32), samples_2d,
-      win, c32, s32, c128, s128, twr, twi, scale)
+      win, c32, s32, er, ei, scale)
 
     # untwist [b, r, t, m'] -> [b, t, k' = 32 m' + r]: keep all 128 m'
     # through the transpose (a 76-lane minor slice de-aligns the

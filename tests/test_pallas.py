@@ -60,7 +60,7 @@ def test_fused_peaks_match_xla(clip):
 
     spec_ft = np.asarray(spectrogram_db(jnp.asarray(clip)))
     t = spec_ft.shape[1]
-    t_pad = -(-t // 64) * 64
+    t_pad = -(-t // 128) * 128
     # freq-pre-padded layout the fused spectrogram now emits
     spec_tf = np.zeros((1, t_pad, 2432), np.float32)
     spec_tf[0, :t, 128 : 128 + 2049] = spec_ft.T
@@ -119,7 +119,7 @@ def test_compact_candidates_matches_topk_finish(clip):
 
     spec_ft = np.asarray(spectrogram_db(jnp.asarray(clip)))
     t = spec_ft.shape[1]
-    t_pad = -(-t // 64) * 64
+    t_pad = -(-t // 128) * 128
     # freq-pre-padded layout the fused spectrogram now emits
     spec_tf = np.zeros((1, t_pad, 2432), np.float32)
     spec_tf[0, :t, 128 : 128 + 2049] = spec_ft.T
@@ -142,10 +142,13 @@ def test_fused_peaks_single_tile(clip):
     from shazam_tpu.ops.peaks import extract_peaks
     from shazam_tpu.ops.spectrogram import spectrogram_db
 
-    short = clip[: 2048 * 63 + 4096]  # exactly 64 frames
+    from shazam_tpu.audio.synth import synth_song
+
+    long_clip = synth_song(1, duration_s=7.0, seed=3).astype(np.float32)
+    short = long_clip[: 2048 * 127 + 4096]  # exactly 128 frames = one tile
     spec_ft = np.asarray(spectrogram_db(jnp.asarray(short)))
-    assert spec_ft.shape[1] == 64
-    spec_tf = np.zeros((1, 64, 2432), np.float32)
+    assert spec_ft.shape[1] == 128
+    spec_tf = np.zeros((1, 128, 2432), np.float32)
     spec_tf[0, :, 128 : 128 + 2049] = spec_ft.T
 
     with _interpret():
