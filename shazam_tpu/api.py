@@ -38,6 +38,7 @@ from .ops.fingerprint import (
     fingerprints_to_pairs,
 )
 from .index.store import FingerprintIndex, build_index, merge_into
+from .index.devmerge import DeviceIndex
 from .index.catalog import SongCatalog
 from .match.prepare import prepare_query
 from .match.lookup import match_query
@@ -83,13 +84,62 @@ class SIA:
         config: FingerprintConfig = DEFAULT_CONFIG,
         catalog_path: str = ":memory:",
         index: Optional[FingerprintIndex] = None,
+        device_resident: bool = False,
     ):
         self.config = config
         self.catalog = SongCatalog(catalog_path)
         self.catalog.delete_unfingerprinted()  # reference crash recovery
+        self.device_resident = device_resident
+        self._dev_store: Optional[DeviceIndex] = None
+        self._host_stale = False
         self.index = index or build_index([], n_songs=0)
         self._device_index = None
         self._max_off = 0
+
+    # ------------------------------------------------------------------ #
+    # index residency
+    # ------------------------------------------------------------------ #
+    @property
+    def index(self) -> FingerprintIndex:
+        """Host-side index; device-resident mode syncs from HBM on access."""
+        if self._host_stale:
+            self._index = self._dev_store.to_host()
+            self._host_stale = False
+        return self._index
+
+    @index.setter
+    def index(self, ix: FingerprintIndex) -> None:
+        self._index = ix
+        self._host_stale = False
+        self._dev_store = None
+
+    def _live_n_songs(self) -> int:
+        """Catalog size without forcing a device->host index sync."""
+        if self._dev_store is not None:
+            return self._dev_store.n_songs
+        return self._index.n_songs
+
+    def _live_n_hashes(self) -> int:
+        if self._dev_store is not None:
+            return self._dev_store.n_valid
+        return self._index.n_hashes
+
+    def _absorb_addition(self, addition: FingerprintIndex) -> None:
+        """Merge a sorted addition run into the live index.
+
+        Default: host ``merge_into`` (O(n) memcpy-speed) + lazy HBM
+        re-upload.  Device-resident: the run is merged *on the device*
+        (index/devmerge.py) — no host merge, no index re-upload; the
+        host copy materializes lazily on ``.index`` access (save/stats).
+        """
+        if self.device_resident:
+            if self._dev_store is None:
+                self._dev_store = DeviceIndex.from_host(self.index)
+            self._dev_store.merge(addition)
+            self._host_stale = True
+        else:
+            self.index = merge_into(self.index, addition)
+        self._device_index = None
 
     # ------------------------------------------------------------------ #
     # ingest
@@ -292,10 +342,9 @@ class SIA:
             if not chunk_entries or (not force and pending_hashes < merge_chunk_hashes):
                 return
             n_songs = max(max(e[0] for e in chunk_entries) + 1,
-                          self.index.n_songs)
+                          self._live_n_songs())
             addition = build_index(chunk_entries, n_songs=n_songs)
-            self.index = merge_into(self.index, addition)
-            self._device_index = None
+            self._absorb_addition(addition)
             for sid in chunk_sids:
                 self.catalog.set_song_fingerprinted(sid)
             chunk_entries.clear()
@@ -514,10 +563,9 @@ class SIA:
         if new_entries:
             n_songs = max(e[0] for e in new_entries) + 1
             addition = build_index(
-                new_entries, n_songs=max(n_songs, self.index.n_songs)
+                new_entries, n_songs=max(n_songs, self._live_n_songs())
             )
-            self.index = merge_into(self.index, addition)
-            self._device_index = None  # refresh device copy lazily
+            self._absorb_addition(addition)
             for sid, *_rest in new_entries:
                 self.catalog.set_song_fingerprinted(sid)
 
@@ -528,6 +576,12 @@ class SIA:
     # recognition
     # ------------------------------------------------------------------ #
     def _ensure_device_index(self):
+        if self.device_resident:
+            if self._dev_store is None:
+                self._dev_store = DeviceIndex.from_host(self.index)
+            self._offset_stride = self._dev_store.stride
+            self._max_off = ((self._dev_store.max_offset // 4096) + 1) * 4096
+            return self._dev_store.query_cols()
         if self._device_index is None:
             self._device_index = self.index.device_arrays()
             self._offset_stride = self.index.offset_stride
@@ -651,7 +705,7 @@ class SIA:
 
             raw, _batches = match_query_apriori(
                 dev, q,
-                n_songs=max(self.index.n_songs, 1),
+                n_songs=max(self._live_n_songs(), 1),
                 delta_min=delta_min,
                 delta_range=delta_range,
                 match_capacity=self.config.match_capacity,
@@ -669,7 +723,7 @@ class SIA:
                 dev,
                 jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
                 jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
-                n_songs=max(self.index.n_songs, 1),
+                n_songs=max(self._live_n_songs(), 1),
                 delta_min=delta_min,
                 delta_range=delta_range,
                 match_capacity=cap,
@@ -719,7 +773,7 @@ class SIA:
             min_dt=self.config.min_hash_time_delta,
             max_dt=self.config.max_hash_time_delta,
             peak_capacity=self.config.peak_capacity,
-            n_songs=max(self.index.n_songs, 1),
+            n_songs=max(self._live_n_songs(), 1),
             delta_min=delta_min,
             delta_range=delta_range,
             match_capacity=self.config.match_capacity_fast,
@@ -816,7 +870,7 @@ class SIA:
             dev,
             *(jnp.asarray(stack[n]) for n in
               ("hi", "lo", "ex", "t", "valid", "first")),
-            n_songs=max(self.index.n_songs, 1),
+            n_songs=max(self._live_n_songs(), 1),
             delta_min=delta_min, delta_range=delta_range,
             match_capacity=self.config.match_capacity,
             topn=topn or self.config.topn,
