@@ -22,7 +22,7 @@ the same layout from the same catalog metadata, no coordination needed.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -109,19 +109,73 @@ class SpannedCatalog:
                 == jax.process_index()]
 
     def _place(self, stacked) -> None:
-        """Build global arrays from process-local shard rows."""
+        """Build global arrays from full stacked (n_shards, rows) arrays."""
+        mine = self._my_shard_ids()
+        self._place_local(tuple(a[mine] for a in stacked))
+
+    def _place_local(self, local_stacked) -> None:
+        """Build global arrays from THIS process's shard rows only.
+
+        local_stacked: (n_my_shards, rows) uint32 arrays, rows for my
+        shard ids in ascending order — the distributed-ingest path, where
+        no process ever holds the full index.
+        """
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        mine = self._my_shard_ids()
         sharding = NamedSharding(self.mesh, P("shard", None))
         self._arrays = tuple(
             jax.make_array_from_process_local_data(
-                sharding, np.ascontiguousarray(a[mine]),
+                sharding, np.ascontiguousarray(a),
                 (self.n_shards,) + a.shape[1:],
             )
-            for a in stacked
+            for a in local_stacked
         )
+
+    # ---- persistence: per-process shard files -------------------------
+    def save_local_shards(self, dir_path: str) -> str:
+        """Write THIS process's shard rows + meta to one npz.
+
+        A spanned catalog restarts from these files (same process/device
+        topology) without refingerprinting anything.
+        """
+        import jax
+
+        os.makedirs(dir_path, exist_ok=True)
+        path = os.path.join(dir_path, f"shards_p{jax.process_index():03d}.npz")
+        n_cols = len(self._arrays)
+        cols = {}
+        for c, a in enumerate(self._arrays):
+            shards = sorted(a.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            cols[f"col{c}"] = np.concatenate(
+                [np.asarray(s.data) for s in shards]
+            )
+        np.savez_compressed(
+            path,
+            meta=np.array([self.n_songs, self.max_offset, self._stride,
+                           self.n_shards, n_cols], np.int64),
+            **cols,
+        )
+        return path
+
+    @classmethod
+    def load_local_shards(cls, dir_path: str, mesh=None) -> "SpannedCatalog":
+        import jax
+
+        path = os.path.join(dir_path, f"shards_p{jax.process_index():03d}.npz")
+        with np.load(path) as z:
+            meta = z["meta"]
+            n_cols = int(meta[4])
+            local = tuple(z[f"col{c}"] for c in range(n_cols))
+        cat = cls((int(meta[0]), int(meta[1]), int(meta[2])), mesh=mesh)
+        if cat.n_shards != int(meta[3]):
+            raise ValueError(
+                f"shard file was written for {int(meta[3])} shards, "
+                f"mesh has {cat.n_shards}"
+            )
+        cat._place_local(local)
+        return cat
 
     def _replicate(self, a: np.ndarray):
         import jax
@@ -154,3 +208,110 @@ class SpannedCatalog:
         raw = jax.device_get(raw)
         return align_results(raw, q.n_pairs, catalog=catalog,
                              config=config or DEFAULT_CONFIG)
+
+
+def distributed_ingest_arrays(
+    song_names: Sequence[str],
+    load_fn: Callable[[int], np.ndarray],
+    config=None,
+    mesh=None,
+    batch_size: int = 8,
+    song_peak_capacity: Optional[int] = None,
+    chunk_songs: int = 32,
+) -> Tuple["SpannedCatalog", "object"]:
+    """Shard the *fingerprinting work itself* across host processes.
+
+    Every process receives the same deterministic ``song_names`` list
+    (global song id = list position); it decodes and fingerprints ONLY
+    the songs whose round-robin shard (``s % n_shards``) lives on one of
+    its own devices, in O(chunk) host memory, then places its shard rows
+    directly on its devices.  No process ever materializes the full
+    catalog — audio, fingerprints, or index.  The reference fingerprints
+    on one host into one DB (``__init__.py:325-405``); this is that
+    driver spanned over a pod.
+
+    :param load_fn: global song id -> mono samples (int16/float32);
+        called only for songs this process owns.
+    :returns: (SpannedCatalog ready to ``match``, local SIA whose catalog
+        holds THIS process's songs — resolve foreign names via metadata
+        replication or the owning process).
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..api import SIA
+    from ..config import DEFAULT_CONFIG
+
+    if len(set(song_names)) != len(song_names):
+        raise ValueError("song names must be unique (they key the id remap)")
+
+    mesh = mesh or global_mesh()
+    n_shards = mesh.devices.size
+    n_songs = len(song_names)
+    cat = SpannedCatalog((n_songs, 0, 0), mesh=mesh)  # meta fixed below
+    mine = set(cat._my_shard_ids())
+    owned = [s for s in range(n_songs) if s % n_shards in mine]
+
+    # ---- local fingerprint pass (streaming, O(chunk) host audio) ----
+    local = SIA(config or DEFAULT_CONFIG)
+    for base in range(0, len(owned), chunk_songs):
+        part = [(song_names[s], load_fn(s))
+                for s in owned[base:base + chunk_songs]]
+        local.ingest_arrays(part, batch_size=batch_size,
+                            song_peak_capacity=song_peak_capacity)
+    ix = local.index
+    sid_of_name = {d["song_name"]: d["song_id"]
+                   for d in local.catalog.get_songs()}
+    remap = np.zeros(max(sid_of_name.values(), default=0) + 1, np.uint32)
+    for s in owned:
+        remap[sid_of_name[song_names[s]]] = s
+    gsid = remap[ix.song_id] if ix.n_hashes else ix.song_id
+
+    # ---- agree on global meta (one tiny DCN allgather at ingest) ----
+    shard_of = gsid % n_shards if ix.n_hashes else gsid
+    counts = np.bincount(shard_of, minlength=n_shards) if ix.n_hashes \
+        else np.zeros(n_shards, np.int64)
+    g = np.asarray(multihost_utils.process_allgather(
+        np.array([int(ix.max_offset), int(counts.max() if len(counts) else 0)],
+                 np.int64)
+    )).reshape(-1, 2)
+    gmax_off = int(g[:, 0].max())
+    rows_per = max(int(g[:, 1].max()), 1)
+    stride = 1
+    while stride <= gmax_off:
+        stride <<= 1
+    if max(n_songs, 1) * stride > (1 << 32):
+        stride = 0
+
+    # ---- build MY shards' padded sorted rows (bigcatalog layout) ----
+    n_local_songs = cat.n_local_songs
+    local_sid = (gsid // n_shards).astype(np.uint32)
+    per_shard = []
+    for d in sorted(mine):
+        sel = shard_of == d
+        hi, lo, ex = ix.key_hi[sel], ix.key_lo[sel], ix.key_ex[sel]
+        sid, off = local_sid[sel], ix.offset[sel]
+        order = np.lexsort((ex, lo, hi))
+        hi, lo, ex, sid, off = (a[order] for a in (hi, lo, ex, sid, off))
+
+        def pad(a, fill):
+            out = np.full(rows_per, fill, np.uint32)
+            out[: len(a)] = a
+            return out
+
+        keys = (pad(hi, 0xFFFFFFFF), pad(lo, 0xFFFFFFFF),
+                pad(ex, 0xFFFFFFFF))
+        if stride:
+            packed = sid * np.uint32(stride) + off.astype(np.uint32)
+            per_shard.append(keys + (pad(packed, np.uint32(
+                min(n_local_songs * stride, 2 ** 32 - 1))),))
+        else:
+            per_shard.append(keys + (pad(sid, n_local_songs), pad(off, 0)))
+
+    local_stacked = tuple(
+        np.stack([per_shard[i][c] for i in range(len(per_shard))])
+        for c in range(len(per_shard[0]))
+    )
+    cat.n_songs, cat.max_offset, cat._stride = n_songs, gmax_off, stride
+    cat._place_local(local_stacked)
+    return cat, local

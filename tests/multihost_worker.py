@@ -1,13 +1,74 @@
-"""Worker for the 2-process multi-host catalog test (run via subprocess).
+"""Worker for the 2-process multi-host catalog tests (run via subprocess).
 
-Usage: python multihost_worker.py <process_id> <port>
-Both processes build the SAME deterministic index, keep only their own
-devices' song shards, and answer a query whose exact result is known by
-construction. Prints MULTIHOST_OK on success.
+Usage: python multihost_worker.py <process_id> <port> [ingest <tmpdir>]
+Mode 1 (default): both processes build the SAME deterministic index,
+keep only their own devices' song shards, and answer a query whose
+exact result is known by construction. Prints MULTIHOST_OK on success.
+Mode 2 (ingest): each process fingerprints ONLY its own shards' songs
+(distributed_ingest_arrays), the spanned catalog answers a clip query,
+and the per-process shard files round-trip. Prints INGEST_OK.
 """
 
 import os
 import sys
+
+
+def _ingest_mode(tmpdir: str) -> None:
+    """Distributed ingest: the fingerprint work itself is process-sharded."""
+    import jax
+    import numpy as np
+
+    from shazam_tpu.audio.synth import synth_song
+    from shazam_tpu.match.prepare import prepare_query
+    from shazam_tpu.ops.fingerprint import fingerprint_samples
+    from shazam_tpu.parallel.multihost import (
+        SpannedCatalog, distributed_ingest_arrays, global_mesh,
+    )
+
+    n_songs, dur = 8, 2.5
+    names = [f"track{s:03d}" for s in range(n_songs)]
+    loads = []
+
+    def load(s: int) -> np.ndarray:
+        loads.append(s)
+        return synth_song(s, duration_s=dur)
+
+    mesh = global_mesh()
+    cat, local = distributed_ingest_arrays(names, load, mesh=mesh,
+                                           batch_size=4)
+    # this process fingerprinted ONLY its own shards' songs
+    mine = set(cat._my_shard_ids())
+    assert set(loads) == {s for s in range(n_songs)
+                          if s % cat.n_shards in mine}, (loads, mine)
+    assert len(loads) < n_songs
+    assert {d["song_name"] for d in local.catalog.get_songs()} == {
+        names[s] for s in loads
+    }
+
+    # a clip from song 5 must win the spanned query on every process
+    target = 5
+    fs = 44100
+    clip = np.asarray(synth_song(target, duration_s=dur))[
+        int(0.4 * fs): int(1.9 * fs)
+    ]
+    pad = np.zeros(1 << 18, np.float32)
+    pad[: len(clip)] = clip  # raw sample values, same as the ingest path
+    fp = fingerprint_samples(pad, np.int32(len(clip)))
+    q = prepare_query([jax.device_get(fp)])
+    res = cat.match(q, topn=2, q_frames=1024)
+    top = res.results[0]
+    assert top["song_id"] == target, res.results
+    assert top["hashes_matched_in_input"] > 10
+
+    # per-process shard-file persistence round trip
+    cat.save_local_shards(tmpdir)
+    cat2 = SpannedCatalog.load_local_shards(tmpdir, mesh=mesh)
+    res2 = cat2.match(q, topn=2, q_frames=1024)
+    assert res2.results[0]["song_id"] == target
+    assert (res2.results[0]["hashes_matched_in_input"]
+            == top["hashes_matched_in_input"])
+    print(f"INGEST_OK pid={jax.process_index()} owned={sorted(loads)} "
+          f"votes={top['hashes_matched_in_input']}", flush=True)
 
 
 def main() -> None:
@@ -17,6 +78,10 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/shazam_tpu_xla_tests"),
+    )
 
     import numpy as np
 
@@ -28,6 +93,10 @@ def main() -> None:
                    local_device_count=4)
     assert jax.device_count() == 8
     assert jax.local_device_count() == 4
+
+    if len(sys.argv) > 3 and sys.argv[3] == "ingest":
+        _ingest_mode(sys.argv[4])
+        return
 
     # deterministic synthetic index: 4000 songs, unique keys by bit-mix,
     # plus a planted song with known rows (same recipe on both processes)

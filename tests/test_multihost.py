@@ -22,7 +22,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_spanned_query():
+def _run_workers(extra_args, ok_token, timeout=280):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)       # workers set their own device count
@@ -31,7 +31,7 @@ def test_two_process_spanned_query():
     worker = os.path.join(HERE, "multihost_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), str(port)],
+            [sys.executable, worker, str(pid), str(port)] + extra_args,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=REPO,
         )
@@ -39,8 +39,26 @@ def test_two_process_spanned_query():
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=280)
+        out, _ = p.communicate(timeout=timeout)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
-        assert "MULTIHOST_OK" in out, out[-3000:]
+        assert ok_token in out, out[-3000:]
+    return outs
+
+
+def test_two_process_spanned_query():
+    _run_workers([], "MULTIHOST_OK")
+
+
+def test_two_process_distributed_ingest(tmp_path):
+    """Each process fingerprints only its own shards' songs; the spanned
+    query and the per-process shard-file round trip both succeed."""
+    outs = _run_workers(["ingest", str(tmp_path)], "INGEST_OK", timeout=420)
+    # the two processes fingerprinted disjoint, complementary song sets
+    import re
+
+    sets = [set(map(int, re.search(r"owned=\[([\d, ]+)\]", o).group(1)
+                    .split(", "))) for o in outs]
+    assert sets[0] & sets[1] == set()
+    assert sets[0] | sets[1] == set(range(8))
