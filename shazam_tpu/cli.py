@@ -26,7 +26,8 @@ def _open_sia(args, need_index: bool):
     if getattr(args, "config", None):
         with open(args.config) as fh:
             config = FingerprintConfig.from_json(fh.read())
-    sia = SIA(config=config, catalog_path=args.db + ".sqlite")
+    sia = SIA(config=config, catalog_path=args.db + ".sqlite",
+              device_resident=getattr(args, "device_resident", False))
     index_path = args.db + ".npz"
     if os.path.exists(index_path):
         sia.load_index(index_path)
@@ -157,6 +158,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--limit", type=float, default=None,
                    help="seconds per file to fingerprint")
     s.add_argument("--batch-size", type=int, default=8)
+    s.add_argument("--device-resident", action="store_true",
+                   help="merge fingerprints on the device (index/devmerge"
+                        ".py) — for catalogs where host merges dominate")
     s.set_defaults(fn=cmd_ingest)
 
     s = sub.add_parser("recognize", help="identify one audio file")

@@ -89,7 +89,18 @@ def extract_peaks(db_spec: jnp.ndarray, amp_min: float,
     more than `frame_capacity` peaks (a near-constant plateau — degenerate
     input), n_peaks is clamped above `capacity` so callers see overflow.
     """
-    mask = peak_mask(db_spec, amp_min, radius)
+    return extract_peaks_from_mask(
+        peak_mask(db_spec, amp_min, radius),
+        capacity=capacity, frame_capacity=frame_capacity,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "frame_capacity"))
+def extract_peaks_from_mask(mask: jnp.ndarray, capacity: int = 8192,
+                            frame_capacity: int = 128):
+    """``extract_peaks`` from an already-computed (n_freqs, n_frames)
+    constellation mask (the incremental streaming engine composes its
+    window mask from settled ring columns + recomputed edge strips)."""
     n_freqs, n_frames = mask.shape
     mask_t = mask.T  # (T, F): row-major == (t, f) lex order
     n = n_freqs * n_frames

@@ -220,14 +220,25 @@ class StreamRecognizer:
     """
 
     def __init__(self, sia: SIA, channels: int = 2,
-                 window_seconds: float = 15.0):
+                 window_seconds: float = 15.0, engine: str = "host"):
+        """engine="device" keeps the incremental state in HBM ring
+        buffers with fixed-shape per-chunk programs (stream_device.py);
+        "host" caches columns host-side (identical results either way).
+        """
         self.sia = sia
         self.channels = channels
         self.window_seconds = window_seconds
         self.window_samples = int(window_seconds * sia.config.sample_rate)
+        if engine == "device":
+            from .stream_device import DeviceIncrementalFingerprinter
+
+            fp_cls = DeviceIncrementalFingerprinter
+        elif engine == "host":
+            fp_cls = IncrementalFingerprinter
+        else:
+            raise ValueError(f"unknown streaming engine {engine!r}")
         self._fps = [
-            IncrementalFingerprinter(sia.config, window_seconds)
-            for _ in range(channels)
+            fp_cls(sia.config, window_seconds) for _ in range(channels)
         ]
         self._rings: List[np.ndarray] = [
             np.zeros(0, np.int16) for _ in range(channels)
@@ -241,7 +252,11 @@ class StreamRecognizer:
             ch = chunk[c :: self.channels]
             self._fps[c].feed(ch)
             self._rings[c] = np.concatenate([self._rings[c], ch])
-        keep = self.window_samples + self.sia.config.window_size
+        # slack covers the fingerprinter's residual: the device engine
+        # consumes 16-frame quanta, so up to ~15 hops + a window of
+        # samples can be fed but not yet absorbed into frames
+        keep = (self.window_samples + 2 * self.sia.config.window_size
+                + 16 * self.sia.config.hop)
         if len(self._rings[0]) > keep:
             drop = len(self._rings[0]) - keep
             self._rings = [r[drop:] for r in self._rings]
