@@ -195,10 +195,10 @@ def _v4_kernel(spec_hbm, out_ref, buf, sems):
     counts = jax.lax.dot_general(
         m_f, proj, dn, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)         # (TILE, 17)
-    table = jnp.concatenate(outs + [counts], axis=1)  # (TILE, 17*17=289)
-    out = jnp.zeros((TILE, 384), jnp.float32)
-    out = jax.lax.dynamic_update_slice(out, table, (0, 0))
-    out_ref[0] = out.astype(jnp.int32)
+    lanes = N_GROUPS * (2 * GROUP_CAP + 1)            # 289
+    pad = jnp.zeros((TILE, 384 - lanes), jnp.float32)
+    out_ref[0] = jnp.concatenate(outs + [counts, pad], axis=1) \
+        .astype(jnp.int32)
 
 
 def _call(kernel, out_rows, out_lanes, spec):

@@ -500,7 +500,15 @@ class SIA:
         for blen, chan_ids in sorted(by_bucket.items()):
             for base in range(0, len(chan_ids), batch_size):
                 ids = chan_ids[base:base + batch_size]
-                batch = np.zeros((len(ids), blen), np.float32)
+                # upload int16 when the sources are integral (WAV/synth
+                # audio): halves host->device transfer; the exact cast
+                # to float32 happens on the device
+                all_int = all(
+                    chan_data[ci].dtype == np.int16 for ci in ids
+                )
+                batch = np.zeros(
+                    (len(ids), blen), np.int16 if all_int else np.float32
+                )
                 n_valid = np.zeros(len(ids), np.int32)
                 for row, ci in enumerate(ids):
                     ch = chan_data[ci]
@@ -510,8 +518,11 @@ class SIA:
                     fingerprint_batch_fused if _fused_ok(self.config)
                     else fingerprint_batch
                 )
+                batch_dev = jnp.asarray(batch)
+                if all_int:
+                    batch_dev = batch_dev.astype(jnp.float32)
                 fp = batch_fn(
-                    jnp.asarray(batch), jnp.asarray(n_valid),
+                    batch_dev, jnp.asarray(n_valid),
                     fs=self.config.sample_rate,
                     wsize=self.config.window_size,
                     hop=self.config.hop,
