@@ -77,8 +77,23 @@ def _prefix_mxu(kept):
         chunk = chunk + jnp.where(cid >= s, pltpu.roll(chunk, s, 0), 0.0)
         s *= 2
     excl_chunk = chunk - totals                       # exclusive chunk base
-    incl = within + excl_chunk
-    return incl.reshape(TILE_ROWS, 1).astype(jnp.int32)
+    incl = within + excl_chunk                        # (8, 128)
+    # broadcast back to (1024, 1): Mosaic cannot reshape (8,128)->(1024,1),
+    # but row_sel @ incl lands chunk i's lanes on rows 128i..128i+127 and
+    # a lane one-hot picks row%128 — one tiny MXU op + a lane reduce
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 8), 0)
+    row_sel = ((rows // 128) == jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_ROWS, 8), 1)).astype(jnp.float32)
+    spread = jax.lax.dot_general(
+        row_sel, incl, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (1024, 128)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
+    pick = (jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 0)
+            % 128) == lanes
+    return jnp.sum(jnp.where(pick, spread, 0.0), axis=1,
+                   keepdims=True).astype(jnp.int32)
 
 
 def _make_kernel(prefix_impl, do_scatter):
