@@ -8,7 +8,7 @@ contiguous in-kernel cursor write is blocked by Mosaic's 128-alignment
 rule for dynamic stores; a cumsum+searchsorted finish is gather-bound at
 ~20 ns/element. This two-level shape measures fastest.)
 
-Per (song, 256-row tile) grid step:
+Per (song, TILE_ROWS-row tile) grid step:
 - per-row exclusive prefix of kept counts (log-shift adds over sublanes),
 - one-hot projection of the tile's <= TILE_CAP candidates into a dense
   (TILE_CAP,) segment: k along lanes, rows along sublanes, int32
@@ -28,34 +28,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .peaks import GROUP_CAP, N_GROUPS
 
-TILE_ROWS = 1024   # candidate-table rows per grid step (~60 frames)
-TILE_CAP = 1024    # dense segment size per tile (typ. ~200 candidates)
+TILE_ROWS = 2176   # candidate-table rows per grid step (= one 128-frame
+                   # peaks tile; measured fastest — benchmarks/exp_tile.py)
+TILE_CAP = 1024    # dense segment size per tile (typ. ~300 candidates at
+                   # 128 frames; overflow falls back to the exact path)
 
 
-def _kernel(tab_ref, out_ref, cnt_ref):
+def _kernel(tab_ref, out_ref, cnt_ref, *, tile_rows=TILE_ROWS,
+            tile_cap=TILE_CAP):
     rt = pl.program_id(1)
+    a_rows = tile_cap // 128
 
-    tile = tab_ref[0]                      # (TILE_ROWS, 128) int32
+    tile = tab_ref[0]                      # (tile_rows, 128) int32
     cand = tile[:, :GROUP_CAP]             # global freq or -1
     kept = jnp.minimum(tile[:, GROUP_CAP : GROUP_CAP + 1], GROUP_CAP)
 
     # exclusive per-row prefix of kept counts (log shifts over sublanes)
     incl = kept
     shift = 1
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 1), 0)
-    while shift < TILE_ROWS:
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 1), 0)
+    while shift < tile_rows:
         rolled = pltpu.roll(incl, shift, 0)
         incl = incl + jnp.where(row_ids >= shift, rolled, 0)
         shift *= 2
-    base = incl - kept                     # (TILE_ROWS, 1)
-    tile_total = incl[TILE_ROWS - 1, 0]
+    base = incl - kept                     # (tile_rows, 1)
+    tile_total = incl[tile_rows - 1, 0]
 
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, GROUP_CAP), 1)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, GROUP_CAP), 1)
     valid = c_ids < kept
-    pos = jnp.where(valid, base + c_ids, TILE_CAP)  # invalid -> out of range
+    pos = jnp.where(valid, base + c_ids, tile_cap)  # invalid -> out of range
 
-    r_tab = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, GROUP_CAP), 0)
-    t_val = ((rt * TILE_ROWS) + r_tab) // N_GROUPS
+    r_tab = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, GROUP_CAP), 0)
+    t_val = ((rt * tile_rows) + r_tab) // N_GROUPS
     packed_val = jnp.where(valid, t_val * 4096 + cand, 0)  # < 2^26, int32
 
     # rank-factored one-hot scatter: position k = 128 a + b splits into
@@ -64,26 +68,36 @@ def _kernel(tab_ref, out_ref, cnt_ref):
     # lands each value at its position. ~7x fewer VPU compares than a
     # flat (TILE_ROWS, TILE_CAP) one-hot, and the sum rides the MXU.
     # Values are < 2^24 so the f32 matmul is exact.
-    a_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 8), 1)
-    b_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, 128), 1)
-    out_tile = jnp.zeros((8, 128), jnp.float32)
+    #
+    # Every elementwise op here costs a FULL (TILE_ROWS, 128)-vreg pass
+    # regardless of array width (narrow (N, 1)/(N, 8) arrays still span
+    # 128 vregs), so div/mod/casts are hoisted out of the slot loop —
+    # the loop body is two compares, a select, a cast and the dot.
+    a_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, a_rows), 1)
+    b_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 128), 1)
+    pdiv = pos // 128                          # (TILE_ROWS, GROUP_CAP)
+    pmod = pos % 128
+    val_f = packed_val.astype(jnp.float32)
+    out_tile = jnp.zeros((a_rows, 128), jnp.float32)
     dn = (((0,), (0,)), ((), ()))
     for c in range(GROUP_CAP):
-        pos_c = pos[:, c : c + 1]
-        h = ((pos_c // 128) == a_ids).astype(jnp.float32)
-        lv = ((pos_c % 128) == b_ids).astype(jnp.float32) \
-            * packed_val[:, c : c + 1].astype(jnp.float32)
+        h = (pdiv[:, c : c + 1] == a_ids).astype(jnp.float32)
+        lv = jnp.where(pmod[:, c : c + 1] == b_ids, val_f[:, c : c + 1], 0.0)
         out_tile = out_tile + jax.lax.dot_general(
             h, lv, dn, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
 
     out_ref[0] = out_tile.astype(jnp.int32)
-    cnt_ref[0] = jnp.full((8, 128), tile_total, jnp.int32)
+    cnt_ref[0] = jnp.full((a_rows, 128), tile_total, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def compact_candidates(table: jnp.ndarray, capacity: int):
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "tile_rows", "tile_cap")
+)
+def compact_candidates(table: jnp.ndarray, capacity: int,
+                       tile_rows: int = TILE_ROWS,
+                       tile_cap: int = TILE_CAP):
     """(B, R, 128) candidate table -> (times, freqs, n_peaks) per song.
 
     Same contract as ``peaks.extract_peaks_from_candidates`` (peaks in
@@ -91,49 +105,55 @@ def compact_candidates(table: jnp.ndarray, capacity: int):
     any per-group or tile overflow).
     """
     bsz, r, _ = table.shape
-    if r % TILE_ROWS:
-        pad = TILE_ROWS - r % TILE_ROWS
+    a_rows = tile_cap // 128
+    if r % tile_rows:
+        pad = tile_rows - r % tile_rows
         table = jnp.pad(table, ((0, 0), (0, pad), (0, 0)))
         r += pad
-    r_tiles = r // TILE_ROWS
+    r_tiles = r // tile_rows
 
     segs, seg_counts = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, tile_rows=tile_rows, tile_cap=tile_cap),
         grid=(bsz, r_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE_ROWS, 128), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, tile_rows, 128), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 8, 128), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, a_rows, 128), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, a_rows, 128), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bsz, r_tiles * 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, r_tiles * 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, r_tiles * a_rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, r_tiles * a_rows, 128), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # large tiles (2048+ rows, double-buffered) exceed the 16M
+            # default scoped-vmem budget
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(table)
-    segs = segs.reshape(bsz, r_tiles, TILE_CAP)
-    seg_counts = seg_counts[:, ::8, 0]
+    segs = segs.reshape(bsz, r_tiles, tile_cap)
+    seg_counts = seg_counts[:, ::a_rows, 0]
 
     # finish: the segments are DENSE (live lanes are [0, cnt)), so the
     # final peak list is just their concatenation — a scan of r_tiles
     # dynamic-update-slices at the running offsets. This replaces an
-    # order-preserving top_k over r_tiles * TILE_CAP candidates that
+    # order-preserving top_k over r_tiles * tile_cap candidates that
     # measured 3.6 ms/batch (gather/sort-bound); the scan is ~free.
     # Each segment's dead tail lanes are overwritten by the next segment
     # (base advances by exactly cnt); whatever survives past the total is
     # masked below.
-    kept = jnp.minimum(seg_counts, TILE_CAP)                    # (B, R)
+    kept = jnp.minimum(seg_counts, tile_cap)                    # (B, R)
     base = jnp.cumsum(kept, axis=1) - kept                      # exclusive
     total_kept = jnp.sum(kept, axis=1)                          # (B,)
 
-    buf0 = jnp.zeros((bsz, capacity + TILE_CAP), jnp.int32)
+    buf0 = jnp.zeros((bsz, capacity + tile_cap), jnp.int32)
 
     def step(buf, inp):
-        seg, st = inp  # (B, TILE_CAP), (B,)
+        seg, st = inp  # (B, tile_cap), (B,)
         buf = jax.vmap(
             lambda b, s, i: jax.lax.dynamic_update_slice(b, s, (i,))
         )(buf, seg, jnp.minimum(st, capacity))
@@ -154,7 +174,7 @@ def compact_candidates(table: jnp.ndarray, capacity: int):
     n_peaks = jnp.sum(counts_all, axis=1).astype(jnp.uint32)
     overflow = (
         jnp.any(counts_all > GROUP_CAP, axis=1)
-        | jnp.any(seg_counts > TILE_CAP, axis=1)
+        | jnp.any(seg_counts > tile_cap, axis=1)
         | (total_kept > capacity)
     )
     n_peaks = jnp.where(

@@ -178,6 +178,9 @@ def _kernel(spec_hbm, out_ref, buf, sems, *, tile_frames: int, radius: int,
     rank = prefix.astype(jnp.int32) - m2.astype(jnp.int32)
 
     # ---- extract the first GROUP_CAP peaks per group ----
+    # (pass-count-trimmed: ranks within a row enumerate 0..count-1, so
+    # "slot c occupied" == c < counts — no per-slot hit reduction; the
+    # rank select is hoisted so the loop body is compare+select+sum)
     row_ids = jax.lax.broadcasted_iota(
         jnp.int32, (tile_frames * N_GROUPS, 128), 0
     )
@@ -185,13 +188,14 @@ def _kernel(spec_hbm, out_ref, buf, sems, *, tile_frames: int, radius: int,
         jnp.int32, (tile_frames * N_GROUPS, 128), 1
     )
     f_glob = (row_ids % N_GROUPS) * 128 + lane_ids
+    counts = jnp.sum(m2.astype(jnp.int32), axis=1, keepdims=True)
+    rank_sel = jnp.where(m2, rank, -1)
     cols = []
     for c in range(GROUP_CAP):
-        hit = m2 & (rank == c)
-        fval = jnp.sum(jnp.where(hit, f_glob, 0), axis=1, keepdims=True)
-        got = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
-        cols.append(jnp.where(got > 0, fval, -1))
-    counts = jnp.sum(m2.astype(jnp.int32), axis=1, keepdims=True)
+        fval = jnp.sum(
+            jnp.where(rank_sel == c, f_glob, 0), axis=1, keepdims=True
+        )
+        cols.append(jnp.where(counts > c, fval, -1))
     table = jnp.concatenate(
         cols + [counts]
         + [jnp.zeros((tile_frames * N_GROUPS, OUT_LANES - GROUP_CAP - 1),
