@@ -75,11 +75,20 @@ def main():
     print(f"host merge:   {host_s*1000:.0f} ms per addition", flush=True)
     print(f"speedup: {host_s/dev_s:.1f}x; parity spot-check...", flush=True)
 
-    got = dev.to_host()
-    assert got.n_hashes == host.n_hashes
-    for k in (0, got.n_hashes // 2, got.n_hashes - 1):
-        assert got.key_hi[k] == host.key_hi[k]
-        assert got.song_id[k] == host.song_id[k]
+    # spot-check without a multi-hundred-MB tunnel download (the tunnel
+    # occasionally faults on huge transfers): fetch a few rows by index
+    import jax.numpy as jnp
+
+    assert dev.n_valid == host.n_hashes
+    idx = jnp.asarray([0, host.n_hashes // 3, host.n_hashes // 2,
+                       host.n_hashes - 1])
+    got_hi = np.asarray(jnp.take(dev.cols[0], idx))
+    got_p = np.asarray(jnp.take(dev.cols[3], idx))
+    want_p = (host.song_id.astype(np.uint64) * dev.stride
+              + host.offset).astype(np.uint32)
+    for i, k in enumerate(np.asarray(idx)):
+        assert got_hi[i] == host.key_hi[k], (i, k)
+        assert got_p[i] == want_p[k], (i, k)
     print("OK", flush=True)
 
 
