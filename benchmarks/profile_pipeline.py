@@ -21,7 +21,7 @@ from jax import lax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 from shazam_tpu.audio.synth import synth_song
-from shazam_tpu.ops.pallas.spectrogram import spectrogram_db_fused
+from shazam_tpu.ops.pallas.spectrogram import spectrogram_power_fused
 from shazam_tpu.ops.pallas.peaks import peak_candidates_fused
 from shazam_tpu.ops.pallas.compact import compact_candidates
 from shazam_tpu.ops.hashes import generate_hashes
@@ -41,23 +41,23 @@ def consume(x):
 
 
 def stage_spec(x):
-    return consume(spectrogram_db_fused(x, nvf))
+    return consume(spectrogram_power_fused(x, nvf))
 
 
 def stage_peaks(x):
-    spec = spectrogram_db_fused(x, nvf)
-    return consume(peak_candidates_fused(spec))
+    spec = spectrogram_power_fused(x, nvf)
+    return consume(peak_candidates_fused(spec, power_domain=True))
 
 
 def stage_compact(x):
-    spec = spectrogram_db_fused(x, nvf)
-    table = peak_candidates_fused(spec)
+    spec = spectrogram_power_fused(x, nvf)
+    table = peak_candidates_fused(spec, power_domain=True)
     return consume(compact_candidates(table, 4096))
 
 
 def stage_full(x):
-    spec = spectrogram_db_fused(x, nvf)
-    table = peak_candidates_fused(spec)
+    spec = spectrogram_power_fused(x, nvf)
+    table = peak_candidates_fused(spec, power_domain=True)
     times, freqs, n_peaks = compact_candidates(table, 4096)
 
     def hash_one(t, f, npk):

@@ -108,13 +108,17 @@ def fingerprint_batch_fused(
     sets are bit-identical to the XLA path (verified in
     tests/test_pallas.py); requires wsize=4096, radius=10, amp_min>0.
     """
-    from .pallas.spectrogram import spectrogram_db_fused
+    from .pallas.spectrogram import spectrogram_power_fused
     from .pallas.peaks import peak_candidates_fused
     from .pallas.compact import compact_candidates
 
     nvf = jnp.maximum((n_valid_samples.astype(jnp.int32) - wsize) // hop + 1, 0)
-    spec = spectrogram_db_fused(samples, nvf, fs=fs, wsize=wsize, hop=hop)
-    table = peak_candidates_fused(spec, amp_min=amp_min, radius=radius)
+    # power domain end to end: the dB log is monotone, so the peak kernel
+    # gates raw power against the exact-equivalent f32 threshold
+    # (peaks.power_threshold) — identical peak masks, no 10*log10 pass
+    spec = spectrogram_power_fused(samples, nvf, fs=fs, wsize=wsize, hop=hop)
+    table = peak_candidates_fused(spec, amp_min=amp_min, radius=radius,
+                                  power_domain=True)
     times, freqs, n_peaks = compact_candidates(table, peak_capacity)
 
     def hash_one(t, f, n):

@@ -69,8 +69,39 @@ def _running(x, width, op, axis):
     return x
 
 
+@functools.lru_cache(maxsize=8)
+def power_threshold(amp_min: float) -> float:
+    """Smallest f32 power whose kernel dB value exceeds ``amp_min``.
+
+    Bisects the f32 bit lattice of the exact f32 expression the dB
+    kernel computes (10 * ln(p) / ln(10)), so gating raw power with
+    ``p >= power_threshold(amp_min)`` selects EXACTLY the cells the dB
+    gate ``db(p) > amp_min`` selects.
+    """
+    import struct
+
+    def db(u: int) -> float:
+        p = struct.unpack("<f", struct.pack("<I", u))[0]
+        return float(
+            np.float32(10.0)
+            * (np.log(np.float32(p)) / np.float32(np.log(10.0)))
+        )
+
+    lo = struct.unpack("<I", struct.pack("<f", np.float32(1e-30)))[0]
+    hi = struct.unpack("<I", struct.pack("<f", np.float32(3.0e38)))[0]
+    if not db(hi) > amp_min:
+        raise ValueError("amp_min beyond the f32 dB range")
+    while lo + 1 < hi:
+        mid = (lo + hi) // 2
+        if db(mid) > amp_min:
+            hi = mid
+        else:
+            lo = mid
+    return struct.unpack("<f", struct.pack("<I", hi))[0]
+
+
 def _kernel(spec_hbm, out_ref, buf, sems, *, tile_frames: int, radius: int,
-            pad_rows: int, amp_min: float):
+            pad_rows: int, amp_min: float, power_domain: bool):
     b = pl.program_id(0)
     t_tile = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -154,13 +185,26 @@ def _kernel(spec_hbm, out_ref, buf, sems, *, tile_frames: int, radius: int,
     local_max = tfmax[row0 : row0 + tile_frames, lane0 : lane0 + F_PAD] == center
 
     # ---- eroded zero background (border_value=1 == padded zeros) ----
-    bg = spec == 0.0
+    # power domain: dB-zero cells are power == 0 (masked) OR power == 1
+    # (10*log10(1) == 0 exactly)
+    if power_domain:
+        bg = (spec == 0.0) | (spec == 1.0)
+    else:
+        bg = spec == 0.0
     fbg = _running(bg, width, jnp.logical_and, axis=1)
     tbg = _running(fbg, width, jnp.logical_and, axis=0)
     eroded = tbg[row0 : row0 + tile_frames, lane0 : lane0 + F_PAD]
 
     f_ids = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
-    mask = (local_max != eroded) & (center > amp_min) & (f_ids < F_OUT)
+    # the amplitude gate: in power domain, >= the exact f32 threshold is
+    # bit-equivalent to the dB-domain strict compare (power_threshold);
+    # gated cells then have power > 1, so power-vs-dB local-max compares
+    # agree even against dB-zero cells (monotone map for power > 0)
+    if power_domain:
+        gate = center >= np.float32(power_threshold(amp_min))
+    else:
+        gate = center > amp_min
+    mask = (local_max != eroded) & gate & (f_ids < F_OUT)
 
     # ---- per-(frame, group) ranks via triangular matmul on the MXU ----
     # (Mosaic cannot reshape i1 vectors: cast first, re-derive the bool)
@@ -206,7 +250,8 @@ def _kernel(spec_hbm, out_ref, buf, sems, *, tile_frames: int, radius: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_frames", "radius", "amp_min")
+    jax.jit,
+    static_argnames=("tile_frames", "radius", "amp_min", "power_domain"),
 )
 def peak_candidates_fused(
     spec: jnp.ndarray,
@@ -214,6 +259,7 @@ def peak_candidates_fused(
     amp_min: float = 10.0,
     radius: int = 10,
     tile_frames: int = 128,
+    power_domain: bool = False,
 ):
     """Per-(frame, group) peak candidates from the freq-pre-padded dB spec.
 
@@ -242,7 +288,7 @@ def peak_candidates_fused(
 
     kernel = functools.partial(
         _kernel, tile_frames=tile_frames, radius=radius, pad_rows=pad_rows,
-        amp_min=amp_min,
+        amp_min=amp_min, power_domain=power_domain,
     )
     return pl.pallas_call(
         kernel,

@@ -108,7 +108,7 @@ def _tables(wsize: int, fs: int):
 
 def _kernel(nvf_ref, x_hbm, win_ref, c32_ref, s32_ref, er_ref, ei_ref,
             scale_ref, out_ref, x_vmem, sems,
-            *, tile_frames: int, wsize: int, hop: int):
+            *, tile_frames: int, wsize: int, hop: int, emit_db: bool):
     b = pl.program_id(0)
     t_tile = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -145,13 +145,14 @@ def _kernel(nvf_ref, x_hbm, win_ref, c32_ref, s32_ref, er_ref, ei_ref,
         nvf_ref, win_ref, c32_ref, s32_ref, er_ref, ei_ref,
         scale_ref, out_ref, x_vmem[slot],
         b=b, t_tile=t_tile,
-        tile_frames=tile_frames, wsize=wsize, hop=hop,
+        tile_frames=tile_frames, wsize=wsize, hop=hop, emit_db=emit_db,
     )
 
 
 def _compute_tile(nvf_ref, win_ref, c32_ref, s32_ref, er_ref, ei_ref,
                   scale_ref, out_ref, x_tile,
-                  *, b, t_tile, tile_frames: int, wsize: int, hop: int):
+                  *, b, t_tile, tile_frames: int, wsize: int, hop: int,
+                  emit_db: bool):
     # framing via shifted slices over hop-sized rows (wsize = k * hop)
     k = wsize // hop
     rows = x_tile.reshape(tile_frames + k - 1, hop)
@@ -188,14 +189,49 @@ def _compute_tile(nvf_ref, win_ref, c32_ref, s32_ref, er_ref, ei_ref,
     )
 
     power = (xr * xr + xi * xi) * scale_ref[:][:, None, :]  # [r, t, m]
-    db = jnp.where(power > 0, 10.0 * (jnp.log(power) / np.float32(np.log(10.0))), 0.0)
+    if emit_db:
+        out = jnp.where(
+            power > 0,
+            10.0 * (jnp.log(power) / np.float32(np.log(10.0))), 0.0,
+        )
+    else:
+        # power domain: the log is monotone, so the peak kernel can gate
+        # and compare raw power (peaks.py power_domain=True) — skipping
+        # ~42M transcendentals per 16x30s batch
+        out = power
 
     # valid-frame mask (pad-to-bucket): t dim is axis 1
     nvf = nvf_ref[b]
-    t_ids = jax.lax.broadcasted_iota(jnp.int32, db.shape, 1) + t_tile * tile_frames
-    db = jnp.where(t_ids < nvf, db, 0.0)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) + t_tile * tile_frames
+    out = jnp.where(t_ids < nvf, out, 0.0)
 
-    out_ref[0] = db
+    out_ref[0] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fs", "wsize", "hop", "tile_frames")
+)
+def spectrogram_power_fused(
+    samples: jnp.ndarray,
+    n_valid_frames: jnp.ndarray,
+    *,
+    fs: int = 44100,
+    wsize: int = 4096,
+    hop: int = 2048,
+    tile_frames: int = 128,
+) -> jnp.ndarray:
+    """``spectrogram_db_fused`` without the 10*log10: raw scaled PSD.
+
+    The fused pipeline's hot path — the peak kernel gates and compares
+    in the power domain (``peaks.peak_candidates_fused(power_domain=
+    True)``), which is bit-equivalent for the final peak mask (the dB
+    map is strictly monotone for power > 0, gated cells have power > 1,
+    and the exact dB threshold is translated to a power threshold on
+    the f32 lattice).
+    """
+    return _spectrogram_fused(samples, n_valid_frames, fs=fs, wsize=wsize,
+                              hop=hop, tile_frames=tile_frames,
+                              emit_db=False)
 
 
 @functools.partial(
@@ -222,6 +258,13 @@ def spectrogram_db_fused(
         no XLA pad pass. (Time boundaries are handled by the peak
         kernel's own clamped DMAs.)
     """
+    return _spectrogram_fused(samples, n_valid_frames, fs=fs, wsize=wsize,
+                              hop=hop, tile_frames=tile_frames,
+                              emit_db=True)
+
+
+def _spectrogram_fused(samples, n_valid_frames, *, fs, wsize, hop,
+                       tile_frames, emit_db):
     if wsize != NA * NB or wsize % hop != 0:
         raise ValueError("fused kernel supports wsize=4096 with hop | wsize")
     bsz, n = samples.shape
@@ -242,7 +285,8 @@ def spectrogram_db_fused(
 
     span = tile_frames * hop + (wsize - hop)
     kernel = functools.partial(
-        _kernel, tile_frames=tile_frames, wsize=wsize, hop=hop
+        _kernel, tile_frames=tile_frames, wsize=wsize, hop=hop,
+        emit_db=emit_db,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -160,3 +160,44 @@ def test_fused_peaks_single_tile(clip):
     assert int(n_peaks[0]) == n
     assert np.array_equal(np.asarray(times)[0][:n], np.asarray(rt)[:n])
     assert np.array_equal(np.asarray(freqs)[0][:n], np.asarray(rf)[:n])
+
+
+def test_power_domain_peaks_bitexact(clip):
+    """The power-domain hot path (no 10*log10) must produce EXACTLY the
+    dB-domain peak set: monotone map + exact f32 threshold translation
+    (peaks.power_threshold) + the p==1 background case."""
+    import jax.numpy as jnp
+    from shazam_tpu.ops.pallas.spectrogram import (
+        spectrogram_db_fused, spectrogram_power_fused,
+    )
+    from shazam_tpu.ops.pallas.peaks import (
+        peak_candidates_fused, extract_peaks_from_candidates,
+        power_threshold,
+    )
+
+    # threshold sanity: smallest f32 with dB > amp_min
+    import struct
+
+    t = power_threshold(10.0)
+    f32 = np.float32
+    db = lambda p: f32(10.0) * (np.log(f32(p)) / f32(np.log(10.0)))
+    below = struct.unpack("<f", struct.pack(
+        "<I", struct.unpack("<I", struct.pack("<f", f32(t)))[0] - 1))[0]
+    assert db(t) > 10.0 and not db(below) > 10.0
+
+    n = 1 << 18
+    mat = np.zeros((1, n), np.float32)
+    mat[0, : len(clip)] = clip
+    nvf = np.array([(len(clip) - 4096) // 2048 + 1], np.int32)
+    with _interpret():
+        spec_db = spectrogram_db_fused(jnp.asarray(mat), jnp.asarray(nvf))
+        spec_pw = spectrogram_power_fused(jnp.asarray(mat), jnp.asarray(nvf))
+        tab_db = peak_candidates_fused(spec_db)
+        tab_pw = peak_candidates_fused(spec_pw, power_domain=True)
+    t1, f1, n1 = extract_peaks_from_candidates(tab_db, 4096)
+    t2, f2, n2 = extract_peaks_from_candidates(tab_pw, 4096)
+    assert int(n1[0]) == int(n2[0])
+    k = int(n1[0])
+    assert k > 50
+    assert np.array_equal(np.asarray(t1)[0][:k], np.asarray(t2)[0][:k])
+    assert np.array_equal(np.asarray(f1)[0][:k], np.asarray(f2)[0][:k])
