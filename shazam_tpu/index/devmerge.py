@@ -139,6 +139,11 @@ def _unpack(cols: Tuple, n_valid, old_stride: int) -> Tuple:
     return hi, lo, ex, sid, off
 
 
+@functools.partial(jax.jit, static_argnames=("length",))
+def _fetch_chunk(col, start, length: int):
+    return jax.lax.dynamic_slice_in_dim(col, start, length)
+
+
 def _capacity(n: int) -> int:
     c = MIN_CAPACITY
     while c < n:
@@ -248,13 +253,36 @@ class DeviceIndex:
         self.n_songs = n_songs
         self.max_offset = max_off
 
+    _DOWNLOAD_CHUNK = 1 << 24  # rows (64 MB) per device->host transfer
+
+    def _download(self, col) -> np.ndarray:
+        """Fetch the valid prefix of a column in bounded transfers.
+
+        The axon tunnel occasionally faults on multi-hundred-MB single
+        transfers (seen at 256 MB in benchmarks/devmerge_scale.py); one
+        jitted dynamic_slice per column shape keeps every transfer at
+        64 MB with O(log) compiled programs.
+        """
+        n = self.n_valid
+        chunk = self._DOWNLOAD_CHUNK
+        if n <= chunk:
+            return np.asarray(col[:n] if n < col.shape[0] else col)
+        parts = []
+        start = 0
+        while start < n:
+            s = min(start, n - chunk)   # last chunk backs up to cover n
+            part = np.asarray(_fetch_chunk(col, jnp.int32(s), chunk))
+            parts.append(part[start - s:])
+            start = s + chunk
+        return np.concatenate(parts)[:n]
+
     # ---- consumption --------------------------------------------------
     def query_cols(self) -> Tuple:
         """Device arrays in the shape ``match_query`` expects."""
         return self.cols
 
     def to_host(self) -> FingerprintIndex:
-        cols = [np.asarray(c)[: self.n_valid] for c in self.cols]
+        cols = [self._download(c) for c in self.cols]
         if self.stride:
             hi, lo, ex, p = cols
             sid = (p // np.uint32(self.stride)).astype(np.uint32)
