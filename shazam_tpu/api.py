@@ -310,7 +310,9 @@ class SIA:
                     for i, lim in enumerate(n_valid):
                         mat[i, lim:] = 0.0
                     return mat, n_valid
-            batch = np.zeros((len(rows), blen), np.float32)
+            # int16 batch when every channel decodes integral (WAV):
+            # halves the host->device upload (cast happens on device)
+            batch = None
             n_valid = np.zeros(len(rows), np.int32)
             cache: Dict[str, List[np.ndarray]] = {}
             for i, (si, c, frames) in enumerate(rows):
@@ -319,8 +321,17 @@ class SIA:
                     cache.clear()  # one file's channels at a time
                     cache[f] = read(f, limit)[0]
                 data = cache[f][c][:frames]
+                if batch is None:
+                    dt = np.int16 if all(
+                        ch.dtype == np.int16 for ch in cache[f]
+                    ) else np.float32
+                    batch = np.zeros((len(rows), blen), dt)
+                if batch.dtype == np.int16 and data.dtype != np.int16:
+                    batch = batch.astype(np.float32)
                 batch[i, : len(data)] = data
                 n_valid[i] = len(data)
+            if batch is None:
+                batch = np.zeros((len(rows), blen), np.float32)
             return batch, n_valid
 
         def finalize_song(si):
@@ -362,7 +373,8 @@ class SIA:
                     # fused-path capacity/plateau overflow: retry exact
                     # XLA path at 2x capacity (never a silent drop)
                     one = jax.device_get(fingerprint_samples(
-                        jnp.asarray(batch_np[row]), jnp.int32(int(_n)),
+                        jnp.asarray(batch_np[row], dtype=np.float32),
+                        jnp.int32(int(_n)),
                         fs=fs_cfg, wsize=self.config.window_size,
                         hop=self.config.hop, amp_min=self.config.amp_min,
                         radius=self.config.peak_neighborhood_size,
@@ -392,8 +404,11 @@ class SIA:
                 stats["peak_pending_channels"] = max(
                     stats["peak_pending_channels"], pending_channels
                 )
+                batch_dev = jnp.asarray(batch_np)
+                if batch_np.dtype == np.int16:
+                    batch_dev = batch_dev.astype(jnp.float32)
                 fp_dev = batch_fn(
-                    jnp.asarray(batch_np), jnp.asarray(n_valid),
+                    batch_dev, jnp.asarray(n_valid),
                     fs=fs_cfg, wsize=self.config.window_size,
                     hop=self.config.hop, amp_min=self.config.amp_min,
                     radius=self.config.peak_neighborhood_size,
