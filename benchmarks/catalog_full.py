@@ -76,7 +76,11 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     from shazam_tpu.api import SIA
 
-    sia = SIA()
+    # device-resident: additions merge ON the chip (index/devmerge.py,
+    # 71 ms vs 29 s host at 48M rows) — the only way a 110M-hash ingest
+    # finishes in minutes. NB: touching `.index` here would materialize
+    # a full device->host download; use _live_n_hashes() for progress.
+    sia = SIA(device_resident=True)
     t0 = time.time()
     chunk = 32
     for base in range(0, N_SONGS, chunk):
@@ -90,9 +94,9 @@ def main() -> None:
             print("OVERFLOWED:", stats["overflowed"])
         if base % 256 == 0:
             print(f"ingested {base + len(songs)}/{N_SONGS} "
-                  f"({sia.index.n_hashes} hashes, {time.time()-t0:.0f}s)",
+                  f"({sia._live_n_hashes()} hashes, {time.time()-t0:.0f}s)",
                   flush=True)
-    n_hashes = sia.index.n_hashes
+    n_hashes = sia._live_n_hashes()
     print(f"catalog: {N_SONGS} songs x {DURATION:.0f}s, {n_hashes} hashes, "
           f"ingest {time.time()-t0:.0f}s", flush=True)
 
