@@ -85,11 +85,15 @@ class SIA:
         catalog_path: str = ":memory:",
         index: Optional[FingerprintIndex] = None,
         device_resident: bool = False,
+        device_reserve_hashes: int = 0,
     ):
         self.config = config
         self.catalog = SongCatalog(catalog_path)
         self.catalog.delete_unfingerprinted()  # reference crash recovery
         self.device_resident = device_resident
+        # preallocated HBM capacity: one merge-program compile for a
+        # whole ingest instead of one per capacity doubling
+        self.device_reserve_hashes = device_reserve_hashes
         self._dev_store: Optional[DeviceIndex] = None
         self._host_stale = False
         self.index = index or build_index([], n_songs=0)
@@ -133,13 +137,18 @@ class SIA:
         host copy materializes lazily on ``.index`` access (save/stats).
         """
         if self.device_resident:
-            if self._dev_store is None:
-                self._dev_store = DeviceIndex.from_host(self.index)
-            self._dev_store.merge(addition)
+            self._ensure_dev_store().merge(addition)
             self._host_stale = True
         else:
             self.index = merge_into(self.index, addition)
         self._device_index = None
+
+    def _ensure_dev_store(self) -> DeviceIndex:
+        if self._dev_store is None:
+            self._dev_store = DeviceIndex.from_host(
+                self.index, reserve=self.device_reserve_hashes
+            )
+        return self._dev_store
 
     # ------------------------------------------------------------------ #
     # ingest
@@ -234,6 +243,174 @@ class SIA:
             batch_size=batch_size, song_peak_capacity=song_peak_capacity,
             verbose=verbose,
         )
+
+    def ingest_device_batch(
+        self,
+        names: Sequence[str],
+        samples: "jnp.ndarray",
+        n_valid_samples: Sequence[int],
+        shas: Optional[Sequence[str]] = None,
+        song_peak_capacity: Optional[int] = None,
+        per_song_hash_capacity: int = 32768,
+    ) -> Dict:
+        """Zero-copy ingest of audio already resident on the device.
+
+        Device-resident mode only.  ``samples`` is a (B, blen) float32
+        device array — synthesized on the chip, or handed over from an
+        upstream decode job — and never needs a host copy; fingerprints,
+        the sorted/deduped addition run (index/devingest.py) and the
+        merge (index/devmerge.py) all stay in HBM.  Host traffic per
+        call: a (B,) song-id upload plus O(B) scalars down.  Rows with
+        the same name are channels of one song (the reference's channel
+        set-union, ``__init__.py:254-266``, happens in the device dedup
+        because the run payload encodes the song id).
+
+        ``shas`` are the resume keys (reference file-SHA-1 semantics);
+        without host bytes they default to the SHA-1 of the name.
+        """
+        import hashlib
+
+        from .index.devingest import device_sorted_run
+        from .index.devmerge import _capacity
+
+        if not self.device_resident:
+            raise ValueError("ingest_device_batch requires "
+                             "SIA(device_resident=True)")
+        t_start = time.time()
+        bsz = int(samples.shape[0])
+        if len(names) != bsz or len(n_valid_samples) != bsz:
+            raise ValueError("names / n_valid_samples must match batch")
+        if shas is None:
+            shas = [hashlib.sha1(n.encode()).hexdigest().upper()
+                    for n in names]
+        stats = {"files": len(set(names)), "skipped": 0, "ingested": 0,
+                 "hashes": 0, "overflowed": [], "merges": 0}
+
+        known = self.catalog.fingerprinted_file_hashes()
+        keep = [i for i, s in enumerate(shas) if s.upper() not in known]
+        stats["skipped"] = stats["files"] - len(
+            {names[i] for i in keep})
+        if not keep:
+            stats["seconds"] = time.time() - t_start
+            return stats
+        if len(keep) != bsz:
+            samples = samples[jnp.asarray(keep)]
+            names = [names[i] for i in keep]
+            shas = [shas[i] for i in keep]
+            n_valid_samples = [n_valid_samples[i] for i in keep]
+            bsz = len(keep)
+
+        peak_cap = song_peak_capacity or max(self.config.peak_capacity,
+                                             16384)
+        batch_fn = (
+            fingerprint_batch_fused if _fused_ok(self.config)
+            else fingerprint_batch
+        )
+
+        def fp_of(rows_dev, nv, cap, fn=None):
+            return (fn or batch_fn)(
+                rows_dev, jnp.asarray(np.asarray(nv, np.int32)),
+                fs=self.config.sample_rate, wsize=self.config.window_size,
+                hop=self.config.hop, amp_min=self.config.amp_min,
+                radius=self.config.peak_neighborhood_size,
+                fan_value=self.config.fan_value,
+                min_dt=self.config.min_hash_time_delta,
+                max_dt=self.config.max_hash_time_delta,
+                peak_capacity=cap,
+            )
+
+        fp = fp_of(samples, n_valid_samples, peak_cap)
+        n_peaks = np.asarray(jax.device_get(fp.n_peaks))
+        over_rows = [i for i in range(bsz) if n_peaks[i] > peak_cap]
+        retry_fp = None
+        if over_rows:
+            # fused-path capacity/plateau overflow: redo those rows on
+            # the EXACT XLA path at 2x capacity (the fused per-group
+            # table can never clear a >GROUP_CAP plateau, same rule as
+            # the host ingest fallback); never a silent drop.  The retry
+            # batch is padded to the full batch size so every retry
+            # reuses ONE compiled shape (remote compiles cost minutes).
+            # NB: a multi-channel song split across the two runs skips
+            # the cross-run pair union (counts add).
+            retry_rows = (over_rows * bsz)[:bsz]   # cycle-pad to bsz
+            retry_fp = fp_of(samples[jnp.asarray(retry_rows)],
+                             [n_valid_samples[i] for i in retry_rows],
+                             2 * peak_cap, fn=fingerprint_batch)
+            retry_n = np.asarray(jax.device_get(retry_fp.n_peaks))
+            stats["fallbacks"] = len(over_rows)
+            stats["overflowed"] = [
+                names[over_rows[j]] for j in range(len(over_rows))
+                if retry_n[j] > 2 * peak_cap
+            ]
+
+        # catalog registration first: the device run packs REAL song ids
+        sid_of_name: Dict[str, int] = {}
+        for i, name in enumerate(names):
+            if name not in sid_of_name:
+                sid_of_name[name] = self.catalog.insert_song(
+                    name, shas[i], 0)
+        row_sids = np.asarray([sid_of_name[names[i]]
+                               for i in range(bsz)], np.uint32)
+
+        # layout: stride must cover the largest possible frame offset
+        # (host-derivable bound — no device round trip)
+        wsize, hop = self.config.window_size, self.config.hop
+        bound_off = max(
+            max((int(n) - wsize) // hop + 1 for n in n_valid_samples), 0)
+        n_songs_new = max(max(sid_of_name.values(), default=-1) + 1,
+                          self._live_n_songs())
+        store = self._ensure_dev_store()
+        store._ensure_layout(n_songs_new,
+                             max(store.max_offset, bound_off))
+        if store.stride == 0:
+            raise ValueError(
+                "catalog too large for the packed payload layout; "
+                "use the host ingest path (ingest_arrays/ingest_files)")
+
+        song_totals: Dict[int, int] = {}
+
+        def run_and_merge(one_fp, sids_np, drop_rows):
+            valid = one_fp.valid
+            if drop_rows:
+                rows = np.ones(valid.shape[0], bool)
+                rows[list(drop_rows)] = False
+                valid = valid & jnp.asarray(rows)[:, None]
+            cap = _capacity(valid.shape[0] * per_song_hash_capacity)
+            cols, n_run, counts, overflowed = device_sorted_run(
+                one_fp.hi, one_fp.lo, one_fp.ex, one_fp.t1, valid,
+                jnp.asarray(sids_np), stride=store.stride,
+                addition_cap=cap,
+            )
+            n_run, counts, overflowed = jax.device_get(
+                (n_run, counts, overflowed))
+            if bool(overflowed):
+                raise ValueError(
+                    "device addition run overflowed "
+                    f"{cap} rows; raise per_song_hash_capacity")
+            store.merge_device_run(cols, int(n_run), n_songs_new,
+                                   bound_off)
+            stats["merges"] += 1
+            stats["hashes"] += int(n_run)
+            per_sid = {}  # each row of a song reports the song total
+            for row, sid in enumerate(sids_np):
+                if counts[row]:
+                    per_sid[int(sid)] = int(counts[row])
+            for sid, n in per_sid.items():
+                song_totals[sid] = song_totals.get(sid, 0) + n
+
+        run_and_merge(fp, row_sids, set(over_rows))
+        if retry_fp is not None:
+            run_and_merge(retry_fp, row_sids[retry_rows],
+                          set(range(len(over_rows), bsz)))  # mask pad rows
+
+        self._host_stale = True
+        self._device_index = None
+        for name, sid in sid_of_name.items():
+            self.catalog.update_song_hashes(sid, song_totals.get(sid, 0))
+            self.catalog.set_song_fingerprinted(sid)
+            stats["ingested"] += 1
+        stats["seconds"] = time.time() - t_start
+        return stats
 
     def _ingest_stream(
         self,
@@ -603,8 +780,7 @@ class SIA:
     # ------------------------------------------------------------------ #
     def _ensure_device_index(self):
         if self.device_resident:
-            if self._dev_store is None:
-                self._dev_store = DeviceIndex.from_host(self.index)
+            self._ensure_dev_store()
             self._offset_stride = self._dev_store.stride
             self._max_off = ((self._dev_store.max_offset // 4096) + 1) * 4096
             return self._dev_store.query_cols()

@@ -65,6 +65,15 @@ class SongCatalog:
         self.conn.commit()
         return int(cur.lastrowid)
 
+    def update_song_hashes(self, song_id: int, total_hashes: int) -> None:
+        """Set a song's hash count after the fact (device-side ingest
+        learns the deduped count only once the run is built in HBM)."""
+        self.conn.execute(
+            "UPDATE songs SET total_hashes = ? WHERE song_id = ?",
+            (total_hashes, song_id),
+        )
+        self.conn.commit()
+
     def set_song_fingerprinted(self, song_id: int) -> None:
         self.conn.execute(
             "UPDATE songs SET fingerprinted = 1, date_modified = CURRENT_TIMESTAMP"

@@ -181,8 +181,12 @@ class DeviceIndex:
 
     # ---- construction -------------------------------------------------
     @classmethod
-    def from_host(cls, ix: FingerprintIndex) -> "DeviceIndex":
-        cap = _capacity(ix.n_hashes)
+    def from_host(cls, ix: FingerprintIndex,
+                  reserve: int = 0) -> "DeviceIndex":
+        """Upload a host index; ``reserve`` preallocates capacity so a
+        large ingest compiles ONE merge program instead of one per
+        capacity doubling (each remote compile costs minutes here)."""
+        cap = _capacity(max(ix.n_hashes, reserve, 1))
         stride = ix.offset_stride
         pad = cap - ix.n_hashes
 
@@ -252,6 +256,30 @@ class DeviceIndex:
         self.n_valid = new_valid
         self.n_songs = n_songs
         self.max_offset = max_off
+
+    def merge_device_run(self, add_cols: Tuple, n_add: int,
+                         n_songs: int, max_offset: int) -> None:
+        """Absorb an addition that already lives on the device.
+
+        ``add_cols`` must be a sentinel-padded sorted run in this
+        index's CURRENT layout — callers run ``_ensure_layout`` first
+        and build payloads with ``self.stride`` (index/devingest.py
+        does).  No host<->device traffic at all.
+        """
+        if n_add == 0:
+            return
+        if self.stride == 0 or len(add_cols) != len(self.cols):
+            raise ValueError(
+                "device-run merge requires the packed 4-column layout; "
+                "use the host ingest path for unpacked catalogs"
+            )
+        new_valid = self.n_valid + n_add
+        while self.cols[0].shape[0] < new_valid:
+            self.cols = _grow(self.cols)
+        self.cols = merge_runs(self.cols, add_cols)
+        self.n_valid = new_valid
+        self.n_songs = max(self.n_songs, n_songs)
+        self.max_offset = max(self.max_offset, max_offset)
 
     _DOWNLOAD_CHUNK = 1 << 24  # rows (64 MB) per device->host transfer
 

@@ -27,9 +27,12 @@ Per (song, 64-frame tile) grid step:
    masked row reductions.
 
 GROUP_CAP=8 per 128 bins supports 136 peaks per frame — far beyond the
-~6 of real audio and beyond distinct-valued maxima packing (ceil(128/21)
-= 7 per group); only degenerate equal-valued plateaus can exceed it, and
-those are detected downstream via the exact per-group counts.
+~6 of real audio.  NB the hard distinct-value bound is ceil(128/11) = 12
+per group (two distinct-valued maxima need only be radius+1 = 11 bins
+apart), so a dense harmonic comb with a ~120-170 Hz fundamental CAN pack
+9+ peaks into one group; that and equal-valued plateaus are detected
+downstream via the exact per-group counts, and the ingest paths retry
+such rows on the exact XLA pipeline — overflow is never silent.
 """
 
 from __future__ import annotations
