@@ -324,24 +324,33 @@ class SIA:
         over_rows = [i for i in range(bsz) if n_peaks[i] > peak_cap]
         retry_fp = None
         if over_rows:
-            # fused-path capacity/plateau overflow: redo those rows on
-            # the EXACT XLA path at 2x capacity (the fused per-group
-            # table can never clear a >GROUP_CAP plateau, same rule as
-            # the host ingest fallback); never a silent drop.  The retry
-            # batch is padded to the full batch size so every retry
-            # reuses ONE compiled shape (remote compiles cost minutes).
-            # NB: a multi-channel song split across the two runs skips
-            # the cross-run pair union (counts add).
+            # fused-path capacity/plateau overflow: redo those rows at
+            # 2x capacity with GROUP_CAP=12 — the hard distinct-value
+            # packing bound (ops/pallas/peaks.py), so only true equal-
+            # valued plateaus can still overflow.  The retry batch is
+            # cycle-padded to the full batch size so every retry reuses
+            # ONE compiled shape (remote compiles cost minutes).  Rows
+            # still flagged after the retry are NOT ingested (a flagged
+            # fused output is unusable, not truncated: n_peaks is a
+            # sentinel, so its hash lanes are garbage) — they stay
+            # unfingerprinted in the catalog (purged on next open) and
+            # are reported in stats["overflowed"].  NB: a multi-channel
+            # song split across the two runs skips the cross-run pair
+            # union (counts add).
             retry_rows = (over_rows * bsz)[:bsz]   # cycle-pad to bsz
+            retry_fn = (
+                (lambda *a, **kw: fingerprint_batch_fused(
+                    *a, group_cap=12, **kw))
+                if _fused_ok(self.config) else fingerprint_batch
+            )
             retry_fp = fp_of(samples[jnp.asarray(retry_rows)],
                              [n_valid_samples[i] for i in retry_rows],
-                             2 * peak_cap, fn=fingerprint_batch)
+                             2 * peak_cap, fn=retry_fn)
             retry_n = np.asarray(jax.device_get(retry_fp.n_peaks))
             stats["fallbacks"] = len(over_rows)
-            stats["overflowed"] = [
-                names[over_rows[j]] for j in range(len(over_rows))
-                if retry_n[j] > 2 * peak_cap
-            ]
+            dead_pos = [j for j in range(len(over_rows))
+                        if retry_n[j] > 2 * peak_cap]
+            stats["overflowed"] = [names[over_rows[j]] for j in dead_pos]
 
         # catalog registration first: the device run packs REAL song ids
         sid_of_name: Dict[str, int] = {}
@@ -400,12 +409,17 @@ class SIA:
 
         run_and_merge(fp, row_sids, set(over_rows))
         if retry_fp is not None:
-            run_and_merge(retry_fp, row_sids[retry_rows],
-                          set(range(len(over_rows), bsz)))  # mask pad rows
+            run_and_merge(
+                retry_fp, row_sids[retry_rows],
+                set(dead_pos) | set(range(len(over_rows), bsz)),
+            )  # mask pad rows + still-flagged rows (garbage hash lanes)
 
         self._host_stale = True
         self._device_index = None
+        dead_names = set(stats["overflowed"])
         for name, sid in sid_of_name.items():
+            if name in dead_names:
+                continue  # stays unfingerprinted -> purged on next open
             self.catalog.update_song_hashes(sid, song_totals.get(sid, 0))
             self.catalog.set_song_fingerprinted(sid)
             stats["ingested"] += 1

@@ -84,7 +84,7 @@ def fingerprint_samples(
 @functools.partial(
     jax.jit,
     static_argnames=("fs", "wsize", "hop", "amp_min", "radius", "fan_value",
-                     "min_dt", "max_dt", "peak_capacity"),
+                     "min_dt", "max_dt", "peak_capacity", "group_cap"),
 )
 def fingerprint_batch_fused(
     samples: jnp.ndarray,
@@ -99,6 +99,7 @@ def fingerprint_batch_fused(
     min_dt: int = 0,
     max_dt: int = 200,
     peak_capacity: int = 8192,
+    group_cap: int = 8,
 ) -> Fingerprints:
     """Pallas-fused batch fingerprint (TPU hot path).
 
@@ -118,8 +119,9 @@ def fingerprint_batch_fused(
     # (peaks.power_threshold) — identical peak masks, no 10*log10 pass
     spec = spectrogram_power_fused(samples, nvf, fs=fs, wsize=wsize, hop=hop)
     table = peak_candidates_fused(spec, amp_min=amp_min, radius=radius,
-                                  power_domain=True)
-    times, freqs, n_peaks = compact_candidates(table, peak_capacity)
+                                  power_domain=True, group_cap=group_cap)
+    times, freqs, n_peaks = compact_candidates(table, peak_capacity,
+                                               group_cap=group_cap)
 
     def hash_one(t, f, n):
         return generate_hashes(

@@ -35,13 +35,13 @@ TILE_CAP = 1024    # dense segment size per tile (typ. ~300 candidates at
 
 
 def _kernel(tab_ref, out_ref, cnt_ref, *, tile_rows=TILE_ROWS,
-            tile_cap=TILE_CAP):
+            tile_cap=TILE_CAP, group_cap=GROUP_CAP):
     rt = pl.program_id(1)
     a_rows = tile_cap // 128
 
     tile = tab_ref[0]                      # (tile_rows, 128) int32
-    cand = tile[:, :GROUP_CAP]             # global freq or -1
-    kept = jnp.minimum(tile[:, GROUP_CAP : GROUP_CAP + 1], GROUP_CAP)
+    cand = tile[:, :group_cap]             # global freq or -1
+    kept = jnp.minimum(tile[:, group_cap : group_cap + 1], group_cap)
 
     # exclusive per-row prefix of kept counts (log shifts over sublanes)
     incl = kept
@@ -54,11 +54,11 @@ def _kernel(tab_ref, out_ref, cnt_ref, *, tile_rows=TILE_ROWS,
     base = incl - kept                     # (tile_rows, 1)
     tile_total = incl[tile_rows - 1, 0]
 
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, GROUP_CAP), 1)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, group_cap), 1)
     valid = c_ids < kept
     pos = jnp.where(valid, base + c_ids, tile_cap)  # invalid -> out of range
 
-    r_tab = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, GROUP_CAP), 0)
+    r_tab = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, group_cap), 0)
     t_val = ((rt * tile_rows) + r_tab) // N_GROUPS
     packed_val = jnp.where(valid, t_val * 4096 + cand, 0)  # < 2^26, int32
 
@@ -80,7 +80,7 @@ def _kernel(tab_ref, out_ref, cnt_ref, *, tile_rows=TILE_ROWS,
     val_f = packed_val.astype(jnp.float32)
     out_tile = jnp.zeros((a_rows, 128), jnp.float32)
     dn = (((0,), (0,)), ((), ()))
-    for c in range(GROUP_CAP):
+    for c in range(group_cap):
         h = (pdiv[:, c : c + 1] == a_ids).astype(jnp.float32)
         lv = jnp.where(pmod[:, c : c + 1] == b_ids, val_f[:, c : c + 1], 0.0)
         out_tile = out_tile + jax.lax.dot_general(
@@ -93,11 +93,13 @@ def _kernel(tab_ref, out_ref, cnt_ref, *, tile_rows=TILE_ROWS,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("capacity", "tile_rows", "tile_cap")
+    jax.jit, static_argnames=("capacity", "tile_rows", "tile_cap",
+                              "group_cap")
 )
 def compact_candidates(table: jnp.ndarray, capacity: int,
                        tile_rows: int = TILE_ROWS,
-                       tile_cap: int = TILE_CAP):
+                       tile_cap: int = TILE_CAP,
+                       group_cap: int = GROUP_CAP):
     """(B, R, 128) candidate table -> (times, freqs, n_peaks) per song.
 
     Same contract as ``peaks.extract_peaks_from_candidates`` (peaks in
@@ -113,7 +115,8 @@ def compact_candidates(table: jnp.ndarray, capacity: int,
     r_tiles = r // tile_rows
 
     segs, seg_counts = pl.pallas_call(
-        functools.partial(_kernel, tile_rows=tile_rows, tile_cap=tile_cap),
+        functools.partial(_kernel, tile_rows=tile_rows, tile_cap=tile_cap,
+                          group_cap=group_cap),
         grid=(bsz, r_tiles),
         in_specs=[
             pl.BlockSpec((1, tile_rows, 128), lambda b, t: (b, t, 0),
@@ -170,10 +173,10 @@ def compact_candidates(table: jnp.ndarray, capacity: int,
     times = (packed // 4096).astype(jnp.uint32)
     freqs = (packed % 4096).astype(jnp.uint32)
 
-    counts_all = table[:, :, GROUP_CAP]
+    counts_all = table[:, :, group_cap]
     n_peaks = jnp.sum(counts_all, axis=1).astype(jnp.uint32)
     overflow = (
-        jnp.any(counts_all > GROUP_CAP, axis=1)
+        jnp.any(counts_all > group_cap, axis=1)
         | jnp.any(seg_counts > tile_cap, axis=1)
         | (total_kept > capacity)
     )

@@ -32,7 +32,8 @@ per group (two distinct-valued maxima need only be radius+1 = 11 bins
 apart), so a dense harmonic comb with a ~120-170 Hz fundamental CAN pack
 9+ peaks into one group; that and equal-valued plateaus are detected
 downstream via the exact per-group counts, and the ingest paths retry
-such rows on the exact XLA pipeline — overflow is never silent.
+such rows (fused ``group_cap=12`` covers every distinct-valued input;
+the exact XLA pipeline is the last resort) — overflow is never silent.
 """
 
 from __future__ import annotations
@@ -104,7 +105,8 @@ def power_threshold(amp_min: float) -> float:
 
 
 def _kernel(spec_hbm, out_ref, buf, sems, *, tile_frames: int, radius: int,
-            pad_rows: int, amp_min: float, power_domain: bool):
+            pad_rows: int, amp_min: float, power_domain: bool,
+            group_cap: int = GROUP_CAP):
     b = pl.program_id(0)
     t_tile = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -238,14 +240,14 @@ def _kernel(spec_hbm, out_ref, buf, sems, *, tile_frames: int, radius: int,
     counts = jnp.sum(m2.astype(jnp.int32), axis=1, keepdims=True)
     rank_sel = jnp.where(m2, rank, -1)
     cols = []
-    for c in range(GROUP_CAP):
+    for c in range(group_cap):
         fval = jnp.sum(
             jnp.where(rank_sel == c, f_glob, 0), axis=1, keepdims=True
         )
         cols.append(jnp.where(counts > c, fval, -1))
     table = jnp.concatenate(
         cols + [counts]
-        + [jnp.zeros((tile_frames * N_GROUPS, OUT_LANES - GROUP_CAP - 1),
+        + [jnp.zeros((tile_frames * N_GROUPS, OUT_LANES - group_cap - 1),
                      jnp.int32)],
         axis=1,
     )
@@ -254,7 +256,8 @@ def _kernel(spec_hbm, out_ref, buf, sems, *, tile_frames: int, radius: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_frames", "radius", "amp_min", "power_domain"),
+    static_argnames=("tile_frames", "radius", "amp_min", "power_domain",
+                     "group_cap"),
 )
 def peak_candidates_fused(
     spec: jnp.ndarray,
@@ -263,6 +266,7 @@ def peak_candidates_fused(
     radius: int = 10,
     tile_frames: int = 128,
     power_domain: bool = False,
+    group_cap: int = GROUP_CAP,
 ):
     """Per-(frame, group) peak candidates from the freq-pre-padded dB spec.
 
@@ -291,7 +295,7 @@ def peak_candidates_fused(
 
     kernel = functools.partial(
         _kernel, tile_frames=tile_frames, radius=radius, pad_rows=pad_rows,
-        amp_min=amp_min, power_domain=power_domain,
+        amp_min=amp_min, power_domain=power_domain, group_cap=group_cap,
     )
     return pl.pallas_call(
         kernel,

@@ -114,8 +114,10 @@ def test_device_ingest_resume_and_incremental():
 
 
 def test_device_ingest_overflow_retry():
-    """Tiny per-song capacity: the 2x retry run kicks in (and a still-
-    over song is reported, never silently truncated without a flag)."""
+    """Tiny per-song capacity: the 2x retry run kicks in; songs still
+    flagged after the retry are NOT ingested (a flagged fused/XLA
+    n_peaks is a sentinel and the hash lanes can't be trusted) — they
+    stay unfingerprinted and are reported, never silently merged."""
     from shazam_tpu.api import SIA
 
     songs = _songs(2)
@@ -124,9 +126,16 @@ def test_device_ingest_overflow_retry():
     stats = sia.ingest_device_batch(
         [n for n, _s in songs], batch, nv, song_peak_capacity=64)
     assert stats.get("fallbacks", 0) == 2
-    assert stats["merges"] == 2          # main (empty rows masked) + retry
+    assert stats["merges"] == 2          # main (over rows masked) + retry
     assert set(stats["overflowed"]) == {"s0", "s1"}  # 3 s songs >> 128 peaks
-    assert stats["ingested"] == 2        # ingested with reported overflow
+    assert stats["ingested"] == 0        # dropped, reported, no garbage
+    assert sia._live_n_hashes() == 0
+    assert sia.catalog.get_songs() == []  # never marked fingerprinted
+
+    # a sufficient capacity on the SAME object then ingests them cleanly
+    stats2 = sia.ingest_device_batch(
+        [n for n, _s in songs], batch, nv, song_peak_capacity=4096)
+    assert stats2["ingested"] == 2 and stats2["overflowed"] == []
 
 
 def test_device_ingest_requires_device_resident():

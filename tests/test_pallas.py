@@ -201,3 +201,41 @@ def test_power_domain_peaks_bitexact(clip):
     assert k > 50
     assert np.array_equal(np.asarray(t1)[0][:k], np.asarray(t2)[0][:k])
     assert np.array_equal(np.asarray(f1)[0][:k], np.asarray(f2)[0][:k])
+
+
+def test_group_cap_12_resolves_dense_combs():
+    """Two impulses ~300 samples apart inside one frame make a spectral
+    interference comb (~13-bin ripple) that packs >8 distinct maxima
+    into a 128-bin group: group_cap=8 must FLAG the song (n_peaks
+    sentinel above capacity) and group_cap=12 — the hard distinct-value
+    packing bound — must match the exact XLA path bit for bit."""
+    import jax.numpy as jnp
+    import numpy as np
+    from shazam_tpu.ops.fingerprint import (
+        fingerprint_batch, fingerprint_batch_fused,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 1 << 18
+    t = np.arange(n, dtype=np.float64)
+    sig = rng.normal(0, 3.0, n)
+    # 10 tones 13 bins apart inside freq group 6 (>= 11-bin spacing =
+    # distinct local maxima), gated by periodic bursts so the burst
+    # frame is also a local max along TIME: 10 > GROUP_CAP=8 there
+    env = np.exp(-0.5 * ((t % (30 * 2048) - 2048.0) / 1200.0) ** 2)
+    for j in range(10):
+        f_bin = 768 + 6 + 13 * j
+        sig += env * (6000 + 700 * j) * np.sin(
+            2 * np.pi * (f_bin * 44100 / 4096) * t / 44100)
+    mat = jnp.asarray(sig.astype(np.float32)[None, :])
+    nv = jnp.asarray([n], np.int32)
+
+    fpx = fingerprint_batch(mat, nv, peak_capacity=8192)
+    with _interpret():
+        fp8 = fingerprint_batch_fused(mat, nv, peak_capacity=8192)
+        fp12 = fingerprint_batch_fused(mat, nv, peak_capacity=8192,
+                                       group_cap=12)
+    assert int(fp8.n_peaks[0]) > 8192          # flagged, never silent
+    assert int(fp12.n_peaks[0]) == int(fpx.n_peaks[0]) <= 8192
+    for a, b in zip(fp12, fpx):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
