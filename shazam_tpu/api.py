@@ -252,6 +252,7 @@ class SIA:
         shas: Optional[Sequence[str]] = None,
         song_peak_capacity: Optional[int] = None,
         per_song_hash_capacity: int = 32768,
+        group_cap: int = 8,
     ) -> Dict:
         """Zero-copy ingest of audio already resident on the device.
 
@@ -302,9 +303,13 @@ class SIA:
 
         peak_cap = song_peak_capacity or max(self.config.peak_capacity,
                                              16384)
+        # group_cap=12 (the hard distinct-value bound) trades ~10% fused
+        # fingerprint throughput for a retry-free steady state — the
+        # right default for unattended bulk ingest of arbitrary audio
         batch_fn = (
-            fingerprint_batch_fused if _fused_ok(self.config)
-            else fingerprint_batch
+            (lambda *a, **kw: fingerprint_batch_fused(
+                *a, group_cap=group_cap, **kw))
+            if _fused_ok(self.config) else fingerprint_batch
         )
 
         def fp_of(rows_dev, nv, cap, fn=None):
@@ -337,19 +342,25 @@ class SIA:
             # are reported in stats["overflowed"].  NB: a multi-channel
             # song split across the two runs skips the cross-run pair
             # union (counts add).
-            retry_rows = (over_rows * bsz)[:bsz]   # cycle-pad to bsz
-            retry_fn = (
-                (lambda *a, **kw: fingerprint_batch_fused(
-                    *a, group_cap=12, **kw))
-                if _fused_ok(self.config) else fingerprint_batch
-            )
-            retry_fp = fp_of(samples[jnp.asarray(retry_rows)],
-                             [n_valid_samples[i] for i in retry_rows],
-                             2 * peak_cap, fn=retry_fn)
-            retry_n = np.asarray(jax.device_get(retry_fp.n_peaks))
             stats["fallbacks"] = len(over_rows)
-            dead_pos = [j for j in range(len(over_rows))
-                        if retry_n[j] > 2 * peak_cap]
+            if _fused_ok(self.config) and group_cap >= 12:
+                # already at the distinct-value bound: a flag means a
+                # true plateau (or capacity overflow) — drop + report
+                retry_rows = over_rows
+                dead_pos = list(range(len(over_rows)))
+            else:
+                retry_rows = (over_rows * bsz)[:bsz]   # cycle-pad to bsz
+                retry_fn = (
+                    (lambda *a, **kw: fingerprint_batch_fused(
+                        *a, group_cap=12, **kw))
+                    if _fused_ok(self.config) else fingerprint_batch
+                )
+                retry_fp = fp_of(samples[jnp.asarray(retry_rows)],
+                                 [n_valid_samples[i] for i in retry_rows],
+                                 2 * peak_cap, fn=retry_fn)
+                retry_n = np.asarray(jax.device_get(retry_fp.n_peaks))
+                dead_pos = [j for j in range(len(over_rows))
+                            if retry_n[j] > 2 * peak_cap]
             stats["overflowed"] = [names[over_rows[j]] for j in dead_pos]
 
         # catalog registration first: the device run packs REAL song ids
