@@ -253,6 +253,7 @@ class SIA:
         song_peak_capacity: Optional[int] = None,
         per_song_hash_capacity: int = 32768,
         group_cap: int = 8,
+        defer_sort: bool = False,
     ) -> Dict:
         """Zero-copy ingest of audio already resident on the device.
 
@@ -407,8 +408,15 @@ class SIA:
                 raise ValueError(
                     "device addition run overflowed "
                     f"{cap} rows; raise per_song_hash_capacity")
-            store.merge_device_run(cols, int(n_run), n_songs_new,
-                                   bound_off)
+            if defer_sort:
+                # bulk-ingest mode: memcpy-class tail append now, ONE
+                # global sort when the index is next queried/saved —
+                # the scatter merge is O(base) per call
+                store.append_run(cols, int(n_run), n_songs_new,
+                                 bound_off)
+            else:
+                store.merge_device_run(cols, int(n_run), n_songs_new,
+                                       bound_off)
             stats["merges"] += 1
             stats["hashes"] += int(n_run)
             per_sid = {}  # each row of a song reports the song total

@@ -178,6 +178,7 @@ class DeviceIndex:
         self.n_songs = int(n_songs)
         self.max_offset = int(max_offset)
         self.stride = int(stride)  # 0 => 5-column unpacked layout
+        self._unsorted = False     # deferred-sort appends pending
 
     # ---- construction -------------------------------------------------
     @classmethod
@@ -226,6 +227,7 @@ class DeviceIndex:
         """Absorb a sorted addition run entirely on the device."""
         if addition.n_hashes == 0:
             return
+        self.finalize()
         n_songs = max(self.n_songs, addition.n_songs)
         max_off = max(self.max_offset, addition.max_offset)
         self._ensure_layout(n_songs, max_off)
@@ -273,6 +275,7 @@ class DeviceIndex:
                 "device-run merge requires the packed 4-column layout; "
                 "use the host ingest path for unpacked catalogs"
             )
+        self.finalize()
         new_valid = self.n_valid + n_add
         while self.cols[0].shape[0] < new_valid:
             self.cols = _grow(self.cols)
@@ -280,6 +283,51 @@ class DeviceIndex:
         self.n_valid = new_valid
         self.n_songs = max(self.n_songs, n_songs)
         self.max_offset = max(self.max_offset, max_offset)
+
+    def append_run(self, add_cols: Tuple, n_add: int,
+                   n_songs: int, max_offset: int) -> None:
+        """Deferred-sort ingest: write the run at the tail, sort later.
+
+        The lane-parallel scatter merge costs O(base) per call —
+        pathological for bulk ingest (and some TPU tunnel workers kill
+        programs running past tens of seconds, which a >30M-row scatter
+        exceeds).  Appends are memcpy-class dynamic-slice writes; one
+        global stable sort at :meth:`finalize` costs seconds and yields
+        the identical index (equal full-column rows are interchangeable,
+        so the merge tie rule is unobservable).  Layout rules match
+        ``merge_device_run``.
+        """
+        if n_add == 0:
+            return
+        if self.stride == 0 or len(add_cols) != len(self.cols):
+            raise ValueError(
+                "device-run append requires the packed 4-column layout; "
+                "use the host ingest path for unpacked catalogs"
+            )
+        add_len = add_cols[0].shape[0]
+        while self.cols[0].shape[0] < self.n_valid + add_len:
+            self.cols = _grow(self.cols)  # full padded run must fit
+        start = jnp.int32(self.n_valid)
+        self.cols = tuple(
+            jax.lax.dynamic_update_slice(c, a, (start,))
+            for c, a in zip(self.cols, add_cols)
+        )
+        self.n_valid += n_add
+        self.n_songs = max(self.n_songs, n_songs)
+        self.max_offset = max(self.max_offset, max_offset)
+        self._unsorted = True
+
+    def finalize(self) -> None:
+        """Sort pending appended runs into place (no-op when sorted).
+
+        The tail beyond each appended run's valid rows is sentinel, so
+        the single stable sort moves every real row into global order
+        and all padding to the end — element-identical to a sequence of
+        scatter merges.
+        """
+        if self._unsorted:
+            self.cols = lax.sort(self.cols, num_keys=len(self.cols))
+            self._unsorted = False
 
     _DOWNLOAD_CHUNK = 1 << 24  # rows (64 MB) per device->host transfer
 
@@ -307,9 +355,11 @@ class DeviceIndex:
     # ---- consumption --------------------------------------------------
     def query_cols(self) -> Tuple:
         """Device arrays in the shape ``match_query`` expects."""
+        self.finalize()
         return self.cols
 
     def to_host(self) -> FingerprintIndex:
+        self.finalize()
         cols = [self._download(c) for c in self.cols]
         if self.stride:
             hi, lo, ex, p = cols

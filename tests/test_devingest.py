@@ -144,3 +144,32 @@ def test_device_ingest_requires_device_resident():
     sia = SIA()
     with pytest.raises(ValueError):
         sia.ingest_device_batch(["x"], np.zeros((1, 8), np.float32), [8])
+
+
+def test_defer_sort_matches_scatter_merge():
+    """Bulk-ingest mode (append_run + one finalize sort) must produce an
+    element-identical index to per-batch scatter merges."""
+    from shazam_tpu.api import SIA
+
+    songs = _songs(6)
+
+    a = SIA(device_resident=True)
+    b = SIA(device_resident=True, device_reserve_hashes=1 << 17)
+    for base in (0, 3):
+        chunk = songs[base : base + 3]
+        batch, nv = _pad_batch([s for _n, s in chunk])
+        names = [n for n, _s in chunk]
+        a.ingest_device_batch(names, batch, nv)
+        b.ingest_device_batch(names, batch, nv, defer_sort=True)
+
+    assert b._ensure_dev_store()._unsorted       # still pending
+    ia, ib = a.index, b.index                    # .index finalizes b
+    assert ia.n_hashes == ib.n_hashes
+    for x, y in ((ia.key_hi, ib.key_hi), (ia.key_lo, ib.key_lo),
+                 (ia.key_ex, ib.key_ex), (ia.song_id, ib.song_id),
+                 (ia.offset, ib.offset)):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+    clip = songs[4][1][22050 : 22050 + 2 * 44100]
+    out = b.recognize_samples([clip])
+    assert out["results"][0]["song_name"] == "s4"
