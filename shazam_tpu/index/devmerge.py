@@ -10,10 +10,22 @@ sorted addition run with a lane-parallel merge that never leaves HBM:
   for its rank shift; every addition row binary-searches the base;
 - one scatter per column places all rows at their merged positions.
 
-Work per merge is O((B + A) log) at HBM bandwidth (~40x host) with zero
-host<->device index traffic.  The reference pays a SQL INSERT per row
-(``mysql_database.py:46-59``) and never merges at all — this is the
-TPU-shaped equivalent of its always-online inverted index.
+Work per merge is O((B + A) log) with zero host<->device index traffic.
+The reference pays a SQL INSERT per row (``mysql_database.py:46-59``)
+and never merges at all — this is the TPU-shaped equivalent of its
+always-online inverted index.
+
+Two absorption strategies:
+
+- ``merge`` / ``merge_device_run`` — scatter merge, queryable after
+  every addition.  NB: TPU scatters/gathers are row-serial; on the
+  current tunnel worker this path measures ~1.7 s per M base rows (and
+  the worker kills programs past tens of seconds, so >~16M-row scatter
+  merges die).  Right for incremental serving-time additions on modest
+  indexes.
+- ``append_run`` + ``finalize`` — memcpy-class tail appends and ONE
+  global stable sort on first query/save (seconds even at 33M rows).
+  Right for bulk ingest; element-identical result (tested).
 
 Compile stability (the axon tunnel costs minutes per program): arrays
 live in power-of-two *capacity* buffers padded with all-ones sentinel
