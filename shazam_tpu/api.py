@@ -902,7 +902,7 @@ class SIA:
         fingerprint_time = time.time() - t0
 
         t0 = time.time()
-        raw = self._match_prepared(
+        raw, cap_used = self._match_prepared(
             q, n_samples=max(len(ch) for ch in channels) if channels else 0,
             topn=topn, early_exit=early_exit,
         )
@@ -911,6 +911,7 @@ class SIA:
         t0 = time.time()
         matched = align_results(
             raw, q.n_pairs, catalog=self.catalog, config=self.config,
+            match_capacity=cap_used,
         )
         align_time = time.time() - t0
 
@@ -927,7 +928,8 @@ class SIA:
 
     def _match_prepared(self, q, n_samples: int, topn: Optional[int] = None,
                         early_exit: bool = False):
-        """Match prepared query pairs; returns the host RawMatch.
+        """Match prepared query pairs; returns (host RawMatch, capacity
+        actually used) — overflow is judged against the escalated tier.
 
         The shared match stage behind ``recognize_samples`` and the
         incremental ``StreamRecognizer`` (which fingerprints its own
@@ -947,14 +949,20 @@ class SIA:
                 topn=topn or self.config.topn,
                 offset_stride=self._offset_stride,
             )
-            return raw
-        # two-tier expansion: the fast capacity covers typical queries
-        # at ~1/4 the gather cost; rare overflows retry at full cap
+            return raw, self.config.match_capacity
+        # tiered expansion: the fast capacity covers typical queries at
+        # ~1/4 the gather cost; overflows escalate x4 up to
+        # match_capacity_max (hyper-common hashes in large catalogs can
+        # legitimately expand one query to 100K+ rows, and the reference
+        # counts every row's vote)
         caps = [self.config.match_capacity_fast, self.config.match_capacity]
         if caps[0] >= caps[1]:
             caps = caps[1:]
-        for cap in caps:
-            raw = match_query(
+        while caps[-1] < self.config.match_capacity_max:
+            caps.append(min(caps[-1] * 4, self.config.match_capacity_max))
+
+        def run(cap):
+            return jax.device_get(match_query(
                 dev,
                 jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
                 jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
@@ -964,11 +972,15 @@ class SIA:
                 match_capacity=cap,
                 topn=topn or self.config.topn,
                 offset_stride=self._offset_stride,
-            )
-            raw = jax.device_get(raw)
-            if int(raw.total_rows) <= cap:
-                break
-        return raw
+            ))
+
+        cap = caps[0]
+        raw = run(cap)
+        total = int(raw.total_rows)   # exact even when expansion clamps
+        if total > cap:
+            cap = next((c for c in caps if c >= total), caps[-1])
+            raw = run(cap)
+        return raw, cap
 
     def recognize_clip(
         self,

@@ -44,6 +44,11 @@ class FingerprintConfig:
     # (MatchResult.overflowed).
     match_capacity: int = 65536
     match_capacity_fast: int = 16384
+    # ceiling for overflow-retry escalation (x4 per tier): hyper-common
+    # hashes (shared motifs/percussion across a big catalog) can expand a
+    # single query to hundreds of thousands of rows; the reference
+    # expands ALL rows via SQL, so parity demands counting them
+    match_capacity_max: int = 1 << 22
     # --- matching / results ---
     topn: int = 2                     # TOPN (recognizer.py:68)
     # --- numerics ---

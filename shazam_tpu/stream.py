@@ -308,11 +308,13 @@ class StreamRecognizer:
 
         a, b = self._fps[0].window_sample_range()
         t0 = time.time()
-        raw = self.sia._match_prepared(q, n_samples=b - a, topn=topn)
+        raw, cap_used = self.sia._match_prepared(
+            q, n_samples=b - a, topn=topn)
         query_time = time.time() - t0
         t0 = time.time()
         matched = align_results(
             raw, q.n_pairs, catalog=self.sia.catalog, config=self.sia.config,
+            match_capacity=cap_used,
         )
         align_time = time.time() - t0
         return {

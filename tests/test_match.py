@@ -302,3 +302,33 @@ def test_long_query_votes_not_dropped(rng):
     )
     assert int(raw.top_songs[0]) == 0
     assert int(raw.top_votes[0]) == 50  # every pair voted at delta -2990
+
+
+def test_match_capacity_escalation_counts_every_row():
+    """Hyper-common hashes can expand one query past match_capacity; the
+    tiered retry must escalate until every row votes (reference counts
+    ALL rows via SQL expansion) instead of truncating silently."""
+    import dataclasses
+
+    import numpy as np
+    from shazam_tpu.api import SIA
+    from shazam_tpu.audio.synth import synth_song
+    from shazam_tpu.config import DEFAULT_CONFIG
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, match_capacity_fast=64, match_capacity=128,
+        match_capacity_max=1 << 15,
+    )
+    sia = SIA(config=cfg)
+    songs = [(f"s{i}", synth_song(i, duration_s=4.0, seed=21))
+             for i in range(3)]
+    sia.ingest_arrays(songs)
+
+    clip = songs[1][1][: 3 * 44100]
+    out = sia.recognize_samples([clip])
+    r0 = out["results"][0]
+    # a 3 s self-clip matches far more than 128 rows; escalation must
+    # land the right song with the full vote count and no overflow flag
+    assert r0["song_name"] == "s1"
+    assert r0["hashes_matched_in_input"] > 128
+    assert not out["overflowed"]
