@@ -92,6 +92,91 @@ def _kernel(tab_ref, out_ref, cnt_ref, *, tile_rows=TILE_ROWS,
     cnt_ref[0] = jnp.full((a_rows, 128), tile_total, jnp.int32)
 
 
+def _ff_kernel(tab_ref, out_ref, cnt_ref, acc_ref, cur_ref, *,
+               tile_rows, tile_cap, capacity, a_acc, r_tiles,
+               group_cap=GROUP_CAP):
+    """Fused-finish variant: the scan-of-DUS finish folded in.
+
+    A persistent VMEM accumulator + SMEM cursor place each tile's dense
+    segment at the running flat offset with dynamic rotates (lane roll +
+    row-carry select, then a sublane roll) — Mosaic has no dynamic
+    stores, but dynamic rotates are fine.  Replaces the XLA scan finish
+    (~0.3 ms/batch net) and shrinks outputs ~6x; measured exact-parity
+    vs the two-level path on TPU (benchmarks/exp_compact5.py).
+    """
+    rt = pl.program_id(1)
+    a_rows = tile_cap // 128
+
+    @pl.when(rt == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        cur_ref[0] = 0
+        cur_ref[1] = 0
+
+    tile = tab_ref[0]
+    cand = tile[:, :group_cap]
+    kept = jnp.minimum(tile[:, group_cap: group_cap + 1], group_cap)
+
+    incl = kept
+    shift = 1
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 1), 0)
+    while shift < tile_rows:
+        rolled = pltpu.roll(incl, shift, 0)
+        incl = incl + jnp.where(row_ids >= shift, rolled, 0)
+        shift *= 2
+    base = incl - kept
+    tile_total = incl[tile_rows - 1, 0]
+
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, group_cap), 1)
+    valid = c_ids < kept
+    pos = jnp.where(valid, base + c_ids, tile_cap)
+    r_tab = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, group_cap), 0)
+    t_val = ((rt * tile_rows) + r_tab) // N_GROUPS
+    packed_val = jnp.where(valid, t_val * 4096 + cand, 0)
+
+    a_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, a_rows), 1)
+    b_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 128), 1)
+    pdiv = pos // 128
+    pmod = pos % 128
+    val_f = packed_val.astype(jnp.float32)
+    out_tile = jnp.zeros((a_rows, 128), jnp.float32)
+    dn = (((0,), (0,)), ((), ()))
+    for c in range(group_cap):
+        h = (pdiv[:, c: c + 1] == a_ids).astype(jnp.float32)
+        lv = jnp.where(pmod[:, c: c + 1] == b_ids, val_f[:, c: c + 1], 0.0)
+        out_tile = out_tile + jax.lax.dot_general(
+            h, lv, dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    seg = out_tile.astype(jnp.int32)                     # (a_rows, 128)
+
+    # place seg at flat offset min(cur, capacity): lane roll + row-carry
+    # split, then a dynamic sublane roll of the (a_rows+1)-row
+    # contribution padded to the accumulator height
+    cur = cur_ref[0]
+    off = jnp.minimum(cur, capacity)
+    s = off % 128
+    r0 = off // 128
+    lane = jax.lax.broadcasted_iota(jnp.int32, (a_rows, 128), 1)
+    rolled = pltpu.roll(seg, s, 1)
+    low = jnp.where(lane >= s, rolled, 0)
+    high = jnp.where(lane < s, rolled, 0)
+    zrow = jnp.zeros((1, 128), jnp.int32)
+    contrib = (jnp.concatenate([low, zrow], 0)
+               + jnp.concatenate([zrow, high], 0))       # (a_rows+1, 128)
+    pad = jnp.zeros((a_acc - a_rows - 1, 128), jnp.int32)
+    acc_ref[...] += pltpu.roll(jnp.concatenate([contrib, pad], 0), r0, 0)
+
+    cur_ref[0] = cur + jnp.minimum(tile_total, tile_cap)
+    cur_ref[1] = jnp.maximum(cur_ref[1], tile_total)
+
+    @pl.when(rt == r_tiles - 1)
+    def _emit():
+        out_ref[0] = acc_ref[...]
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        cnt_ref[0] = jnp.where(
+            rows8 == 0, cur_ref[0], jnp.where(rows8 == 1, cur_ref[1], 0))
+
+
 @functools.partial(
     jax.jit, static_argnames=("capacity", "tile_rows", "tile_cap",
                               "group_cap")
@@ -104,7 +189,9 @@ def compact_candidates(table: jnp.ndarray, capacity: int,
 
     Same contract as ``peaks.extract_peaks_from_candidates`` (peaks in
     (t, f) order, zeros past the count, n_peaks clamped above capacity on
-    any per-group or tile overflow).
+    any per-group or tile overflow).  Uses the fused-finish kernel
+    (``_ff_kernel``); the two-level ``_kernel`` + scan finish is kept for
+    the benchmark history in benchmarks/exp_compact*.py.
     """
     bsz, r, _ = table.shape
     a_rows = tile_cap // 128
@@ -113,62 +200,44 @@ def compact_candidates(table: jnp.ndarray, capacity: int,
         table = jnp.pad(table, ((0, 0), (0, pad), (0, 0)))
         r += pad
     r_tiles = r // tile_rows
+    a_acc = -(-(capacity // 128 + a_rows + 1) // 8) * 8
 
-    segs, seg_counts = pl.pallas_call(
-        functools.partial(_kernel, tile_rows=tile_rows, tile_cap=tile_cap,
-                          group_cap=group_cap),
+    out, cnt = pl.pallas_call(
+        functools.partial(
+            _ff_kernel, tile_rows=tile_rows, tile_cap=tile_cap,
+            capacity=capacity, a_acc=a_acc, r_tiles=r_tiles,
+            group_cap=group_cap),
         grid=(bsz, r_tiles),
         in_specs=[
             pl.BlockSpec((1, tile_rows, 128), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, a_rows, 128), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, a_acc, 128), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, a_rows, 128), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, 8, 128), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bsz, r_tiles * a_rows, 128), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, r_tiles * a_rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, a_acc, 128), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, 8, 128), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((a_acc, 128), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
         compiler_params=pltpu.CompilerParams(
             # large tiles (2048+ rows, double-buffered) exceed the 16M
             # default scoped-vmem budget
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(table)
-    segs = segs.reshape(bsz, r_tiles, tile_cap)
-    seg_counts = seg_counts[:, ::a_rows, 0]
 
-    # finish: the segments are DENSE (live lanes are [0, cnt)), so the
-    # final peak list is just their concatenation — a scan of r_tiles
-    # dynamic-update-slices at the running offsets. This replaces an
-    # order-preserving top_k over r_tiles * tile_cap candidates that
-    # measured 3.6 ms/batch (gather/sort-bound); the scan is ~free.
-    # Each segment's dead tail lanes are overwritten by the next segment
-    # (base advances by exactly cnt); whatever survives past the total is
-    # masked below.
-    kept = jnp.minimum(seg_counts, tile_cap)                    # (B, R)
-    base = jnp.cumsum(kept, axis=1) - kept                      # exclusive
-    total_kept = jnp.sum(kept, axis=1)                          # (B,)
-
-    buf0 = jnp.zeros((bsz, capacity + tile_cap), jnp.int32)
-
-    def step(buf, inp):
-        seg, st = inp  # (B, tile_cap), (B,)
-        buf = jax.vmap(
-            lambda b, s, i: jax.lax.dynamic_update_slice(b, s, (i,))
-        )(buf, seg, jnp.minimum(st, capacity))
-        return buf, None
-
-    buf, _ = jax.lax.scan(
-        step, buf0, (segs.transpose(1, 0, 2), base.T.astype(jnp.int32))
-    )
-    packed = buf[:, :capacity]
-    live = (
-        jnp.arange(capacity, dtype=jnp.int32)[None, :] < total_kept[:, None]
-    )
+    packed = out.reshape(bsz, a_acc * 128)[:, :capacity]
+    total_kept = cnt[:, 0, 0]
+    raw_max = cnt[:, 1, 0]
+    live = (jnp.arange(capacity, dtype=jnp.int32)[None, :]
+            < total_kept[:, None])
     packed = jnp.where(live, packed, 0)
     times = (packed // 4096).astype(jnp.uint32)
     freqs = (packed % 4096).astype(jnp.uint32)
@@ -177,7 +246,7 @@ def compact_candidates(table: jnp.ndarray, capacity: int,
     n_peaks = jnp.sum(counts_all, axis=1).astype(jnp.uint32)
     overflow = (
         jnp.any(counts_all > group_cap, axis=1)
-        | jnp.any(seg_counts > tile_cap, axis=1)
+        | (raw_max > tile_cap)
         | (total_kept > capacity)
     )
     n_peaks = jnp.where(
