@@ -104,9 +104,9 @@ def power_threshold(amp_min: float) -> float:
     return struct.unpack("<f", struct.pack("<I", hi))[0]
 
 
-def _kernel(spec_hbm, out_ref, buf, sems, *, tile_frames: int, radius: int,
+def _kernel(spec_hbm, out_ref, buf, sems, ero_ref, *, tile_frames: int, radius: int,
             pad_rows: int, amp_min: float, power_domain: bool,
-            group_cap: int = GROUP_CAP):
+            group_cap: int = GROUP_CAP, _skip_erosion: bool = False):
     b = pl.program_id(0)
     t_tile = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -192,13 +192,44 @@ def _kernel(spec_hbm, out_ref, buf, sems, *, tile_frames: int, radius: int,
     # ---- eroded zero background (border_value=1 == padded zeros) ----
     # power domain: dB-zero cells are power == 0 (masked) OR power == 1
     # (10*log10(1) == 0 exactly)
-    if power_domain:
-        bg = (spec == 0.0) | (spec == 1.0)
+    if _skip_erosion:
+        # TIMING EXPERIMENTS ONLY (benchmarks/exp_peaks2.py): erosion
+        # cost isolation. Semantically wrong on zero plateaus.
+        eroded = jnp.zeros((tile_frames, F_PAD), jnp.bool_)
     else:
-        bg = spec == 0.0
-    fbg = _running(bg, width, jnp.logical_and, axis=1)
-    tbg = _running(fbg, width, jnp.logical_and, axis=0)
-    eroded = tbg[row0 : row0 + tile_frames, lane0 : lane0 + F_PAD]
+        # conditional erosion, exact semantics (0.6 ms/batch when it
+        # runs — benchmarks/exp_peaks2.py): every 21x21 window centered
+        # in the data region contains >= radius+1 data-column cells, so
+        # if NO background cell exists among the data columns of the
+        # windows' row span, no window can be fully background and the
+        # erosion is identically False. Zeros only occur at time
+        # boundaries / padded frames / silence, so interior tiles skip
+        # both running-AND reductions.
+        if power_domain:
+            bg = (spec == 0.0) | (spec == 1.0)
+        else:
+            bg = spec == 0.0
+        # only LIVE data columns count: cols >= F_OUT are structurally
+        # zero (PSD scale 0) but the mask excludes them anyway, and a
+        # window centered at j < F_OUT always contains >= radius+1 cells
+        # from cols <= 2048
+        span = bg[row0 : row0 + tile_frames + 2 * radius,
+                  F_HALO : F_HALO + F_PAD]
+        live_col = (
+            jax.lax.broadcasted_iota(jnp.int32, span.shape, 1) < F_OUT
+        )
+        has_bg = jnp.any(span & live_col)
+        ero_ref[...] = jnp.zeros_like(ero_ref)
+
+        @pl.when(has_bg)
+        def _erode():
+            fbg = _running(bg, width, jnp.logical_and, axis=1)
+            tbg = _running(fbg, width, jnp.logical_and, axis=0)
+            ero_ref[...] = tbg[
+                row0 : row0 + tile_frames, lane0 : lane0 + F_PAD
+            ].astype(jnp.float32)
+
+        eroded = ero_ref[...] > 0.0
 
     f_ids = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
     # the amplitude gate: in power domain, >= the exact f32 threshold is
@@ -257,7 +288,7 @@ def _kernel(spec_hbm, out_ref, buf, sems, *, tile_frames: int, radius: int,
 @functools.partial(
     jax.jit,
     static_argnames=("tile_frames", "radius", "amp_min", "power_domain",
-                     "group_cap"),
+                     "group_cap", "_skip_erosion"),
 )
 def peak_candidates_fused(
     spec: jnp.ndarray,
@@ -267,6 +298,7 @@ def peak_candidates_fused(
     tile_frames: int = 128,
     power_domain: bool = False,
     group_cap: int = GROUP_CAP,
+    _skip_erosion: bool = False,
 ):
     """Per-(frame, group) peak candidates from the freq-pre-padded dB spec.
 
@@ -296,6 +328,7 @@ def peak_candidates_fused(
     kernel = functools.partial(
         _kernel, tile_frames=tile_frames, radius=radius, pad_rows=pad_rows,
         amp_min=amp_min, power_domain=power_domain, group_cap=group_cap,
+        _skip_erosion=_skip_erosion,
     )
     return pl.pallas_call(
         kernel,
@@ -312,6 +345,7 @@ def peak_candidates_fused(
         scratch_shapes=[
             pltpu.VMEM((2, tile_frames + 32, F_TOT), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((tile_frames, F_PAD), jnp.float32),  # cond. erosion
         ],
         compiler_params=pltpu.CompilerParams(
             # the double-buffered input tile pushes peak usage slightly
