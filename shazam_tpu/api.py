@@ -41,7 +41,7 @@ from .index.store import FingerprintIndex, build_index, merge_into
 from .index.devmerge import DeviceIndex
 from .index.catalog import SongCatalog
 from .match.prepare import prepare_query
-from .match.lookup import match_query
+from .match.lookup import match_query, match_query_sparse
 from .match.align import align_results
 
 
@@ -961,15 +961,21 @@ class SIA:
         while caps[-1] < self.config.match_capacity_max:
             caps.append(min(caps[-1] * 4, self.config.match_capacity_max))
 
+        n_songs = max(self._live_n_songs(), 1)
+        # big catalogs: the dense (n_songs, delta_range) vote histogram
+        # costs ~3 passes over n_songs*delta_range*4 bytes per query
+        # (~1.5 GB / ~5 ms at 12K songs); the sort-based sparse matcher
+        # is O(match_capacity) and element-identical (tested)
+        use_sparse = n_songs * delta_range > 16_000_000
+        matcher = match_query_sparse if use_sparse else match_query
+
         def run(cap):
-            return jax.device_get(match_query(
+            return jax.device_get(matcher(
                 dev,
                 jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
                 jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
-                n_songs=max(self._live_n_songs(), 1),
-                delta_min=delta_min,
-                delta_range=delta_range,
-                match_capacity=cap,
+                n_songs=n_songs, delta_min=delta_min,
+                delta_range=delta_range, match_capacity=cap,
                 topn=topn or self.config.topn,
                 offset_stride=self._offset_stride,
             ))

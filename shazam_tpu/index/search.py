@@ -63,6 +63,10 @@ def _binary_search(keys, queries, keep_left_on):
     q_shape = queries[0].shape
 
     if n > 8 * FENCE_STRIDE:
+        # (a SECOND fence level measured perf-neutral at 95M rows —
+        # 21.3 vs 20.8 ms per 4096-lane match_query, benchmarks/
+        # exp_search.py: the search is bound by the per-round gathers
+        # into the big arrays, not by L1-fence cache residency)
         fence = tuple(k[::FENCE_STRIDE] for k in keys)
         nf = fence[0].shape[0]
         f_steps = max(1, (nf - 1).bit_length()) + 1

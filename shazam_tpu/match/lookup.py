@@ -46,27 +46,13 @@ class RawMatch(NamedTuple):
     n_ranked: jnp.ndarray      # int32 scalar — songs with >= 1 vote
 
 
-def match_local(
-    index_arrays,
-    q_hi, q_lo, q_ex, q_t, q_valid, q_first,
-    *,
-    n_songs: int,
-    delta_min: int,
-    delta_range: int,
-    match_capacity: int,
-    offset_stride: int = 0,
-):
-    """Core match against one (shard of the) sorted index.
+def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
+            match_capacity: int, offset_stride: int):
+    """Search + fixed-capacity row expansion (shared by the matchers).
 
-    index_arrays is (key_hi, key_lo, key_ex, packed_payload) with
-    ``offset_stride`` > 0 (payload = song_id * stride + offset — one HBM
-    gather per matched row), or the 5-tuple (... song_id, offset) with
-    ``offset_stride`` == 0 for catalogs too large to pack.
-
-    Returns (hist, rows_hist, total): the dense (n_songs, delta_range)
-    vote histogram, per-song dedup row counts, and the true expanded
-    match count. Pure function of the local index slice — the sharded
-    path psums these across devices before ranking.
+    Returns (sid, delta, p, valid, total): per expanded vote slot, the
+    song id, offset delta, owning query-pair index, validity, and the
+    TRUE total match count (exact even when expansion clamps).
     """
     k_hi, k_lo, k_ex = index_arrays[:3]
 
@@ -95,6 +81,35 @@ def match_local(
         doff = jnp.take(index_arrays[4], safe_row).astype(jnp.int32)
     qoff = jnp.take(q_t, p).astype(jnp.int32)
     delta = doff - qoff
+    return sid, delta, p, valid, total
+
+
+def match_local(
+    index_arrays,
+    q_hi, q_lo, q_ex, q_t, q_valid, q_first,
+    *,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int,
+    offset_stride: int = 0,
+):
+    """Core match against one (shard of the) sorted index.
+
+    index_arrays is (key_hi, key_lo, key_ex, packed_payload) with
+    ``offset_stride`` > 0 (payload = song_id * stride + offset — one HBM
+    gather per matched row), or the 5-tuple (... song_id, offset) with
+    ``offset_stride`` == 0 for catalogs too large to pack.
+
+    Returns (hist, rows_hist, total): the dense (n_songs, delta_range)
+    vote histogram, per-song dedup row counts, and the true expanded
+    match count. Pure function of the local index slice — the sharded
+    path psums these across devices before ranking.
+    """
+    sid, delta, p, valid, total = _expand(
+        index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
+        match_capacity=match_capacity, offset_stride=offset_stride,
+    )
 
     # dense (n_songs, delta_range) vote histogram; deltas outside the
     # representable window are dropped (callers size the window so real
@@ -176,3 +191,92 @@ def match_query(
         match_capacity=match_capacity, offset_stride=offset_stride,
     )
     return rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
+                     "topn", "offset_stride"),
+)
+def match_query_sparse(
+    index_arrays,
+    q_hi: jnp.ndarray,
+    q_lo: jnp.ndarray,
+    q_ex: jnp.ndarray,
+    q_t: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    q_first: jnp.ndarray,
+    *,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 65536,
+    topn: int = 2,
+    offset_stride: int = 0,
+) -> RawMatch:
+    """``match_query`` without the dense histogram — EXACT, for big catalogs.
+
+    The dense (n_songs, delta_range) vote histogram costs ~3 full passes
+    over n_songs * delta_range * 4 bytes per query (~1.5 GB / ~5 ms at
+    12K songs).  A query only produces <= match_capacity votes, so the
+    histogram is inherently sparse: sort the packed (song, delta) vote
+    keys, run-length count them with segment ops, and reduce per song
+    with small scatter-max/min passes — O(match_capacity) work plus two
+    O(n_songs) scalar arrays, identical results (same tie rules: the
+    scatter-min best-delta mirrors argmax-takes-first, top_k ties keep
+    the smallest song id).
+    """
+    sid, delta, p, valid, total = _expand(
+        index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
+        match_capacity=match_capacity, offset_stride=offset_stride,
+    )
+    cap = sid.shape[0]
+    dbin = delta - delta_min
+    in_range = (dbin >= 0) & (dbin < delta_range)
+    vote_ok = valid & in_range
+
+    SENT = jnp.int32(0x7FFFFFFF)
+    key = jnp.where(vote_ok, sid * delta_range + dbin, SENT)
+    ks = jax.lax.sort(key)
+    live = ks != SENT
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    run_start = live & jnp.concatenate(
+        [jnp.ones(1, bool), ks[1:] != ks[:-1]])
+    seg_id = jnp.cumsum(run_start.astype(jnp.int32)) - 1  # -1 before 1st
+    safe_seg = jnp.where(live, seg_id, cap - 1)
+    counts_seg = jnp.zeros(cap, jnp.int32).at[safe_seg].add(
+        live.astype(jnp.int32), mode="drop")
+    key_seg = jnp.full(cap, SENT, jnp.int32).at[safe_seg].min(
+        jnp.where(live, ks, SENT), mode="drop")
+
+    song_seg = jnp.where(key_seg != SENT, key_seg // delta_range, n_songs)
+    dbin_seg = jnp.where(key_seg != SENT, key_seg % delta_range, 0)
+
+    votes_per_song = jnp.zeros(n_songs, jnp.int32).at[song_seg].max(
+        counts_seg, mode="drop")
+    back = jnp.take(votes_per_song, jnp.minimum(song_seg, n_songs - 1))
+    is_best = (key_seg != SENT) & (counts_seg == back)
+    best_bin = jnp.full(n_songs, 0x7FFFFFFF, jnp.int32).at[song_seg].min(
+        jnp.where(is_best, dbin_seg, 0x7FFFFFFF), mode="drop")
+
+    first = jnp.take(q_first, p)
+    rows_hist = jnp.zeros(n_songs, jnp.int32).at[sid].add(
+        (valid & first).astype(jnp.int32), mode="drop")
+
+    k = min(topn, n_songs)
+    top_votes, top_songs = jax.lax.top_k(votes_per_song, k)
+    if k < topn:
+        top_votes = jnp.pad(top_votes, (0, topn - k))
+        top_songs = jnp.pad(top_songs, (0, topn - k))
+    bb = jnp.take(best_bin, top_songs)
+    # zero-vote songs (catalogs smaller than topn): dense argmax gives
+    # bin 0 -> delta_min; mirror it
+    top_deltas = jnp.where(bb == 0x7FFFFFFF, 0, bb).astype(jnp.int32) \
+        + delta_min
+    row_counts = jnp.take(rows_hist, top_songs)
+    n_ranked = jnp.sum((votes_per_song > 0).astype(jnp.int32))
+
+    return RawMatch(
+        top_songs.astype(jnp.int32), top_deltas, top_votes,
+        row_counts, total, n_ranked,
+    )

@@ -332,3 +332,53 @@ def test_match_capacity_escalation_counts_every_row():
     assert r0["song_name"] == "s1"
     assert r0["hashes_matched_in_input"] > 128
     assert not out["overflowed"]
+
+
+def test_sparse_matcher_equals_dense():
+    """match_query_sparse (sort + run-length count, no dense histogram)
+    must be ELEMENT-IDENTICAL to the dense matcher."""
+    import jax.numpy as jnp
+    import numpy as np
+    from shazam_tpu.match.lookup import match_query, match_query_sparse
+
+    rng = np.random.default_rng(11)
+    n, n_songs, stride = 200_000, 4000, 1024
+    hi = rng.integers(0, 1 << 12, n, dtype=np.uint32)  # dense keys: many
+    lo = rng.integers(0, 1 << 4, n, dtype=np.uint32)   # multi-row buckets
+    ex = rng.integers(0, 1 << 2, n, dtype=np.uint32)
+    sid = rng.integers(0, n_songs, n, dtype=np.uint32)
+    off = rng.integers(0, 1000, n, dtype=np.uint32)
+    # plant an aligned song
+    plant = rng.choice(n, 400, replace=False)
+    sid[plant] = 1234
+    off[plant] = np.sort(rng.integers(60, 900, 400)).astype(np.uint32)
+    order = np.lexsort((off, sid, ex, lo, hi))
+    cols = tuple(jnp.asarray(a[order]) for a in (hi, lo, ex))
+    cols = cols + (jnp.asarray(
+        sid[order] * np.uint32(stride) + off[order]),)
+
+    Q = 512
+    q_hi, q_lo, q_ex = hi[plant], lo[plant], ex[plant]
+    q_t = (off[plant].astype(np.int64) - 40).astype(np.uint32)
+
+    def padq(a):
+        out = np.zeros(Q, a.dtype)
+        out[:400] = a
+        return jnp.asarray(out)
+
+    qv = jnp.asarray(np.arange(Q) < 400)
+    kw = dict(n_songs=n_songs, delta_min=-256, delta_range=1536,
+              match_capacity=65536, topn=2, offset_stride=stride)
+    args = (cols, padq(q_hi), padq(q_lo), padq(q_ex), padq(q_t), qv, qv)
+
+    dense = match_query(*args, **kw)
+    sparse = match_query_sparse(*args, **kw)
+    for a, b in zip(sparse, dense):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert int(sparse.top_songs[0]) == 1234
+    # small-capacity clamp must agree too (truncated expansions)
+    kw2 = dict(kw, match_capacity=1024)
+    d2 = match_query(*args, **kw2)
+    s2 = match_query_sparse(*args, **kw2)
+    for a, b in zip(s2, d2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

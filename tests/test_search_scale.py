@@ -1,0 +1,42 @@
+"""Fence-accelerated lexicographic search vs numpy, at fence-path sizes.
+
+The CPU suites exercise small indexes; the single-level fence engages
+past 4,096 rows and the two-level fence past ~2M. Verify both against
+numpy searchsorted on the packed 80-bit keys.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("n", [50_000, 3_000_000])
+def test_bounds_match_numpy(n):
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import lexi_lower_bound, lexi_upper_bound
+
+    rng = np.random.default_rng(3)
+    hi = rng.integers(0, 1 << 8, n, dtype=np.uint32)   # dense: many dups
+    lo = rng.integers(0, 1 << 4, n, dtype=np.uint32)
+    ex = rng.integers(0, 1 << 3, n, dtype=np.uint32)
+    order = np.lexsort((ex, lo, hi))
+    hi, lo, ex = hi[order], lo[order], ex[order]
+    packed = (hi.astype(np.uint64) << 32) | (lo.astype(np.uint64) << 16) | ex
+
+    m = 1024
+    qi = rng.integers(0, n, m)
+    q_hi, q_lo, q_ex = hi[qi].copy(), lo[qi].copy(), ex[qi].copy()
+    # mix in misses and extremes
+    q_hi[:64] = rng.integers(0, 1 << 9, 64, dtype=np.uint32)
+    q_hi[64:72] = 0
+    q_hi[72:80] = np.uint32(0xFFFFFFFF)
+    q_packed = (q_hi.astype(np.uint64) << 32) \
+        | (q_lo.astype(np.uint64) << 16) | q_ex
+
+    lb = np.asarray(lexi_lower_bound(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(ex),
+        jnp.asarray(q_hi), jnp.asarray(q_lo), jnp.asarray(q_ex)))
+    ub = np.asarray(lexi_upper_bound(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(ex),
+        jnp.asarray(q_hi), jnp.asarray(q_lo), jnp.asarray(q_ex)))
+    assert np.array_equal(lb, np.searchsorted(packed, q_packed, "left"))
+    assert np.array_equal(ub, np.searchsorted(packed, q_packed, "right"))
