@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fingerprint import fingerprint_batch_fused, fingerprint_batch
-from .lookup import match_local, rank_votes, RawMatch
+from .lookup import match_local, match_query_sparse, rank_votes, RawMatch
 
 
 @functools.partial(
@@ -119,10 +119,21 @@ def recognize_on_device(
     q_first = q_valid & ~same_hash        # first pair of each unique hash
     n_pairs = jnp.sum(q_valid.astype(jnp.int32))
 
-    hist, rows_hist, total = match_local(
-        index_arrays, sort_hi, lo, ex, t1, q_valid, q_first,
-        n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-        match_capacity=match_capacity, offset_stride=offset_stride,
-    )
-    raw = rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)
+    if n_songs * delta_range > 16_000_000:
+        # big catalogs: sort-based sparse matcher (O(match_capacity),
+        # element-identical — see lookup.match_query_sparse)
+        raw = match_query_sparse(
+            index_arrays, sort_hi, lo, ex, t1, q_valid, q_first,
+            n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+            match_capacity=match_capacity, topn=topn,
+            offset_stride=offset_stride,
+        )
+    else:
+        hist, rows_hist, total = match_local(
+            index_arrays, sort_hi, lo, ex, t1, q_valid, q_first,
+            n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+            match_capacity=match_capacity, offset_stride=offset_stride,
+        )
+        raw = rank_votes(hist, rows_hist, total, delta_min=delta_min,
+                         topn=topn)
     return raw, n_pairs, fp.n_peaks[0], n_hashes_total
