@@ -38,7 +38,7 @@ class ShardedCatalog:
         mesh=None,
         config: FingerprintConfig = DEFAULT_CONFIG,
         catalog=None,
-        dense_limit_bytes: int = 1 << 30,
+        dense_limit_bytes: int = 64 << 20,
     ):
         self.mesh = mesh or make_mesh()
         self.config = config
@@ -48,6 +48,11 @@ class ShardedCatalog:
 
         self._max_off = ((index.max_offset // 4096) + 1) * 4096
 
+        # the key-range regime psums a dense (n_songs, delta_range) vote
+        # histogram across the mesh — ~500 MB per device per query at
+        # 12K songs. Past `dense_limit_bytes` the by-song regime (local
+        # voting over n_songs/n_dev songs + one tiny all_gather) is
+        # strictly cheaper, long before its 1M-song design point.
         dense_bytes = max(index.n_songs, 1) * self._delta_range_for(1024) * 4
         self.regime = "key_range" if dense_bytes <= dense_limit_bytes else "by_song"
         if self.regime == "key_range":
