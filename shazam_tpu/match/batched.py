@@ -15,13 +15,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .lookup import match_local, rank_votes, RawMatch
+from .lookup import (match_local, match_query_sparse, rank_votes,
+                     RawMatch)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
-                     "topn", "offset_stride"),
+                     "topn", "offset_stride", "sparse"),
 )
 def match_queries_batched(
     index_arrays,
@@ -33,9 +34,25 @@ def match_queries_batched(
     match_capacity: int = 65536,
     topn: int = 2,
     offset_stride: int = 0,
+    sparse: bool = None,
 ) -> RawMatch:
-    """Match a (Bq, Q) batch of padded queries; returns batched RawMatch."""
+    """Match a (Bq, Q) batch of padded queries; returns batched RawMatch.
+
+    ``sparse`` (default: auto past 16M histogram bins) vmaps the
+    sort-based matcher instead of the dense histogram — a (Bq, n_songs,
+    delta_range) histogram stack is ~4 GB per batch at 12K songs.
+    """
+    if sparse is None:
+        sparse = n_songs * delta_range > 16_000_000
+
     def one(hi, lo, ex, t, valid, first):
+        if sparse:
+            return match_query_sparse(
+                index_arrays, hi, lo, ex, t, valid, first,
+                n_songs=n_songs, delta_min=delta_min,
+                delta_range=delta_range, match_capacity=match_capacity,
+                topn=topn, offset_stride=offset_stride,
+            )
         hist, rows_hist, total = match_local(
             index_arrays, hi, lo, ex, t, valid, first,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,

@@ -42,3 +42,35 @@ def test_batched_matches_single(engine):
 def test_batched_empty():
     sia = SIA()
     assert sia.recognize_batch([]) == []
+
+
+def test_batched_sparse_equals_dense():
+    """The vmapped sparse matcher must equal the vmapped dense one."""
+    import jax.numpy as jnp
+    import numpy as np
+    from shazam_tpu.match.batched import match_queries_batched
+
+    rng = np.random.default_rng(7)
+    n, n_songs, stride = 50_000, 300, 512
+    hi = rng.integers(0, 1 << 10, n, dtype=np.uint32)
+    lo = rng.integers(0, 1 << 4, n, dtype=np.uint32)
+    ex = rng.integers(0, 1 << 2, n, dtype=np.uint32)
+    sid = rng.integers(0, n_songs, n, dtype=np.uint32)
+    off = rng.integers(0, 500, n, dtype=np.uint32)
+    order = np.lexsort((off, sid, ex, lo, hi))
+    cols = tuple(jnp.asarray(a[order]) for a in (hi, lo, ex))
+    cols = cols + (jnp.asarray(sid[order] * np.uint32(stride) + off[order]),)
+
+    Bq, Q = 3, 256
+    qi = rng.integers(0, n, (Bq, Q))
+    args = (cols,
+            jnp.asarray(hi[qi]), jnp.asarray(lo[qi]), jnp.asarray(ex[qi]),
+            jnp.asarray(rng.integers(0, 100, (Bq, Q)).astype(np.uint32)),
+            jnp.asarray(np.ones((Bq, Q), bool)),
+            jnp.asarray(np.ones((Bq, Q), bool)))
+    kw = dict(n_songs=n_songs, delta_min=-128, delta_range=768,
+              match_capacity=16384, topn=2, offset_stride=stride)
+    dense = match_queries_batched(*args, sparse=False, **kw)
+    sp = match_queries_batched(*args, sparse=True, **kw)
+    for a, b in zip(sp, dense):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
