@@ -90,6 +90,43 @@ def _binary_search(keys, queries, keep_left_on):
 
 
 @functools.partial(jax.jit)
+def lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex):
+    """(lower, upper) bounds sharing one descent.
+
+    The upper bound always lies in [lb, n]; for buckets shorter than
+    FENCE_STRIDE it lies in [lb, lb + FENCE_STRIDE], so a 10-round
+    search over that span replaces the full ~28-round descent. Lanes
+    whose span saturates AND whose capped boundary key still compares
+    <= the query (hyper-hot keys) are resolved exactly by a full
+    upper-bound search under a batch-level lax.cond — typical queries
+    skip it entirely (~32% fewer search rounds).
+    """
+    keys = (k_hi, k_lo, k_ex)
+    queries = (q_hi, q_lo, q_ex)
+    lb = _binary_search(
+        keys, queries,
+        lambda mh, ml, me, qh, ql, qe: _lt(mh, ml, me, qh, ql, qe),
+    )
+    n = k_hi.shape[0]
+    keep_left = lambda mh, ml, me, qh, ql, qe: ~_lt(qh, ql, qe, mh, ml, me)
+    cap_hi = jnp.minimum(lb + FENCE_STRIDE, n)
+    ub_r = _search_rounds(keys, queries, keep_left, lb, cap_hi,
+                          FENCE_STRIDE.bit_length() + 1)
+    probe = jnp.minimum(ub_r, n - 1)
+    at_cap = (ub_r == cap_hi) & (cap_hi < n)
+    still_le = ~_lt(q_hi, q_lo, q_ex, jnp.take(k_hi, probe),
+                    jnp.take(k_lo, probe), jnp.take(k_ex, probe))
+    suspect = at_cap & still_le
+
+    def full_ub(_):
+        ub_f = _binary_search(keys, queries, keep_left)
+        return jnp.where(suspect, ub_f, ub_r)
+
+    ub = jax.lax.cond(jnp.any(suspect), full_ub, lambda _: ub_r, 0)
+    return lb, ub
+
+
+@functools.partial(jax.jit)
 def lexi_lower_bound(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex):
     """First index i with keys[i] >= q (per query lane)."""
     return _binary_search(

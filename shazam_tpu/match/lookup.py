@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..index.search import lexi_lower_bound, lexi_upper_bound
+from ..index.search import lexi_bounds
 
 
 class RawMatch(NamedTuple):
@@ -56,8 +56,7 @@ def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
     """
     k_hi, k_lo, k_ex = index_arrays[:3]
 
-    lb = lexi_lower_bound(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex)
-    ub = lexi_upper_bound(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex)
+    lb, ub = lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex)
     lens = jnp.where(q_valid, ub - lb, 0)
 
     cum = jnp.cumsum(lens)

@@ -32,6 +32,16 @@ def test_bounds_match_numpy(n):
     q_packed = (q_hi.astype(np.uint64) << 32) \
         | (q_lo.astype(np.uint64) << 16) | q_ex
 
+    from shazam_tpu.index.search import lexi_bounds
+
+    lb2, ub2 = lexi_bounds(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(ex),
+        jnp.asarray(q_hi), jnp.asarray(q_lo), jnp.asarray(q_ex))
+    assert np.array_equal(np.asarray(lb2),
+                          np.searchsorted(packed, q_packed, "left"))
+    assert np.array_equal(np.asarray(ub2),
+                          np.searchsorted(packed, q_packed, "right"))
+
     lb = np.asarray(lexi_lower_bound(
         jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(ex),
         jnp.asarray(q_hi), jnp.asarray(q_lo), jnp.asarray(q_ex)))
@@ -40,3 +50,31 @@ def test_bounds_match_numpy(n):
         jnp.asarray(q_hi), jnp.asarray(q_lo), jnp.asarray(q_ex)))
     assert np.array_equal(lb, np.searchsorted(packed, q_packed, "left"))
     assert np.array_equal(ub, np.searchsorted(packed, q_packed, "right"))
+
+
+def test_bounds_hot_buckets():
+    """lexi_bounds' capped upper search must resolve buckets longer than
+    FENCE_STRIDE exactly (the lax.cond full-search path)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from shazam_tpu.index.search import lexi_bounds
+
+    rng = np.random.default_rng(5)
+    n = 100_000
+    hi = rng.integers(0, 1 << 16, n, dtype=np.uint32)
+    hi[:2000] = 777            # one 2000-row hot bucket
+    hi[2000:2300] = 778        # one 300-row bucket
+    lo = np.zeros(n, np.uint32)
+    ex = np.zeros(n, np.uint32)
+    hi = np.sort(hi)
+    packed = hi.astype(np.uint64)
+
+    q_hi = np.array([777, 778, 5, 0xFFFF], np.uint32)
+    z = np.zeros(4, np.uint32)
+    lb, ub = lexi_bounds(jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(ex),
+                         jnp.asarray(q_hi), jnp.asarray(z), jnp.asarray(z))
+    assert np.array_equal(np.asarray(lb),
+                          np.searchsorted(packed, q_hi, "left"))
+    assert np.array_equal(np.asarray(ub),
+                          np.searchsorted(packed, q_hi, "right"))
+    assert int(ub[0] - lb[0]) >= 2000
