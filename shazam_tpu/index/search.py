@@ -11,6 +11,7 @@ dozen fused HBM gathers.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -47,46 +48,69 @@ def _search_rounds(keys, queries, keep_left_on, lo, hi, steps):
 
 
 def _binary_search(keys, queries, keep_left_on):
-    """Shared lower/upper bound machinery, fence-accelerated.
+    """Shared lower/upper bound machinery, interpolation-seeded.
 
     keep_left_on(k_mid, q) -> True where the search range should move right
     (i.e. mid is strictly before the boundary).
 
     Random gathers into the full key arrays are the latency hot-spot at
-    13M+ rows (~25 rounds x 3 gathers/lane). A fence of every 512th key
-    (~300 KB at 13M rows — cache-resident after the first rounds) absorbs
-    all but log2(512)+1 of the rounds: the fence search narrows each lane
-    to one 512-row span, and only ~10 rounds touch the big arrays.
+    13M+ rows (~25 rounds x 3 gathers/lane), and TPU HBM gathers have no
+    data cache, so even a compact fence of every 512th key costs a full
+    round per step. Fingerprint keys are SHA-1 prefixes => uniform in
+    [0, 2^32), so the boundary row is ~Binomial(n, hi/2^32): the key
+    VALUE predicts the row to ~sqrt(n)/2 std and one multiply replaces
+    the ~19-round descent (11.4 -> 4.8 ms per 4096-lane ``lexi_bounds``
+    at 95M rows, benchmarks/exp_search2.py). The +-6 sigma window is
+    verified exactly per lane; any miss (non-uniform keys) escapes to a
+    full descent under a batch-level ``lax.cond`` and the per-lane
+    results are merged, so correctness never depends on the key
+    distribution.
     """
     k_hi = keys[0]
     n = k_hi.shape[0]
     q_shape = queries[0].shape
 
-    if n > 8 * FENCE_STRIDE:
-        # (a SECOND fence level measured perf-neutral at 95M rows —
-        # 21.3 vs 20.8 ms per 4096-lane match_query, benchmarks/
-        # exp_search.py: the search is bound by the per-round gathers
-        # into the big arrays, not by L1-fence cache residency)
-        fence = tuple(k[::FENCE_STRIDE] for k in keys)
-        nf = fence[0].shape[0]
-        f_steps = max(1, (nf - 1).bit_length()) + 1
-        f0 = _search_rounds(
-            fence, queries, keep_left_on,
-            jnp.zeros(q_shape, jnp.int32), jnp.full(q_shape, nf, jnp.int32),
-            f_steps,
-        )
-        # fence[f0-1] is before the boundary, fence[f0] is not (or past
-        # the end): the answer lies in [(f0-1)*S + 1, min(f0*S, n)] —
-        # widen the left edge to (f0-1)*S to keep the invariant simple
-        lo = jnp.maximum(f0 - 1, 0) * FENCE_STRIDE
-        hi = jnp.minimum(f0 * FENCE_STRIDE, n)
-        steps = FENCE_STRIDE.bit_length() + 1
-    else:
+    if n <= 8 * FENCE_STRIDE:
         lo = jnp.zeros(q_shape, jnp.int32)
         hi = jnp.full(q_shape, n, jnp.int32)
         steps = max(1, (n - 1).bit_length() if n > 0 else 1) + 1
+        return _search_rounds(keys, queries, keep_left_on, lo, hi, steps)
 
-    return _search_rounds(keys, queries, keep_left_on, lo, hi, steps)
+    q_hi = queries[0]
+    # f32 relative error ~2^-24 adds < n/2^24 rows of est error —
+    # negligible vs the >=4096-row window at any n that reaches here
+    est = (q_hi.astype(jnp.float32)
+           * jnp.float32(n / float(2**32))).astype(jnp.int32)
+    w = 1 << max(12, math.ceil(math.log2(6.0 * math.sqrt(n) / 2.0)))
+    lo_w = jnp.clip(est - w, 0, n)
+    hi_w = jnp.clip(est + w, 0, n)
+    # the window brackets the boundary iff key[lo_w-1] is strictly before
+    # it (or the window starts at 0) and key[hi_w] is not (or it ends at n)
+    pl = jnp.maximum(lo_w - 1, 0)
+    ph = jnp.minimum(hi_w, n - 1)
+
+    def take3(p):
+        return (jnp.take(keys[0], p), jnp.take(keys[1], p),
+                jnp.take(keys[2], p))
+
+    below_ok = (lo_w == 0) | keep_left_on(*take3(pl), *queries)
+    above_ok = (hi_w == n) | ~keep_left_on(*take3(ph), *queries)
+    ok = below_ok & above_ok
+    steps = (2 * w - 1).bit_length() + 1
+    full_steps = max(1, (n - 1).bit_length()) + 1
+
+    def fast(_):
+        return _search_rounds(keys, queries, keep_left_on, lo_w, hi_w, steps)
+
+    def slow(_):
+        full = _search_rounds(
+            keys, queries, keep_left_on,
+            jnp.zeros(q_shape, jnp.int32), jnp.full(q_shape, n, jnp.int32),
+            full_steps)
+        good = _search_rounds(keys, queries, keep_left_on, lo_w, hi_w, steps)
+        return jnp.where(ok, good, full)
+
+    return jax.lax.cond(jnp.all(ok), fast, slow, 0)
 
 
 @functools.partial(jax.jit)

@@ -1,7 +1,9 @@
-"""Fence-accelerated lexicographic search vs numpy, at fence-path sizes.
+"""Interpolation-seeded lexicographic search vs numpy, at scale sizes.
 
-The CPU suites exercise small indexes; the single-level fence engages
-past 4,096 rows and the two-level fence past ~2M. Verify both against
+The CPU suites exercise small indexes; the interpolation-seeded descent
+engages past 4,096 rows. The dense-key cases here (hi < 2^8) defeat the
+uniform-key row prediction, forcing the exact batch-level escape path;
+the uniform case exercises the seeded fast path. Both verified against
 numpy searchsorted on the packed 80-bit keys.
 """
 
@@ -50,6 +52,41 @@ def test_bounds_match_numpy(n):
         jnp.asarray(q_hi), jnp.asarray(q_lo), jnp.asarray(q_ex)))
     assert np.array_equal(lb, np.searchsorted(packed, q_packed, "left"))
     assert np.array_equal(ub, np.searchsorted(packed, q_packed, "right"))
+
+
+def test_bounds_uniform_keys_fast_path():
+    """Uniform (SHA-1-like) keys take the interpolation-seeded window;
+    verify exactness there, including edge queries outside the key range
+    and near-boundary windows."""
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import lexi_bounds
+
+    rng = np.random.default_rng(11)
+    n = 200_000
+    hi = np.sort(rng.integers(0, 1 << 32, n, dtype=np.uint64)).astype(np.uint32)
+    lo = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    ex = rng.integers(0, 1 << 16, n, dtype=np.uint32)
+    order = np.lexsort((ex, lo, hi))
+    hi, lo, ex = hi[order], lo[order], ex[order]
+    packed = np.array([(int(h) << 48) | (int(l) << 16) | int(e)
+                       for h, l, e in zip(hi, lo, ex)], dtype=object)
+
+    m = 512
+    qi = rng.integers(0, n, m)
+    q_hi, q_lo, q_ex = hi[qi].copy(), lo[qi].copy(), ex[qi].copy()
+    q_hi[:16] = rng.integers(0, 1 << 32, 16, dtype=np.uint64).astype(np.uint32)
+    q_hi[16:20] = 0
+    q_hi[20:24] = np.uint32(0xFFFFFFFF)
+    q_packed = np.array([(int(h) << 48) | (int(l) << 16) | int(e)
+                         for h, l, e in zip(q_hi, q_lo, q_ex)], dtype=object)
+
+    lb, ub = lexi_bounds(jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(ex),
+                         jnp.asarray(q_hi), jnp.asarray(q_lo),
+                         jnp.asarray(q_ex))
+    assert np.array_equal(np.asarray(lb),
+                          np.searchsorted(packed, q_packed, "left"))
+    assert np.array_equal(np.asarray(ub),
+                          np.searchsorted(packed, q_packed, "right"))
 
 
 def test_bounds_hot_buckets():
