@@ -133,20 +133,38 @@ def lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex):
     )
     n = k_hi.shape[0]
     keep_left = lambda mh, ml, me, qh, ql, qe: ~_lt(qh, ql, qe, mh, ml, me)
-    cap_hi = jnp.minimum(lb + FENCE_STRIDE, n)
-    ub_r = _search_rounds(keys, queries, keep_left, lb, cap_hi,
-                          FENCE_STRIDE.bit_length() + 1)
-    probe = jnp.minimum(ub_r, n - 1)
-    at_cap = (ub_r == cap_hi) & (cap_hi < n)
-    still_le = ~_lt(q_hi, q_lo, q_ex, jnp.take(k_hi, probe),
-                    jnp.take(k_lo, probe), jnp.take(k_ex, probe))
-    suspect = at_cap & still_le
 
-    def full_ub(_):
-        ub_f = _binary_search(keys, queries, keep_left)
-        return jnp.where(suspect, ub_f, ub_r)
+    def capped_ub(lo, span, prev_ub, redo):
+        """Bounded [lo, lo+span] upper search for lanes in `redo`; flags
+        lanes whose bucket may extend past the cap."""
+        cap = jnp.minimum(lo + span, n)
+        found = _search_rounds(keys, queries, keep_left, lo, cap,
+                               span.bit_length() + 1)
+        ub = jnp.where(redo, found, prev_ub)
+        probe = jnp.minimum(ub, n - 1)
+        at_cap = redo & (ub == cap) & (cap < n)
+        still_le = ~_lt(q_hi, q_lo, q_ex, jnp.take(k_hi, probe),
+                        jnp.take(k_lo, probe), jnp.take(k_ex, probe))
+        return ub, at_cap & still_le
 
-    ub = jax.lax.cond(jnp.any(suspect), full_ub, lambda _: ub_r, 0)
+    ones = jnp.ones(lb.shape, bool)
+    ub_r, suspect = capped_ub(lb, FENCE_STRIDE, jnp.zeros_like(lb), ones)
+
+    # hyper-common hashes own 10K-70K rows at production scale and show
+    # up in most real query batches, so a straight escape to the full
+    # descent fires nearly always there; a 128K middle tier resolves any
+    # observed bucket in +8 rounds and keeps the full search for the
+    # pathological tail only
+    def tier2(_):
+        ub2, susp2 = capped_ub(lb, 128 * 1024, ub_r, suspect)
+
+        def full_ub(_):
+            ub_f = _binary_search(keys, queries, keep_left)
+            return jnp.where(susp2, ub_f, ub2)
+
+        return jax.lax.cond(jnp.any(susp2), full_ub, lambda _: ub2, 0)
+
+    ub = jax.lax.cond(jnp.any(suspect), tier2, lambda _: ub_r, 0)
     return lb, ub
 
 

@@ -115,3 +115,29 @@ def test_bounds_hot_buckets():
     assert np.array_equal(np.asarray(ub),
                           np.searchsorted(packed, q_hi, "right"))
     assert int(ub[0] - lb[0]) >= 2000
+
+
+def test_bounds_giant_bucket_full_escape():
+    """A bucket longer than the 128K second-tier cap must resolve via the
+    final full-search escape."""
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import lexi_bounds
+
+    rng = np.random.default_rng(7)
+    n = 400_000
+    hi = rng.integers(0, 1 << 20, n, dtype=np.uint32)
+    hi[:200_000] = 9999           # one 200K-row bucket (> 128K tier cap)
+    lo = np.zeros(n, np.uint32)
+    ex = np.zeros(n, np.uint32)
+    hi = np.sort(hi)
+    packed = hi.astype(np.uint64)
+
+    q_hi = np.array([9999, 12345, 0], np.uint32)
+    z = np.zeros(3, np.uint32)
+    lb, ub = lexi_bounds(jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(ex),
+                         jnp.asarray(q_hi), jnp.asarray(z), jnp.asarray(z))
+    assert np.array_equal(np.asarray(lb),
+                          np.searchsorted(packed, q_hi, "left"))
+    assert np.array_equal(np.asarray(ub),
+                          np.searchsorted(packed, q_hi, "right"))
+    assert int(ub[0] - lb[0]) == 200_000
