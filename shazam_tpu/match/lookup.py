@@ -62,9 +62,14 @@ def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
     cum = jnp.cumsum(lens)
     total = cum[-1] if lens.shape[0] else jnp.int32(0)
 
-    # expand: slot v -> owning pair p (binary search over the prefix sums)
+    # expand: slot v -> owning pair p. p[v] = #{i: cum[i] <= v}, computed
+    # as a scatter of ones at the bucket boundaries + one prefix sum —
+    # a searchsorted here costs match_capacity * log2(n_pairs) random
+    # HBM gathers (TPU has no data cache), ~3x the search descent's
     v = jnp.arange(match_capacity, dtype=jnp.int32)
-    p = jnp.searchsorted(cum, v, side="right").astype(jnp.int32)
+    marks = jnp.zeros(match_capacity, jnp.int32).at[cum].add(
+        1, mode="drop")
+    p = jnp.cumsum(marks)
     p = jnp.minimum(p, lens.shape[0] - 1)
     prev = jnp.where(p > 0, jnp.take(cum, p - 1), 0)
     row = jnp.take(lb, p) + (v - prev)
