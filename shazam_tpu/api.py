@@ -41,6 +41,7 @@ from .index.store import FingerprintIndex, build_index, merge_into
 from .index.devmerge import DeviceIndex
 from .index.catalog import SongCatalog
 from .match.prepare import prepare_query
+from .index.search import build_head, head_bits_for
 from .match.lookup import match_query, match_query_sparse
 from .match.align import align_results
 
@@ -98,6 +99,8 @@ class SIA:
         self._host_stale = False
         self.index = index or build_index([], n_songs=0)
         self._device_index = None
+        self._device_head = None
+        self._head_src = None
         self._max_off = 0
 
     # ------------------------------------------------------------------ #
@@ -825,6 +828,23 @@ class SIA:
             self._max_off = ((self.index.max_offset // 4096) + 1) * 4096
         return self._device_index
 
+    def _ensure_head(self, dev):
+        """Bucket-CDF head over dev's key_hi (see index/search.build_head).
+
+        Cached by column identity: a merge/finalize/rebuild swaps the
+        device arrays, which invalidates the head automatically. Small
+        indexes skip it (the plain descent already wins there).
+        """
+        k_hi = dev[0]
+        if self._head_src is not k_hi:
+            n = k_hi.shape[0]
+            if n >= 4096:
+                self._device_head = build_head(k_hi, bits=head_bits_for(n))
+            else:
+                self._device_head = None
+            self._head_src = k_hi
+        return self._device_head
+
     def _q_frames_for(self, n_samples: int) -> int:
         """Smallest power-of-two frame window covering a query's offsets.
 
@@ -936,6 +956,7 @@ class SIA:
         pairs and only needs the index lookup + vote here).
         """
         dev = self._ensure_device_index()
+        head = self._ensure_head(dev)
         delta_min, delta_range = self._delta_params_for(n_samples)
         if early_exit:
             from .match.apriori import match_query_apriori
@@ -948,6 +969,7 @@ class SIA:
                 match_capacity=self.config.match_capacity,
                 topn=topn or self.config.topn,
                 offset_stride=self._offset_stride,
+                head=head,
             )
             return raw, self.config.match_capacity
         # tiered expansion: the fast capacity covers typical queries at
@@ -978,6 +1000,7 @@ class SIA:
                 delta_range=delta_range, match_capacity=cap,
                 topn=topn or self.config.topn,
                 offset_stride=self._offset_stride,
+                head=head,
             ))
 
         cap = caps[0]
@@ -1007,6 +1030,7 @@ class SIA:
         padded = np.zeros(blen, np.float32)
         padded[: len(samples)] = samples
         dev = self._ensure_device_index()
+        head = self._ensure_head(dev)
         delta_min, delta_range = self._delta_params_for(len(samples))
         # dedup-sort + binary-search cost is linear in query lanes: a 5 s
         # clip yields ~1-2K unique pairs, so 2K lanes cover it; longer
@@ -1034,6 +1058,7 @@ class SIA:
             offset_stride=self._offset_stride,
             use_fused=_fused_ok(self.config),
             query_capacity=q_cap,
+            head=head,
         ))
         device_time = time.time() - t0
         if (
@@ -1116,6 +1141,7 @@ class SIA:
 
         t0 = time.time()
         dev = self._ensure_device_index()
+        head = self._ensure_head(dev)
         delta_min, delta_range = self._delta_params_for(
             max(len(c) for c in clips)
         )
@@ -1128,6 +1154,7 @@ class SIA:
             match_capacity=self.config.match_capacity,
             topn=topn or self.config.topn,
             offset_stride=self._offset_stride,
+            head=head,
         )
         raw = jax.device_get(raw)
         query_time = time.time() - t0

@@ -24,7 +24,50 @@ def _lt(a_hi, a_lo, a_ex, b_hi, b_lo, b_ex):
     )
 
 
-FENCE_STRIDE = 512  # span refined by the fence pre-search
+FENCE_STRIDE = 512  # span refined by the bounded upper-bound pre-search
+
+HEAD_BITS = 20  # bucket-CDF head resolution: 2^20 buckets, 4 MB
+
+
+def head_bits_for(n: int) -> int:
+    """Head resolution targeting ~64 rows/bucket, capped at HEAD_BITS."""
+    if n < 2:
+        return 1
+    return max(1, min(HEAD_BITS, int(math.log2(n)) - 6))
+
+
+@functools.partial(jax.jit, static_argnames=("bits",))
+def build_head(k_hi: jnp.ndarray, bits: int = HEAD_BITS) -> jnp.ndarray:
+    """Bucketed CDF over the sorted hi keys: head[b] = first row with
+    (hi >> (32-bits)) >= b, shape (2^bits + 1,).
+
+    One build-time pass buys EXACT per-lane search windows at query
+    time — head[b] .. head[b+1] brackets every key of bucket b
+    regardless of the key distribution, so hyper-common hash runs
+    (10K-70K duplicate rows in production catalogs) cost only their own
+    log2(run) descent rounds instead of defeating an interpolation
+    estimate (measured: the +-6 sigma interpolation window misses on
+    ~every real-catalog batch once hot runs shift the CDF, falling back
+    to full descents — benchmarks/exp_clip.py, full_hot 17.7 ms vs
+    full_cold 5.8 ms at 95M rows).
+
+    Built with a lane-parallel searchsorted (pure gathers), NOT a
+    bincount scatter — 95M-row scatters run seconds-to-minutes on this
+    TPU tunnel and can kill the worker (CLAUDE.md).
+    """
+    n = k_hi.shape[0]
+    shift = jnp.uint32(32 - bits)
+    bounds = jnp.arange(1, 1 << bits, dtype=jnp.uint32) << shift
+    inner = jnp.searchsorted(k_hi, bounds, side="left").astype(jnp.int32)
+    return jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), inner, jnp.full(1, n, jnp.int32)])
+
+
+def _head_spans(head, q_hi):
+    """Exact per-lane [lo, hi) search windows from the bucket-CDF head."""
+    bits = (head.shape[0] - 1).bit_length() - 1
+    b = (q_hi >> jnp.uint32(32 - bits)).astype(jnp.int32)
+    return jnp.take(head, b), jnp.take(head, b + 1)
 
 
 def _search_rounds(keys, queries, keep_left_on, lo, hi, steps):
@@ -44,6 +87,33 @@ def _search_rounds(keys, queries, keep_left_on, lo, hi, steps):
         return new_lo, new_hi
 
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+def _search_span_dyn(keys, queries, keep_left_on, lo, hi):
+    """Lane-parallel descent over per-lane [lo, hi] spans, running only
+    as many rounds as the widest span needs (spans are data-dependent
+    when seeded from the bucket head — a hot-run lane may need 17 rounds
+    while typical lanes need 7)."""
+    k_hi, k_lo, k_ex = keys
+    q_hi, q_lo, q_ex = queries
+
+    def cond(carry):
+        lo, hi = carry
+        return jnp.any(lo < hi)
+
+    def body(carry):
+        lo, hi = carry
+        mid = (lo + hi) >> 1
+        m_hi = jnp.take(k_hi, mid)
+        m_lo = jnp.take(k_lo, mid)
+        m_ex = jnp.take(k_ex, mid)
+        go_right = keep_left_on(m_hi, m_lo, m_ex, q_hi, q_lo, q_ex) & (lo < hi)
+        new_lo = jnp.where(go_right, mid + 1, lo)
+        new_hi = jnp.where(go_right | (lo >= hi), hi, mid)
+        return new_lo, new_hi
+
+    lo, hi = jax.lax.while_loop(cond, body, (lo, hi))
     return lo
 
 
@@ -114,10 +184,19 @@ def _binary_search(keys, queries, keep_left_on):
 
 
 @functools.partial(jax.jit)
-def lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex):
+def lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex, head=None):
     """(lower, upper) bounds sharing one descent.
 
-    The upper bound always lies in [lb, n]; for buckets shorter than
+    With ``head`` (a ``build_head`` bucket-CDF over k_hi): both bounds
+    of query q live in [head[b], head[b+1]] for b = q_hi >> shift —
+    exact for ANY key distribution, so the descent runs ~log2(rows per
+    bucket) rounds (~7 at 64 rows/bucket) under a dynamic while_loop
+    that stops when every lane converges, and the upper bound reuses
+    the lower bound as its floor. No tiers, no escapes: a hot 32K-row
+    hash run costs its own 15 rounds, not a batch-wide full descent.
+
+    Without ``head``: interpolation-seeded descent (below). The upper
+    bound always lies in [lb, n]; for buckets shorter than
     FENCE_STRIDE it lies in [lb, lb + FENCE_STRIDE], so a 10-round
     search over that span replaces the full ~28-round descent. Lanes
     whose span saturates AND whose capped boundary key still compares
@@ -127,6 +206,13 @@ def lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex):
     """
     keys = (k_hi, k_lo, k_ex)
     queries = (q_hi, q_lo, q_ex)
+    if head is not None:
+        lo0, hi0 = _head_spans(head, q_hi)
+        lt = lambda mh, ml, me, qh, ql, qe: _lt(mh, ml, me, qh, ql, qe)
+        le = lambda mh, ml, me, qh, ql, qe: ~_lt(qh, ql, qe, mh, ml, me)
+        lb = _search_span_dyn(keys, queries, lt, lo0, hi0)
+        ub = _search_span_dyn(keys, queries, le, lb, hi0)
+        return lb, ub
     lb = _binary_search(
         keys, queries,
         lambda mh, ml, me, qh, ql, qe: _lt(mh, ml, me, qh, ql, qe),

@@ -34,12 +34,13 @@ def _apriori_step(
     index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
     hist, rows_hist, total,
     *, n_songs: int, delta_min: int, delta_range: int, match_capacity: int,
-    offset_stride: int = 0,
+    offset_stride: int = 0, head=None,
 ):
     h, r, t = match_local(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
         match_capacity=match_capacity, offset_stride=offset_stride,
+        head=head,
     )
     hist = hist + h
     rows_hist = rows_hist + r
@@ -75,6 +76,7 @@ def match_query_apriori(
     topn: int = 2,
     batch_size: int = 1024,
     offset_stride: int = 0,
+    head=None,
 ) -> Tuple[RawMatch, int]:
     """Batched match with the 2x-leader early exit.
 
@@ -105,6 +107,7 @@ def match_query_apriori(
             hist, rows_hist, total,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             match_capacity=match_capacity, offset_stride=offset_stride,
+            head=head,
         )
         used += 1
         top2_host = np.asarray(top2)

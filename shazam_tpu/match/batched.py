@@ -35,6 +35,7 @@ def match_queries_batched(
     topn: int = 2,
     offset_stride: int = 0,
     sparse: bool = None,
+    head=None,
 ) -> RawMatch:
     """Match a (Bq, Q) batch of padded queries; returns batched RawMatch.
 
@@ -51,12 +52,13 @@ def match_queries_batched(
                 index_arrays, hi, lo, ex, t, valid, first,
                 n_songs=n_songs, delta_min=delta_min,
                 delta_range=delta_range, match_capacity=match_capacity,
-                topn=topn, offset_stride=offset_stride,
+                topn=topn, offset_stride=offset_stride, head=head,
             )
         hist, rows_hist, total = match_local(
             index_arrays, hi, lo, ex, t, valid, first,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             match_capacity=match_capacity, offset_stride=offset_stride,
+            head=head,
         )
         return rank_votes(hist, rows_hist, total, delta_min=delta_min,
                           topn=topn)

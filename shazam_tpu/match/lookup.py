@@ -47,16 +47,18 @@ class RawMatch(NamedTuple):
 
 
 def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
-            match_capacity: int, offset_stride: int):
+            match_capacity: int, offset_stride: int, head=None):
     """Search + fixed-capacity row expansion (shared by the matchers).
 
     Returns (sid, delta, p, valid, total): per expanded vote slot, the
     song id, offset delta, owning query-pair index, validity, and the
     TRUE total match count (exact even when expansion clamps).
+    ``head`` is an optional ``search.build_head`` bucket CDF giving
+    exact per-lane search windows (distribution-proof fast bounds).
     """
     k_hi, k_lo, k_ex = index_arrays[:3]
 
-    lb, ub = lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex)
+    lb, ub = lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex, head=head)
     lens = jnp.where(q_valid, ub - lb, 0)
 
     cum = jnp.cumsum(lens)
@@ -97,6 +99,7 @@ def match_local(
     delta_range: int,
     match_capacity: int,
     offset_stride: int = 0,
+    head=None,
 ):
     """Core match against one (shard of the) sorted index.
 
@@ -113,6 +116,7 @@ def match_local(
     sid, delta, p, valid, total = _expand(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
+        head=head,
     )
 
     # dense (n_songs, delta_range) vote histogram; deltas outside the
@@ -179,6 +183,7 @@ def match_query(
     match_capacity: int = 65536,
     topn: int = 2,
     offset_stride: int = 0,
+    head=None,
 ) -> RawMatch:
     """Match padded query pairs against the sorted index (single device).
 
@@ -193,6 +198,7 @@ def match_query(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
         match_capacity=match_capacity, offset_stride=offset_stride,
+        head=head,
     )
     return rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)
 
@@ -217,6 +223,7 @@ def match_query_sparse(
     match_capacity: int = 65536,
     topn: int = 2,
     offset_stride: int = 0,
+    head=None,
 ) -> RawMatch:
     """``match_query`` without the dense histogram — EXACT, for big catalogs.
 
@@ -233,6 +240,7 @@ def match_query_sparse(
     sid, delta, p, valid, total = _expand(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
+        head=head,
     )
     cap = sid.shape[0]
     dbin = delta - delta_min

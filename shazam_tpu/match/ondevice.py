@@ -57,6 +57,7 @@ def recognize_on_device(
     offset_stride: int = 0,
     use_fused: bool = True,
     query_capacity: int = 4096,
+    head=None,
 ):
     """One jitted program: mono clip -> (RawMatch, n_pairs, n_peaks, n_hash).
 
@@ -126,13 +127,14 @@ def recognize_on_device(
             index_arrays, sort_hi, lo, ex, t1, q_valid, q_first,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             match_capacity=match_capacity, topn=topn,
-            offset_stride=offset_stride,
+            offset_stride=offset_stride, head=head,
         )
     else:
         hist, rows_hist, total = match_local(
             index_arrays, sort_hi, lo, ex, t1, q_valid, q_first,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             match_capacity=match_capacity, offset_stride=offset_stride,
+            head=head,
         )
         raw = rank_votes(hist, rows_hist, total, delta_min=delta_min,
                          topn=topn)

@@ -141,3 +141,107 @@ def test_bounds_giant_bucket_full_escape():
     assert np.array_equal(np.asarray(ub),
                           np.searchsorted(packed, q_hi, "right"))
     assert int(ub[0] - lb[0]) == 200_000
+
+
+def _np_bounds(hi, lo, ex, q_hi, q_lo, q_ex):
+    # exact 80-bit order via Python ints (uint64 packing would overflow)
+    packed = np.array([(int(h) << 48) | (int(l) << 16) | int(e)
+                       for h, l, e in zip(hi, lo, ex)], dtype=object)
+    qp = np.array([(int(h) << 48) | (int(l) << 16) | int(e)
+                   for h, l, e in zip(q_hi, q_lo, q_ex)], dtype=object)
+    return (np.searchsorted(packed, qp, "left"),
+            np.searchsorted(packed, qp, "right"))
+
+
+@pytest.mark.parametrize("dist", ["dense", "uniform", "hot", "giant"])
+@pytest.mark.parametrize("bits", [4, 10, 16])
+def test_head_seeded_bounds(dist, bits):
+    """The bucket-CDF head path is exact for ANY key distribution —
+    including ones that defeat interpolation (hot runs, dense dups)."""
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import lexi_bounds, build_head
+
+    rng = np.random.default_rng(17)
+    n = 150_000
+    if dist == "dense":
+        hi = rng.integers(0, 1 << 8, n, dtype=np.uint32)
+    elif dist == "uniform":
+        hi = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    elif dist == "hot":
+        hi = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+        hi[:40_000] = 0xABCD1234          # 40K-row hot run
+        hi[40_000:41_000] = 0xABCD1235
+    else:  # giant: one run dominating the whole index
+        hi = np.full(n, 7 << 20, np.uint32)
+        hi[: n // 10] = rng.integers(0, 1 << 20, n // 10, dtype=np.uint32)
+    lo = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    ex = rng.integers(0, 1 << 16, n, dtype=np.uint32)
+    order = np.lexsort((ex, lo, hi))
+    hi, lo, ex = hi[order], lo[order], ex[order]
+
+    m = 512
+    qi = rng.integers(0, n, m)
+    q_hi, q_lo, q_ex = hi[qi].copy(), lo[qi].copy(), ex[qi].copy()
+    q_hi[:32] = rng.integers(0, 1 << 32, 32, dtype=np.uint64).astype(np.uint32)
+    q_hi[32:36] = 0
+    q_hi[36:40] = np.uint32(0xFFFFFFFF)
+    if dist in ("hot", "giant"):
+        q_hi[40:44] = hi[n // 2]          # guaranteed hot-run queries
+        q_lo[40:44] = lo[n // 2]
+        q_ex[40:44] = ex[n // 2]
+
+    head = build_head(jnp.asarray(hi), bits=bits)
+    assert int(head[0]) == 0 and int(head[-1]) == n
+    lb, ub = lexi_bounds(jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(ex),
+                         jnp.asarray(q_hi), jnp.asarray(q_lo),
+                         jnp.asarray(q_ex), head=head)
+    nlb, nub = _np_bounds(hi, lo, ex, q_hi, q_lo, q_ex)
+    assert np.array_equal(np.asarray(lb), nlb)
+    assert np.array_equal(np.asarray(ub), nub)
+
+
+def test_head_matches_manual_cdf():
+    """build_head's searchsorted formulation == the direct bincount CDF."""
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import build_head
+
+    rng = np.random.default_rng(23)
+    hi = np.sort(rng.integers(0, 1 << 32, 30_000, dtype=np.uint64)
+                 .astype(np.uint32))
+    bits = 8
+    head = np.asarray(build_head(jnp.asarray(hi), bits=bits))
+    counts = np.bincount(hi >> np.uint32(32 - bits), minlength=1 << bits)
+    expect = np.concatenate([[0], np.cumsum(counts)])
+    assert np.array_equal(head, expect)
+
+
+def test_head_with_sentinel_padding():
+    """Device-resident columns pad the tail with 0xFFFFFFFF sentinels;
+    the head must bracket real keys correctly over the FULL padded array
+    (sentinels land in the last bucket)."""
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import lexi_bounds, build_head
+
+    rng = np.random.default_rng(29)
+    n_real, pad = 20_000, 12_768
+    hi = np.sort(rng.integers(0, 1 << 32, n_real, dtype=np.uint64)
+                 .astype(np.uint32))
+    lo = rng.integers(0, 1 << 32, n_real, dtype=np.uint64).astype(np.uint32)
+    ex = rng.integers(0, 1 << 16, n_real, dtype=np.uint32)
+    order = np.lexsort((ex, lo, hi))
+    hi, lo, ex = hi[order], lo[order], ex[order]
+    S = np.uint32(0xFFFFFFFF)
+    hi_p = np.concatenate([hi, np.full(pad, S, np.uint32)])
+    lo_p = np.concatenate([lo, np.full(pad, S, np.uint32)])
+    ex_p = np.concatenate([ex, np.full(pad, S, np.uint32)])
+
+    qi = rng.integers(0, n_real, 256)
+    q_hi, q_lo, q_ex = hi[qi], lo[qi], ex[qi]
+
+    head = build_head(jnp.asarray(hi_p), bits=10)
+    lb, ub = lexi_bounds(
+        jnp.asarray(hi_p), jnp.asarray(lo_p), jnp.asarray(ex_p),
+        jnp.asarray(q_hi), jnp.asarray(q_lo), jnp.asarray(q_ex), head=head)
+    nlb, nub = _np_bounds(hi, lo, ex, q_hi, q_lo, q_ex)
+    assert np.array_equal(np.asarray(lb), nlb)
+    assert np.array_equal(np.asarray(ub), nub)
