@@ -104,6 +104,10 @@ def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
     index = FingerprintIndex(hi[order], lo[order], ex[order],
                              sid[order], off[order], n_songs, max_off)
     dev = index.device_arrays()
+    # bucket-CDF head, exactly as the serving path builds it (api.py
+    # _ensure_head): exact per-lane search windows, distribution-proof
+    from shazam_tpu.index.search import build_head, head_bits_for
+    head = build_head(dev[0], bits=head_bits_for(n_hashes))
 
     # query: half existing keys (some popular), half misses
     qi = rng.integers(0, n_hashes, q_pairs // 2)
@@ -139,7 +143,7 @@ def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
                 # the serving path's fast tier (fits this query's ~2.8K
                 # matched rows; the API retries at 64K on overflow)
                 match_capacity=16384, topn=2,
-                offset_stride=index.offset_stride,
+                offset_stride=index.offset_stride, head=head,
             )
             s = sum(jnp.sum(l.astype(jnp.float32))
                     for l in jax.tree_util.tree_leaves(out))
@@ -159,7 +163,7 @@ def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
         dev, *args,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
         match_capacity=16384, topn=2,
-        offset_stride=index.offset_stride,
+        offset_stride=index.offset_stride, head=head,
     )
     return per_query, int(out.total_rows)
 
