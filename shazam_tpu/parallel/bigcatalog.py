@@ -91,21 +91,24 @@ def sharded_match_by_song(
     delta_range: int,
     match_capacity: int = 65536,
     topn: int = 2,
+    sharded_head=None,        # (n_shards, 2^bits + 1) per-shard bucket CDFs
 ) -> RawMatch:
     """Exact global top-N over a song-sharded catalog (replicated queries)."""
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     n_idx = len(stacked_index)
     cand = max(topn, 2)
+    with_head = sharded_head is not None
 
     def local_fn(*args):
         idx = tuple(a[0] for a in args[:n_idx])
-        q = args[n_idx:]
+        head = args[n_idx][0] if with_head else None
+        q = args[n_idx + (1 if with_head else 0):]
         hist, rows_hist, total = match_local(
             idx, *q,
             n_songs=n_local_songs, delta_min=delta_min,
             delta_range=delta_range, match_capacity=match_capacity,
-            offset_stride=offset_stride,
+            offset_stride=offset_stride, head=head,
         )
         d = lax.axis_index(axis)
         votes = jnp.max(hist, axis=1)
@@ -145,14 +148,16 @@ def sharded_match_by_song(
 
     shard_spec = P(axis, None)
     rep = P()
+    n_sharded = n_idx + (1 if with_head else 0)
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(shard_spec,) * n_idx + (rep,) * 6,
+        in_specs=(shard_spec,) * n_sharded + (rep,) * 6,
         out_specs=RawMatch(rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
+    extra = (sharded_head,) if with_head else ()
     return jax.jit(fn)(
-        *(jnp.asarray(a) for a in stacked_index),
+        *(jnp.asarray(a) for a in stacked_index), *extra,
         q_hi, q_lo, q_ex, q_t, q_valid, q_first,
     )

@@ -20,7 +20,10 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from ..config import FingerprintConfig, DEFAULT_CONFIG
+from ..index.search import build_head, head_bits_for
 from ..index.store import FingerprintIndex
 from ..match.prepare import QueryPairs
 from ..match.align import align_results, MatchResult
@@ -65,6 +68,15 @@ class ShardedCatalog:
                 index, n_dev
             )
             self._shards = tuple(jnp.asarray(a) for a in stacked)
+        # per-shard bucket-CDF heads: exact search windows regardless of
+        # the key distribution (hot hash runs defeat interpolation)
+        rows = self._shards[0].shape[1]
+        if rows >= 4096:
+            bits = head_bits_for(rows)
+            self._head = jax.vmap(
+                lambda h: build_head(h, bits=bits))(self._shards[0])
+        else:
+            self._head = None
 
     def _delta_range_for(self, q_frames: int) -> int:
         return self._max_off + 2 * q_frames
@@ -95,12 +107,14 @@ class ShardedCatalog:
                 delta_min=delta_min, delta_range=delta_range,
                 match_capacity=self.config.match_capacity,
                 topn=topn, offset_stride=self._stride,
+                sharded_head=self._head,
             )
         else:
             raw = sharded_match_by_song(
                 self.mesh, self._shards, self._n_local, self._stride, *args,
                 delta_min=delta_min, delta_range=delta_range,
                 match_capacity=self.config.match_capacity, topn=topn,
+                sharded_head=self._head,
             )
         return align_results(raw, q.n_pairs, catalog=self.catalog,
                              config=self.config)

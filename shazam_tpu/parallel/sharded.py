@@ -43,20 +43,24 @@ def sharded_match_query(
     match_capacity: int = 65536,
     topn: int = 2,
     offset_stride: int = 0,
+    sharded_head=None,        # (n_shards, 2^bits + 1) per-shard bucket CDFs
 ) -> RawMatch:
     """Match a replicated query against a key-range-sharded index."""
     axis = mesh.axis_names[0]
     per_shard_cap = max(match_capacity // mesh.devices.size, 1024)
     n_index_arrays = len(sharded_index)
+    with_head = sharded_head is not None
 
     def local_fn(*args):
         idx = args[:n_index_arrays]
-        q = args[n_index_arrays:]
+        head = args[n_index_arrays][0] if with_head else None
+        q = args[n_index_arrays + (1 if with_head else 0):]
         local = tuple(a[0] for a in idx)
         hist, rows_hist, total = match_local(
             local, *q,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             match_capacity=per_shard_cap, offset_stride=offset_stride,
+            head=head,
         )
         # key-range sharding concentrates popular hashes: a hot shard can
         # blow its per-shard expansion cap (votes dropped) while the global
@@ -74,15 +78,17 @@ def sharded_match_query(
 
     shard_spec = P(axis, None)
     rep = P()
+    n_sharded = n_index_arrays + (1 if with_head else 0)
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(shard_spec,) * n_index_arrays + (rep,) * 6,
+        in_specs=(shard_spec,) * n_sharded + (rep,) * 6,
         out_specs=RawMatch(rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
+    extra = (sharded_head,) if with_head else ()
     return jax.jit(fn)(
-        *sharded_index, q_hi, q_lo, q_ex, q_t, q_valid, q_first
+        *sharded_index, *extra, q_hi, q_lo, q_ex, q_t, q_valid, q_first
     )
 
 

@@ -170,3 +170,60 @@ def test_song_sharded_at_catalog_scale(mesh):
     assert int(raw.top_votes[0]) == 40
     assert int(raw.top_deltas[0]) == 3
     assert int(raw.total_rows) == 40
+
+
+def test_sharded_heads_match_headless(mesh):
+    """Per-shard bucket-CDF heads must not change either regime's result
+    (8K rows/shard — large enough that the head path really engages)."""
+    import jax
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import build_head, head_bits_for
+    from shazam_tpu.parallel.mesh import shard_index_arrays
+    from shazam_tpu.parallel.sharded import sharded_match_query
+    from shazam_tpu.parallel.bigcatalog import (
+        shard_index_by_song, sharded_match_by_song,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = _build_db(rng, n_songs=40, rows_per_song=1700)  # 68K rows
+    index = _index_from_rows(rows)
+
+    song_rows = [r for r in rows if r[1] == 7]
+    q_pairs = sorted(
+        {(h, max(off - 4, 0)) for h, _s, off in song_rows[:200]}
+        | {(h, int(rng.integers(0, 200))) for h in _random_hex(rng, 50)}
+    )
+    q = _query_from_pairs(q_pairs)
+    delta_min = -(index.max_offset + 100)
+    delta_range = 2 * (index.max_offset + 100)
+    qargs = tuple(jnp.asarray(a)
+                  for a in (q.hi, q.lo, q.ex, q.t, q.valid, q.first))
+
+    def raws_equal(a, b):
+        return all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(a, b))
+
+    # key-range regime
+    shards = tuple(jnp.asarray(a) for a in shard_index_arrays(index, 8))
+    bits = head_bits_for(shards[0].shape[1])
+    heads = jax.vmap(lambda h: build_head(h, bits=bits))(shards[0])
+    kw = dict(n_songs=index.n_songs, delta_min=delta_min,
+              delta_range=delta_range, match_capacity=65536, topn=4,
+              offset_stride=index.offset_stride)
+    no_head = sharded_match_query(mesh, shards, *qargs, **kw)
+    with_head = sharded_match_query(mesh, shards, *qargs,
+                                    sharded_head=heads, **kw)
+    assert raws_equal(no_head, with_head)
+
+    # by-song regime
+    stacked, n_local, stride = shard_index_by_song(index, 8)
+    stacked = tuple(jnp.asarray(a) for a in stacked)
+    bits = head_bits_for(stacked[0].shape[1])
+    heads = jax.vmap(lambda h: build_head(h, bits=bits))(stacked[0])
+    kw2 = dict(delta_min=delta_min, delta_range=delta_range,
+               match_capacity=65536, topn=4)
+    no_head = sharded_match_by_song(mesh, stacked, n_local, stride,
+                                    *qargs, **kw2)
+    with_head = sharded_match_by_song(mesh, stacked, n_local, stride,
+                                      *qargs, sharded_head=heads, **kw2)
+    assert raws_equal(no_head, with_head)
