@@ -16,6 +16,8 @@ sid = rng.integers(0, n_songs, n_hashes, dtype=np.uint32)
 off = rng.integers(0, max_off, n_hashes, dtype=np.uint32)
 index = FingerprintIndex(hi, lo, ex, sid, off, n_songs, max_off)
 dev = index.device_arrays()
+from shazam_tpu.index.search import build_head, head_bits_for
+head = build_head(dev[0], bits=head_bits_for(n_hashes))
 clip = synth_song(7, duration_s=5.0, seed=3)
 blen = 1 << 18
 padded = np.zeros(blen, np.float32); padded[:len(clip)] = clip
@@ -26,7 +28,7 @@ kw = dict(n_songs=n_songs, delta_min=-1024, delta_range=12288,
 @functools.partial(jax.jit, static_argnames=('k',))
 def loop(x, nv, k):
     def body(i, acc):
-        out = recognize_on_device(jnp.roll(x, i, axis=1) + acc*1e-30, nv, dev, **kw)
+        out = recognize_on_device(jnp.roll(x, i, axis=1) + acc*1e-30, nv, dev, head=head, **kw)
         return acc + sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(out))
     return lax.fori_loop(0, k, body, jnp.float32(0))
 res={}
@@ -36,5 +38,5 @@ for k in (1, 9):
     for _ in range(3):
         t0=time.time(); float(loop(*args, k)); best.append(time.time()-t0)
     res[k]=min(best)
-print('device-only per recognition (q_cap 2048, 3-key sort, fenced search):',
+print('device-only per recognition (q_cap 2048, 3-key sort, head search):',
       round((res[9]-res[1])/8*1000, 2), 'ms')
