@@ -74,3 +74,67 @@ def test_batched_sparse_equals_dense():
     sp = match_queries_batched(*args, sparse=True, **kw)
     for a, b in zip(sp, dense):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batched_head_equals_headless():
+    """head-seeded search under vmap (the while_loop batching rule) must
+    be result-identical, dense and sparse matchers alike."""
+    import jax.numpy as jnp
+    from tests.test_match import _build_db, _index_from_rows, _query_from_pairs
+    from shazam_tpu.index.search import build_head, head_bits_for
+    from shazam_tpu.match.batched import match_queries_batched
+
+    rng = np.random.default_rng(33)
+    rows = _build_db(rng, n_songs=12, rows_per_song=800)  # ~9.6K rows
+    index = _index_from_rows(rows)
+    dev = index.device_arrays()
+    head = build_head(dev[0], bits=head_bits_for(index.n_hashes))
+
+    queries = []
+    for sid in (3, 7, 11):
+        song_rows = [r for r in rows if r[1] == sid]
+        pairs = sorted({(h, max(off - 2, 0)) for h, _s, off in song_rows[:80]})
+        queries.append(_query_from_pairs(pairs, pad_to=128))
+    stack = {
+        name: jnp.asarray(np.stack([getattr(q, name) for q in queries]))
+        for name in ("hi", "lo", "ex", "t", "valid", "first")
+    }
+    args = tuple(stack[n] for n in ("hi", "lo", "ex", "t", "valid", "first"))
+    delta_min = -(index.max_offset + 50)
+    delta_range = 2 * (index.max_offset + 50)
+
+    for sparse in (False, True):
+        kw = dict(n_songs=index.n_songs, delta_min=delta_min,
+                  delta_range=delta_range, match_capacity=16384, topn=3,
+                  offset_stride=index.offset_stride, sparse=sparse)
+        a = match_queries_batched(dev, *args, **kw)
+        b = match_queries_batched(dev, *args, head=head, **kw)
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_apriori_head_equals_headless():
+    import jax.numpy as jnp
+    from tests.test_match import _build_db, _index_from_rows, _query_from_pairs
+    from shazam_tpu.index.search import build_head, head_bits_for
+    from shazam_tpu.match.apriori import match_query_apriori
+
+    rng = np.random.default_rng(37)
+    rows = _build_db(rng, n_songs=10, rows_per_song=700)
+    index = _index_from_rows(rows)
+    dev = index.device_arrays()
+    head = build_head(dev[0], bits=head_bits_for(index.n_hashes))
+
+    song_rows = [r for r in rows if r[1] == 4]
+    pairs = sorted({(h, max(off - 3, 0)) for h, _s, off in song_rows[:150]})
+    q = _query_from_pairs(pairs)
+    delta_min = -(index.max_offset + 50)
+    delta_range = 2 * (index.max_offset + 50)
+    kw = dict(n_songs=index.n_songs, delta_min=delta_min,
+              delta_range=delta_range, match_capacity=16384, topn=2,
+              batch_size=64, offset_stride=index.offset_stride)
+    a, used_a = match_query_apriori(dev, q, **kw)
+    b, used_b = match_query_apriori(dev, q, head=head, **kw)
+    assert used_a == used_b
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
