@@ -106,8 +106,8 @@ def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
     dev = index.device_arrays()
     # bucket-CDF head, exactly as the serving path builds it (api.py
     # _ensure_head): exact per-lane search windows, distribution-proof
-    from shazam_tpu.index.search import build_head, head_bits_for
-    head = build_head(dev[0], bits=head_bits_for(n_hashes))
+    from shazam_tpu.index.search import maybe_build_head
+    head = maybe_build_head(dev[0])
 
     # query: half existing keys (some popular), half misses
     qi = rng.integers(0, n_hashes, q_pairs // 2)

@@ -50,6 +50,11 @@ KW = dict(
 )
 N_HOT = 32
 HOT_LEN = 32768
+# pad the index to the next power of two with 0xFFFFFFFF sentinel rows —
+# the device-resident production layout (95.3M valid in 134M capacity).
+# Invalid query lanes' sort keys land in the sentinel bucket; without
+# zero-width spans for them the head descent pays ~26 rounds per batch.
+SENTINEL_PAD = os.environ.get("SENTINEL_PAD", "0") != "0"
 
 
 def build_index(key, hot_hi, hot_lo, hot_ex):
@@ -71,6 +76,12 @@ def build_index(key, hot_hi, hot_lo, hot_ex):
            * jnp.uint32(STRIDE)
            + random.randint(k5, (N,), 0, 4500, jnp.int32).astype(jnp.uint32))
     hi, lo, ex, pay = lax.sort((hi, lo, ex, pay), num_keys=3)
+    if SENTINEL_PAD:
+        cap = 1 << max(int(np.ceil(np.log2(N))), 1)
+        pad = cap - N
+        hi, lo, ex, pay = (
+            jnp.concatenate([a, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)])
+            for a in (hi, lo, ex, pay))
     return hi, lo, ex, pay
 
 
@@ -214,19 +225,18 @@ def main():
     time_loop(expand_loop, (x, nv, cols_hot), "expand   ")
     time_loop(full_loop, (x, nv, cols_hot), "full_hot ")
 
-    from shazam_tpu.index.search import build_head, head_bits_for
+    from shazam_tpu.index.search import maybe_build_head
     t0 = time.time()
-    head = build_head(cols_hot[0], bits=head_bits_for(N))
+    head = maybe_build_head(cols_hot[0])
     jax.block_until_ready(head)
-    print(f"head built in {time.time() - t0:.1f} s "
-          f"(bits={head_bits_for(N)})", flush=True)
+    print(f"head built in {time.time() - t0:.1f} s", flush=True)
     time_loop(fhead_loop, (x, nv, cols_hot + (head,)), "full_head")
 
     cols_cold = jax.jit(build_index)(random.PRNGKey(0), None, None, None)
     jax.block_until_ready(cols_cold)
     print("cold index ready", flush=True)
     time_loop(full_loop, (x, nv, cols_cold), "full_cold")
-    head_c = build_head(cols_cold[0], bits=head_bits_for(N))
+    head_c = maybe_build_head(cols_cold[0])
     jax.block_until_ready(head_c)
     time_loop(fhead_loop, (x, nv, cols_cold + (head_c,)), "fhead_cold")
 

@@ -26,7 +26,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 from shazam_tpu.api import SIA
 from shazam_tpu.index.store import FingerprintIndex
-from shazam_tpu.index.search import build_head, head_bits_for
+from shazam_tpu.index.search import maybe_build_head
 from shazam_tpu.match.ondevice import recognize_on_device
 
 NPZ = os.environ.get("INDEX_NPZ", "/tmp/catalog_debug.npz")

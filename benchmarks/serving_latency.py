@@ -16,8 +16,8 @@ sid = rng.integers(0, n_songs, n_hashes, dtype=np.uint32)
 off = rng.integers(0, max_off, n_hashes, dtype=np.uint32)
 index = FingerprintIndex(hi, lo, ex, sid, off, n_songs, max_off)
 dev = index.device_arrays()
-from shazam_tpu.index.search import build_head, head_bits_for
-head = build_head(dev[0], bits=head_bits_for(n_hashes))
+from shazam_tpu.index.search import maybe_build_head
+head = maybe_build_head(dev[0])
 clip = synth_song(7, duration_s=5.0, seed=3)
 blen = 1 << 18
 padded = np.zeros(blen, np.float32); padded[:len(clip)] = clip

@@ -41,7 +41,7 @@ from .index.store import FingerprintIndex, build_index, merge_into
 from .index.devmerge import DeviceIndex
 from .index.catalog import SongCatalog
 from .match.prepare import prepare_query
-from .index.search import build_head, head_bits_for
+from .index.search import maybe_build_head
 from .match.lookup import match_query, match_query_sparse
 from .match.align import align_results
 
@@ -837,11 +837,7 @@ class SIA:
         """
         k_hi = dev[0]
         if self._head_src is not k_hi:
-            n = k_hi.shape[0]
-            if n >= 4096:
-                self._device_head = build_head(k_hi, bits=head_bits_for(n))
-            else:
-                self._device_head = None
+            self._device_head = maybe_build_head(k_hi)
             self._head_src = k_hi
         return self._device_head
 

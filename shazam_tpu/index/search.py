@@ -71,13 +71,28 @@ def _head_spans(head, q_hi):
     return jnp.take(head, b), jnp.take(head, b + 1)
 
 
-def _search_rounds(keys, queries, keep_left_on, lo, hi, steps):
-    """`steps` rounds of lane-parallel gather+compare on [lo, hi]."""
+HEAD_MIN_ROWS = 4096  # below this the plain descent already wins
+
+
+def maybe_build_head(k_hi: jnp.ndarray):
+    """The one head policy: build at >= HEAD_MIN_ROWS, ~64 rows/bucket.
+
+    Callers (api._ensure_head, ShardedCatalog, multihost, benches) share
+    this so threshold/resolution tuning happens in exactly one place.
+    """
+    n = k_hi.shape[0]
+    if n < HEAD_MIN_ROWS:
+        return None
+    return build_head(k_hi, bits=head_bits_for(n))
+
+
+def _descend_step(keys, queries, keep_left_on):
+    """One lane-parallel gather+compare halving step, shared by the
+    fixed-round and dynamic descents."""
     k_hi, k_lo, k_ex = keys
     q_hi, q_lo, q_ex = queries
 
-    def body(_, carry):
-        lo, hi = carry
+    def step(lo, hi):
         mid = (lo + hi) >> 1
         m_hi = jnp.take(k_hi, mid)
         m_lo = jnp.take(k_lo, mid)
@@ -87,7 +102,14 @@ def _search_rounds(keys, queries, keep_left_on, lo, hi, steps):
         new_hi = jnp.where(go_right | (lo >= hi), hi, mid)
         return new_lo, new_hi
 
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return step
+
+
+def _search_rounds(keys, queries, keep_left_on, lo, hi, steps):
+    """`steps` rounds of lane-parallel gather+compare on [lo, hi]."""
+    step = _descend_step(keys, queries, keep_left_on)
+    lo, hi = jax.lax.fori_loop(
+        0, steps, lambda _, c: step(*c), (lo, hi))
     return lo
 
 
@@ -96,25 +118,9 @@ def _search_span_dyn(keys, queries, keep_left_on, lo, hi):
     as many rounds as the widest span needs (spans are data-dependent
     when seeded from the bucket head — a hot-run lane may need 17 rounds
     while typical lanes need 7)."""
-    k_hi, k_lo, k_ex = keys
-    q_hi, q_lo, q_ex = queries
-
-    def cond(carry):
-        lo, hi = carry
-        return jnp.any(lo < hi)
-
-    def body(carry):
-        lo, hi = carry
-        mid = (lo + hi) >> 1
-        m_hi = jnp.take(k_hi, mid)
-        m_lo = jnp.take(k_lo, mid)
-        m_ex = jnp.take(k_ex, mid)
-        go_right = keep_left_on(m_hi, m_lo, m_ex, q_hi, q_lo, q_ex) & (lo < hi)
-        new_lo = jnp.where(go_right, mid + 1, lo)
-        new_hi = jnp.where(go_right | (lo >= hi), hi, mid)
-        return new_lo, new_hi
-
-    lo, hi = jax.lax.while_loop(cond, body, (lo, hi))
+    step = _descend_step(keys, queries, keep_left_on)
+    lo, hi = jax.lax.while_loop(
+        lambda c: jnp.any(c[0] < c[1]), lambda c: step(*c), (lo, hi))
     return lo
 
 
@@ -185,7 +191,8 @@ def _binary_search(keys, queries, keep_left_on):
 
 
 @functools.partial(jax.jit)
-def lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex, head=None):
+def lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex, head=None,
+                q_valid=None):
     """(lower, upper) bounds sharing one descent.
 
     With ``head`` (a ``build_head`` bucket-CDF over k_hi): both bounds
@@ -195,6 +202,14 @@ def lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex, head=None):
     that stops when every lane converges, and the upper bound reuses
     the lower bound as its floor. No tiers, no escapes: a hot 32K-row
     hash run costs its own 15 rounds, not a batch-wide full descent.
+
+    ``q_valid`` (optional) zeroes the spans of padding lanes: their
+    0xFFFFFFFF sort keys land in the LAST bucket, which on a
+    device-resident index spans the whole sentinel tail (tens of M
+    rows after capacity doubling/reserve) — without the mask every
+    batch pays ~26 dynamic rounds for lanes whose bounds nobody reads
+    (measured: 21.4 -> expected ~13 ms recognize_clip at 95.3M valid /
+    134M capacity). Returned bounds for masked lanes are (0, 0).
 
     Without ``head``: interpolation-seeded descent (below). The upper
     bound always lies in [lb, n]; for buckets shorter than
@@ -209,6 +224,9 @@ def lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex, head=None):
     queries = (q_hi, q_lo, q_ex)
     if head is not None:
         lo0, hi0 = _head_spans(head, q_hi)
+        if q_valid is not None:
+            lo0 = jnp.where(q_valid, lo0, 0)
+            hi0 = jnp.where(q_valid, hi0, 0)
         lt = lambda mh, ml, me, qh, ql, qe: _lt(mh, ml, me, qh, ql, qe)
         le = lambda mh, ml, me, qh, ql, qe: ~_lt(qh, ql, qe, mh, ml, me)
         lb = _search_span_dyn(keys, queries, lt, lo0, hi0)

@@ -58,7 +58,8 @@ def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
     """
     k_hi, k_lo, k_ex = index_arrays[:3]
 
-    lb, ub = lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex, head=head)
+    lb, ub = lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex, head=head,
+                         q_valid=q_valid)
     lens = jnp.where(q_valid, ub - lb, 0)
 
     cum = jnp.cumsum(lens)

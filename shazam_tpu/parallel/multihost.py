@@ -29,6 +29,7 @@ import numpy as np
 from ..index.store import FingerprintIndex
 from ..match.align import align_results, MatchResult
 from ..match.prepare import QueryPairs
+from ..index.search import HEAD_MIN_ROWS, build_head, head_bits_for
 from .bigcatalog import shard_index_by_song, sharded_match_by_song
 
 
@@ -131,6 +132,21 @@ class SpannedCatalog:
             )
             for a in local_stacked
         )
+        # per-shard bucket-CDF heads (exact search windows; hot hash
+        # runs defeat the interpolation fallback) — computed shard-local
+        # under jit, no cross-process data movement
+        rows = self._arrays[0].shape[1]
+        if rows >= HEAD_MIN_ROWS:
+            import functools
+
+            bits = head_bits_for(rows)
+            fn = jax.jit(
+                jax.vmap(functools.partial(build_head, bits=bits)),
+                out_shardings=sharding,
+            )
+            self._head = fn(self._arrays[0])
+        else:
+            self._head = None
 
     # ---- persistence: per-process shard files -------------------------
     def save_local_shards(self, dir_path: str) -> str:
@@ -202,6 +218,7 @@ class SpannedCatalog:
             *args,
             delta_min=delta_min, delta_range=delta_range,
             match_capacity=match_capacity, topn=topn,
+            sharded_head=self._head,
         )
         import jax
 

@@ -245,3 +245,58 @@ def test_head_with_sentinel_padding():
     nlb, nub = _np_bounds(hi, lo, ex, q_hi, q_lo, q_ex)
     assert np.array_equal(np.asarray(lb), nlb)
     assert np.array_equal(np.asarray(ub), nub)
+
+
+def test_head_invalid_lanes_zero_span():
+    """Padding lanes (q_valid False, sort key 0xFFFFFFFF) must get
+    zero-width spans: on a device-resident index the last bucket spans
+    the whole sentinel tail and the dynamic descent would pay the batch
+    max for bounds nobody reads. Valid lanes' bounds must be unaffected."""
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import lexi_bounds, build_head
+
+    rng = np.random.default_rng(41)
+    n_real, pad = 30_000, 34_768   # padded capacity like DeviceIndex
+    hi = np.sort(rng.integers(0, 1 << 32, n_real, dtype=np.uint64)
+                 .astype(np.uint32))
+    lo = rng.integers(0, 1 << 32, n_real, dtype=np.uint64).astype(np.uint32)
+    ex = rng.integers(0, 1 << 16, n_real, dtype=np.uint32)
+    order = np.lexsort((ex, lo, hi))
+    hi, lo, ex = hi[order], lo[order], ex[order]
+    S = np.uint32(0xFFFFFFFF)
+    hi_p = np.concatenate([hi, np.full(pad, S, np.uint32)])
+    lo_p = np.concatenate([lo, np.full(pad, S, np.uint32)])
+    ex_p = np.concatenate([ex, np.full(pad, S, np.uint32)])
+
+    m = 256
+    qi = rng.integers(0, n_real, m)
+    q_hi, q_lo, q_ex = hi[qi].copy(), lo[qi].copy(), ex[qi].copy()
+    q_valid = np.ones(m, bool)
+    q_valid[m // 2:] = False          # padding lanes, keys forced to max
+    q_hi[m // 2:] = S
+    q_lo[m // 2:] = S
+    q_ex[m // 2:] = S
+
+    head = build_head(jnp.asarray(hi_p), bits=10)
+    lb, ub = lexi_bounds(
+        jnp.asarray(hi_p), jnp.asarray(lo_p), jnp.asarray(ex_p),
+        jnp.asarray(q_hi), jnp.asarray(q_lo), jnp.asarray(q_ex),
+        head=head, q_valid=jnp.asarray(q_valid))
+    lb, ub = np.asarray(lb), np.asarray(ub)
+    assert np.all(lb[m // 2:] == 0) and np.all(ub[m // 2:] == 0)
+
+    nlb, nub = _np_bounds(hi, lo, ex, q_hi[: m // 2], q_lo[: m // 2],
+                          q_ex[: m // 2])
+    assert np.array_equal(lb[: m // 2], nlb)
+    assert np.array_equal(ub[: m // 2], nub)
+
+
+def test_maybe_build_head_policy():
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import maybe_build_head, HEAD_MIN_ROWS
+
+    small = jnp.zeros(HEAD_MIN_ROWS - 1, jnp.uint32)
+    assert maybe_build_head(small) is None
+    big = jnp.sort(jnp.arange(HEAD_MIN_ROWS, dtype=jnp.uint32) * 999983)
+    h = maybe_build_head(big)
+    assert h is not None and int(h[0]) == 0 and int(h[-1]) == HEAD_MIN_ROWS
