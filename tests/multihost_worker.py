@@ -102,7 +102,9 @@ def main() -> None:
     # plus a planted song with known rows (same recipe on both processes)
     from shazam_tpu.index.store import FingerprintIndex, _sort_entries
 
-    n_songs, rows_per = 4000, 5
+    # >= 4096 rows/shard so per-shard bucket-CDF heads build and the
+    # spanned query exercises the head-seeded search across processes
+    n_songs, rows_per = 4000, 10
     n = n_songs * rows_per
     z = (np.arange(n, dtype=np.uint64) + np.uint64(11)) * np.uint64(
         0xBF58476D1CE4E5B9
