@@ -954,12 +954,18 @@ class SIA:
         dev = self._ensure_device_index()
         head = self._ensure_head(dev)
         delta_min, delta_range = self._delta_params_for(n_samples)
-        if early_exit:
+        n_songs_live = max(self._live_n_songs(), 1)
+        # apriori accumulates a dense histogram across batches — past the
+        # sparse-matcher threshold that allocation is the ~0.5 GB/query
+        # cost the sparse path exists to avoid, so early exit is a net
+        # loss there (it already loses to per-batch RTT on this tunnel,
+        # see benchmarks/apriori_timing.py); take the full match instead
+        if early_exit and n_songs_live * delta_range <= 16_000_000:
             from .match.apriori import match_query_apriori
 
-            raw, _batches = match_query_apriori(
+            raw, _batches, clamped = match_query_apriori(
                 dev, q,
-                n_songs=max(self._live_n_songs(), 1),
+                n_songs=n_songs_live,
                 delta_min=delta_min,
                 delta_range=delta_range,
                 match_capacity=self.config.match_capacity,
@@ -967,7 +973,13 @@ class SIA:
                 offset_stride=self._offset_stride,
                 head=head,
             )
-            return raw, self.config.match_capacity
+            # total_rows accumulates across batches, so it legitimately
+            # exceeds one batch's match_capacity; only a per-batch clamp
+            # (votes actually dropped) should flag overflow downstream
+            cap_used = (self.config.match_capacity if clamped
+                        else max(int(raw.total_rows),
+                                 self.config.match_capacity))
+            return raw, cap_used
         # tiered expansion: the fast capacity covers typical queries at
         # ~1/4 the gather cost; overflows escalate x4 up to
         # match_capacity_max (hyper-common hashes in large catalogs can
@@ -1023,6 +1035,11 @@ class SIA:
         t0 = time.time()
         samples = np.asarray(samples)
         blen = _bucket_len(len(samples))
+        max_frames = (blen - self.config.window_size) // self.config.hop + 1
+        if max_frames > 1 << 16:
+            # >~51 min of audio: the single-dispatch dedup packs the frame
+            # offset into 16 bits; route to the two-dispatch path instead
+            return self.recognize_samples([samples], topn=topn)
         padded = np.zeros(blen, np.float32)
         padded[: len(samples)] = samples
         dev = self._ensure_device_index()

@@ -24,6 +24,11 @@ def _lt(a_hi, a_lo, a_ex, b_hi, b_lo, b_ex):
     )
 
 
+def _le_q(m_hi, m_lo, m_ex, q_hi, q_lo, q_ex):
+    """keep-left predicate for the upper bound: key[mid] <= q."""
+    return ~_lt(q_hi, q_lo, q_ex, m_hi, m_lo, m_ex)
+
+
 FENCE_STRIDE = 512  # span refined by the bounded upper-bound pre-search
 
 HEAD_BITS = 20  # bucket-CDF head resolution: 2^20 buckets, 4 MB
@@ -227,17 +232,12 @@ def lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex, head=None,
         if q_valid is not None:
             lo0 = jnp.where(q_valid, lo0, 0)
             hi0 = jnp.where(q_valid, hi0, 0)
-        lt = lambda mh, ml, me, qh, ql, qe: _lt(mh, ml, me, qh, ql, qe)
-        le = lambda mh, ml, me, qh, ql, qe: ~_lt(qh, ql, qe, mh, ml, me)
-        lb = _search_span_dyn(keys, queries, lt, lo0, hi0)
-        ub = _search_span_dyn(keys, queries, le, lb, hi0)
+        lb = _search_span_dyn(keys, queries, _lt, lo0, hi0)
+        ub = _search_span_dyn(keys, queries, _le_q, lb, hi0)
         return lb, ub
-    lb = _binary_search(
-        keys, queries,
-        lambda mh, ml, me, qh, ql, qe: _lt(mh, ml, me, qh, ql, qe),
-    )
+    lb = _binary_search(keys, queries, _lt)
     n = k_hi.shape[0]
-    keep_left = lambda mh, ml, me, qh, ql, qe: ~_lt(qh, ql, qe, mh, ml, me)
+    keep_left = _le_q
 
     def capped_ub(lo, span, prev_ub, redo):
         """Bounded [lo, lo+span] upper search for lanes in `redo`; flags
@@ -270,6 +270,9 @@ def lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex, head=None,
         return jax.lax.cond(jnp.any(susp2), full_ub, lambda _: ub2, 0)
 
     ub = jax.lax.cond(jnp.any(suspect), tier2, lambda _: ub_r, 0)
+    if q_valid is not None:   # same (0, 0) contract as the head path
+        lb = jnp.where(q_valid, lb, 0)
+        ub = jnp.where(q_valid, ub, 0)
     return lb, ub
 
 

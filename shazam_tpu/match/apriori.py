@@ -80,10 +80,21 @@ def match_query_apriori(
 ) -> Tuple[RawMatch, int]:
     """Batched match with the 2x-leader early exit.
 
-    Returns (RawMatch, batches_used). Results are identical to the full
-    match whenever no early exit triggers; with an exit they reflect the
+    Returns (RawMatch, batches_used, clamped). ``total_rows`` is the
+    TRUE accumulated match count across batches; ``clamped`` is True iff
+    any single batch expanded past match_capacity (the only way votes
+    can actually be dropped here — the accumulated total legitimately
+    exceeds match_capacity on multi-batch queries, so callers must NOT
+    infer overflow from it). Results are identical to the full match
+    whenever no early exit triggers; with an exit they reflect the
     partial scan exactly like the reference's apriori mode.
     """
+    if n_songs * delta_range >= 1 << 31:
+        raise ValueError(
+            "apriori accumulates a dense histogram across batches; "
+            f"n_songs * delta_range = {n_songs * delta_range} overflows "
+            "its int32 vote key — disable early_exit at this scale"
+        )
     n = len(q.hi)
     hist = jnp.zeros((n_songs, delta_range), jnp.int32)
     rows_hist = jnp.zeros(n_songs, jnp.int32)
@@ -91,6 +102,8 @@ def match_query_apriori(
 
     n_batches = max(1, -(-n // batch_size))
     used = 0
+    clamped = False
+    prev_total = 0
     for b in range(n_batches):
         sl = slice(b * batch_size, (b + 1) * batch_size)
 
@@ -110,7 +123,11 @@ def match_query_apriori(
             head=head,
         )
         used += 1
-        top2_host = np.asarray(top2)
+        top2_host, cur_total = jax.device_get((top2, total))
+        cur_total = int(cur_total)
+        if cur_total - prev_total > match_capacity:
+            clamped = True        # this batch's expansion hit capacity
+        prev_total = cur_total
         # reference margin rule (recognizer_apriori.py:303): the
         # vote-ranked leader's matched rows halved still beat the
         # vote-ranked runner-up's
@@ -118,4 +135,4 @@ def match_query_apriori(
             break
 
     raw = _apriori_rank(hist, rows_hist, total, delta_min=delta_min, topn=topn)
-    return jax.device_get(raw), used
+    return jax.device_get(raw), used, clamped

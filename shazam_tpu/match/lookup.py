@@ -114,6 +114,13 @@ def match_local(
     match count. Pure function of the local index slice — the sharded
     path psums these across devices before ranking.
     """
+    if n_songs * delta_range >= 1 << 31:
+        raise ValueError(
+            f"n_songs * delta_range = {n_songs * delta_range} overflows the "
+            "int32 vote key (>= 2^31): votes would be attributed to wrong "
+            "songs silently. Use the by-song sharded regime "
+            "(parallel.serving.ShardedCatalog) for catalogs this large."
+        )
     sid, delta, p, valid, total = _expand(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
@@ -238,6 +245,13 @@ def match_query_sparse(
     scatter-min best-delta mirrors argmax-takes-first, top_k ties keep
     the smallest song id).
     """
+    if n_songs * delta_range >= 1 << 31:
+        raise ValueError(
+            f"n_songs * delta_range = {n_songs * delta_range} overflows the "
+            "int32 vote key (>= 2^31): votes would be attributed to wrong "
+            "songs silently. Use the by-song sharded regime "
+            "(parallel.serving.ShardedCatalog) for catalogs this large."
+        )
     sid, delta, p, valid, total = _expand(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,

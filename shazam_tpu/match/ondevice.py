@@ -67,6 +67,13 @@ def recognize_on_device(
     returned total hash count against query_capacity and falls back to
     the two-dispatch path on overflow.
     """
+    n_frames_max = (samples.shape[1] - wsize) // hop + 1
+    if n_frames_max > 1 << 16:
+        raise ValueError(
+            f"clip spans {n_frames_max} frames > 2^16: the packed "
+            "(ex, t1) dedup sort key would alias offsets. Use "
+            "recognize_samples for clips longer than ~51 minutes."
+        )
     fp_fn = fingerprint_batch_fused if use_fused else fingerprint_batch
     fp = fp_fn(
         samples, n_valid,
@@ -99,8 +106,10 @@ def recognize_on_device(
     valid = ok
 
     # device-side set() + mapper: sort by (hash, offset), invalid last.
-    # ex (16 bits) and t1 (< 2^16 frames = 25 days) pack into ONE uint32
-    # sort key: a 3-key sort measures ~25% faster than the 4-key one
+    # ex (16 bits) and t1 pack into ONE uint32 sort key: a 3-key sort
+    # measures ~25% faster than the 4-key one. 2^16 frames is ~51 min at
+    # hop 2048 / 44.1 kHz — the static guard above keeps the packing
+    # exact (longer clips belong on the two-dispatch path anyway)
     sort_hi = jnp.where(valid, hi, jnp.uint32(0xFFFFFFFF))
     ex_t1 = (ex << jnp.uint32(16)) | (t1 & jnp.uint32(0xFFFF))
     sort_hi, lo, ex_t1, valid = jax.lax.sort(

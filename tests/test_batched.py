@@ -133,8 +133,8 @@ def test_apriori_head_equals_headless():
     kw = dict(n_songs=index.n_songs, delta_min=delta_min,
               delta_range=delta_range, match_capacity=16384, topn=2,
               batch_size=64, offset_stride=index.offset_stride)
-    a, used_a = match_query_apriori(dev, q, **kw)
-    b, used_b = match_query_apriori(dev, q, head=head, **kw)
+    a, used_a, _ca = match_query_apriori(dev, q, **kw)
+    b, used_b, _cb = match_query_apriori(dev, q, head=head, **kw)
     assert used_a == used_b
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))

@@ -221,7 +221,7 @@ def test_apriori_without_exit_matches_full(rng):
     q = _query_from_pairs(q_pairs, pad_to=2048)
 
     full = _run_match(index, q, topn=3)
-    raw, used = match_query_apriori(
+    raw, used, _clamped = match_query_apriori(
         index.device_arrays(), q,
         n_songs=index.n_songs,
         delta_min=-(index.max_offset + 100),
@@ -255,7 +255,7 @@ def test_apriori_early_exit_fires(rng):
     q_pairs = sorted({(h, off + 7) for h, _s, off in song3[:400]})
     q = _query_from_pairs(q_pairs, pad_to=2048)
 
-    raw, used = match_query_apriori(
+    raw, used, _clamped = match_query_apriori(
         index.device_arrays(), q,
         n_songs=index.n_songs,
         delta_min=-(index.max_offset + 100),
