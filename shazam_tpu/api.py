@@ -329,43 +329,11 @@ class SIA:
             )
 
         fp = fp_of(samples, n_valid_samples, peak_cap)
-        n_peaks = np.asarray(jax.device_get(fp.n_peaks))
-        over_rows = [i for i in range(bsz) if n_peaks[i] > peak_cap]
-        retry_fp = None
-        if over_rows:
-            # fused-path capacity/plateau overflow: redo those rows at
-            # 2x capacity with GROUP_CAP=12 — the hard distinct-value
-            # packing bound (ops/pallas/peaks.py), so only true equal-
-            # valued plateaus can still overflow.  The retry batch is
-            # cycle-padded to the full batch size so every retry reuses
-            # ONE compiled shape (remote compiles cost minutes).  Rows
-            # still flagged after the retry are NOT ingested (a flagged
-            # fused output is unusable, not truncated: n_peaks is a
-            # sentinel, so its hash lanes are garbage) — they stay
-            # unfingerprinted in the catalog (purged on next open) and
-            # are reported in stats["overflowed"].  NB: a multi-channel
-            # song split across the two runs skips the cross-run pair
-            # union (counts add).
-            stats["fallbacks"] = len(over_rows)
-            if _fused_ok(self.config) and group_cap >= 12:
-                # already at the distinct-value bound: a flag means a
-                # true plateau (or capacity overflow) — drop + report
-                retry_rows = over_rows
-                dead_pos = list(range(len(over_rows)))
-            else:
-                retry_rows = (over_rows * bsz)[:bsz]   # cycle-pad to bsz
-                retry_fn = (
-                    (lambda *a, **kw: fingerprint_batch_fused(
-                        *a, group_cap=12, **kw))
-                    if _fused_ok(self.config) else fingerprint_batch
-                )
-                retry_fp = fp_of(samples[jnp.asarray(retry_rows)],
-                                 [n_valid_samples[i] for i in retry_rows],
-                                 2 * peak_cap, fn=retry_fn)
-                retry_n = np.asarray(jax.device_get(retry_fp.n_peaks))
-                dead_pos = [j for j in range(len(over_rows))
-                            if retry_n[j] > 2 * peak_cap]
-            stats["overflowed"] = [names[over_rows[j]] for j in dead_pos]
+        # rows whose fused output overflowed are masked ON DEVICE for
+        # the first run (no host sync before the merge): the per-batch
+        # n_peaks fetch rides the same device_get as the run counts,
+        # halving the host round trips of the steady-state ingest loop
+        ok_rows_dev = fp.n_peaks <= jnp.uint32(peak_cap)
 
         # catalog registration first: the device run packs REAL song ids
         sid_of_name: Dict[str, int] = {}
@@ -393,20 +361,23 @@ class SIA:
 
         song_totals: Dict[int, int] = {}
 
-        def run_and_merge(one_fp, sids_np, drop_rows):
+        def run_and_merge(one_fp, sids_np, drop_rows=None,
+                          keep_mask_dev=None):
             valid = one_fp.valid
             if drop_rows:
                 rows = np.ones(valid.shape[0], bool)
                 rows[list(drop_rows)] = False
                 valid = valid & jnp.asarray(rows)[:, None]
+            if keep_mask_dev is not None:
+                valid = valid & keep_mask_dev[:, None]
             cap = _capacity(valid.shape[0] * per_song_hash_capacity)
             cols, n_run, counts, overflowed = device_sorted_run(
                 one_fp.hi, one_fp.lo, one_fp.ex, one_fp.t1, valid,
                 jnp.asarray(sids_np), stride=store.stride,
                 addition_cap=cap,
             )
-            n_run, counts, overflowed = jax.device_get(
-                (n_run, counts, overflowed))
+            n_run, counts, overflowed, n_peaks_h = jax.device_get(
+                (n_run, counts, overflowed, one_fp.n_peaks))
             if bool(overflowed):
                 raise ValueError(
                     "device addition run overflowed "
@@ -428,13 +399,48 @@ class SIA:
                     per_sid[int(sid)] = int(counts[row])
             for sid, n in per_sid.items():
                 song_totals[sid] = song_totals.get(sid, 0) + n
+            return np.asarray(n_peaks_h)
 
-        run_and_merge(fp, row_sids, set(over_rows))
-        if retry_fp is not None:
-            run_and_merge(
-                retry_fp, row_sids[retry_rows],
-                set(dead_pos) | set(range(len(over_rows), bsz)),
-            )  # mask pad rows + still-flagged rows (garbage hash lanes)
+        n_peaks = run_and_merge(fp, row_sids, keep_mask_dev=ok_rows_dev)
+        over_rows = [i for i in range(bsz) if n_peaks[i] > peak_cap]
+        if over_rows:
+            # fused-path capacity/plateau overflow: redo those rows at
+            # 2x capacity with GROUP_CAP=12 — the hard distinct-value
+            # packing bound (ops/pallas/peaks.py), so only true equal-
+            # valued plateaus can still overflow.  The retry batch is
+            # cycle-padded to the full batch size so every retry reuses
+            # ONE compiled shape (remote compiles cost minutes).  Rows
+            # still flagged after the retry are NOT ingested (a flagged
+            # fused output is unusable, not truncated: n_peaks is a
+            # sentinel, so its hash lanes are garbage) — they stay
+            # unfingerprinted in the catalog (purged on next open) and
+            # are reported in stats["overflowed"].  NB: a multi-channel
+            # song split across the two runs skips the cross-run pair
+            # union (counts add).
+            stats["fallbacks"] = len(over_rows)
+            if _fused_ok(self.config) and group_cap >= 12:
+                # already at the distinct-value bound: a flag means a
+                # true plateau (or capacity overflow) — drop + report
+                dead_pos = list(range(len(over_rows)))
+            else:
+                retry_rows = (over_rows * bsz)[:bsz]   # cycle-pad to bsz
+                retry_fn = (
+                    (lambda *a, **kw: fingerprint_batch_fused(
+                        *a, group_cap=12, **kw))
+                    if _fused_ok(self.config) else fingerprint_batch
+                )
+                retry_fp = fp_of(samples[jnp.asarray(retry_rows)],
+                                 [n_valid_samples[i] for i in retry_rows],
+                                 2 * peak_cap, fn=retry_fn)
+                retry_n = run_and_merge(
+                    retry_fp, row_sids[retry_rows],
+                    drop_rows=set(range(len(over_rows), bsz)),
+                    keep_mask_dev=retry_fp.n_peaks
+                    <= jnp.uint32(2 * peak_cap),
+                )  # pad rows masked; still-flagged rows masked on device
+                dead_pos = [j for j in range(len(over_rows))
+                            if retry_n[j] > 2 * peak_cap]
+            stats["overflowed"] = [names[over_rows[j]] for j in dead_pos]
 
         self._host_stale = True
         self._device_index = None
