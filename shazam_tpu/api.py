@@ -87,6 +87,7 @@ class SIA:
         index: Optional[FingerprintIndex] = None,
         device_resident: bool = False,
         device_reserve_hashes: int = 0,
+        device_span_rows: int = 0,
     ):
         self.config = config
         self.catalog = SongCatalog(catalog_path)
@@ -95,6 +96,12 @@ class SIA:
         # preallocated HBM capacity: one merge-program compile for a
         # whole ingest instead of one per capacity doubling
         self.device_reserve_hashes = device_reserve_hashes
+        # > 0: hold the index as multiple sorted spans of this capacity
+        # (index/devmerge.SpannedDeviceStore) — past ~150M hashes a
+        # single span's finalize sort outgrows both HBM headroom and the
+        # tunnel worker's device-program kill horizon; spans bound every
+        # program at O(span_rows) and queries search all spans
+        self.device_span_rows = device_span_rows
         self._dev_store: Optional[DeviceIndex] = None
         self._host_stale = False
         self.index = index or build_index([], n_songs=0)
@@ -148,10 +155,22 @@ class SIA:
 
     def _ensure_dev_store(self) -> DeviceIndex:
         if self._dev_store is None:
-            self._dev_store = DeviceIndex.from_host(
-                self.index, reserve=self.device_reserve_hashes
-            )
+            if self.device_span_rows:
+                from .index.devmerge import SpannedDeviceStore
+
+                self._dev_store = SpannedDeviceStore.from_host(
+                    self.index, span_rows=self.device_span_rows,
+                    reserve=self.device_reserve_hashes,
+                )
+            else:
+                self._dev_store = DeviceIndex.from_host(
+                    self.index, reserve=self.device_reserve_hashes
+                )
         return self._dev_store
+
+    @property
+    def _is_spanned(self) -> bool:
+        return bool(self.device_resident and self.device_span_rows)
 
     # ------------------------------------------------------------------ #
     # ingest
@@ -847,6 +866,25 @@ class SIA:
             self._head_src = k_hi
         return self._device_head
 
+    def _ensure_heads(self, devs):
+        """Per-span bucket-CDF heads (spanned store), cached by identity.
+
+        Sealed spans never change (finalize only sorts pending appends),
+        so their heads build once; the active span's columns swap on
+        every append and its head rebuilds on next query — all spans
+        share one capacity, so the build is ONE compiled program.
+        """
+        cached = getattr(self, "_span_heads", [])
+        out = []
+        for i, arrs in enumerate(devs):
+            k_hi = arrs[0]
+            if i < len(cached) and cached[i][0] is k_hi:
+                out.append(cached[i])
+            else:
+                out.append((k_hi, maybe_build_head(k_hi)))
+        self._span_heads = out
+        return tuple(h for _, h in out)
+
     def _q_frames_for(self, n_samples: int) -> int:
         """Smallest power-of-two frame window covering a query's offsets.
 
@@ -958,9 +996,13 @@ class SIA:
         pairs and only needs the index lookup + vote here).
         """
         dev = self._ensure_device_index()
-        head = self._ensure_head(dev)
         delta_min, delta_range = self._delta_params_for(n_samples)
         n_songs_live = max(self._live_n_songs(), 1)
+        if self._is_spanned:
+            return self._match_prepared_spanned(
+                dev, q, n_songs=n_songs_live, delta_min=delta_min,
+                delta_range=delta_range, topn=topn)
+        head = self._ensure_head(dev)
         # apriori accumulates a dense histogram across batches — past the
         # sparse-matcher threshold that allocation is the ~0.5 GB/query
         # cost the sparse path exists to avoid, so early exit is a net
@@ -991,11 +1033,7 @@ class SIA:
         # match_capacity_max (hyper-common hashes in large catalogs can
         # legitimately expand one query to 100K+ rows, and the reference
         # counts every row's vote)
-        caps = [self.config.match_capacity_fast, self.config.match_capacity]
-        if caps[0] >= caps[1]:
-            caps = caps[1:]
-        while caps[-1] < self.config.match_capacity_max:
-            caps.append(min(caps[-1] * 4, self.config.match_capacity_max))
+        caps = self._match_tiers()
 
         n_songs = max(self._live_n_songs(), 1)
         # big catalogs: the dense (n_songs, delta_range) vote histogram
@@ -1025,6 +1063,52 @@ class SIA:
             raw = run(cap)
         return raw, cap
 
+    def _match_tiers(self):
+        caps = [self.config.match_capacity_fast, self.config.match_capacity]
+        if caps[0] >= caps[1]:
+            caps = caps[1:]
+        while caps[-1] < self.config.match_capacity_max:
+            caps.append(min(caps[-1] * 4, self.config.match_capacity_max))
+        return caps
+
+    def _match_prepared_spanned(self, dev, q, *, n_songs, delta_min,
+                                delta_range, topn):
+        """Spanned-store match: every span searched, votes counted once.
+
+        Each span's expansion clamps independently at the tier capacity,
+        so the retry trigger is the LARGEST per-span count (exact even
+        when clamped); the returned capacity-for-overflow is the sum
+        semantics ``align_results`` expects — when no span clamped,
+        nothing was dropped even if the summed total exceeds one tier.
+        """
+        from .match.lookup import match_query_sparse_spanned
+
+        heads = self._ensure_heads(dev)
+        caps = self._match_tiers()
+
+        def run(cap):
+            return jax.device_get(match_query_sparse_spanned(
+                dev,
+                jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
+                jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
+                n_songs=n_songs, delta_min=delta_min,
+                delta_range=delta_range, match_capacity=cap,
+                topn=topn or self.config.topn,
+                offset_stride=self._offset_stride,
+                heads=heads,
+            ))
+
+        cap = caps[0]
+        raw, span_max = run(cap)
+        if int(span_max) > cap:
+            cap = next((c for c in caps if c >= int(span_max)), caps[-1])
+            raw, span_max = run(cap)
+        if int(span_max) <= cap:
+            # no span clamped: every row voted; report a capacity that
+            # keeps align_results' total>capacity overflow check honest
+            return raw, max(int(raw.total_rows), cap)
+        return raw, cap
+
     def recognize_clip(
         self,
         samples: np.ndarray,
@@ -1049,13 +1133,17 @@ class SIA:
         padded = np.zeros(blen, np.float32)
         padded[: len(samples)] = samples
         dev = self._ensure_device_index()
-        head = self._ensure_head(dev)
         delta_min, delta_range = self._delta_params_for(len(samples))
         # dedup-sort + binary-search cost is linear in query lanes: a 5 s
         # clip yields ~1-2K unique pairs, so 2K lanes cover it; longer
         # clips get 4K (overflow falls back to the two-dispatch path)
         q_cap = 2048 if len(samples) <= 6 * self.config.sample_rate else 4096
 
+        if self._is_spanned:
+            return self._recognize_clip_spanned(
+                samples, padded, dev, delta_min=delta_min,
+                delta_range=delta_range, q_cap=q_cap, topn=topn, t0=t0)
+        head = self._ensure_head(dev)
         raw, n_pairs, n_peaks, n_hashes = jax.device_get(recognize_on_device(
             jnp.asarray(padded)[None, :],
             jnp.asarray([len(samples)], np.int32),
@@ -1106,6 +1194,64 @@ class SIA:
             "total_time": device_time + align_time,
         }
 
+    def _recognize_clip_spanned(self, samples, padded, dev, *, delta_min,
+                                delta_range, q_cap, topn, t0):
+        """Single-dispatch recognition against the spanned store."""
+        from .match.ondevice import recognize_on_device_spanned
+
+        heads = self._ensure_heads(dev)
+        raw, span_max, n_pairs, n_peaks, n_hashes = jax.device_get(
+            recognize_on_device_spanned(
+                jnp.asarray(padded)[None, :],
+                jnp.asarray([len(samples)], np.int32),
+                dev,
+                fs=self.config.sample_rate,
+                wsize=self.config.window_size,
+                hop=self.config.hop,
+                amp_min=self.config.amp_min,
+                radius=self.config.peak_neighborhood_size,
+                fan_value=self.config.fan_value,
+                min_dt=self.config.min_hash_time_delta,
+                max_dt=self.config.max_hash_time_delta,
+                peak_capacity=self.config.peak_capacity,
+                n_songs=max(self._live_n_songs(), 1),
+                delta_min=delta_min,
+                delta_range=delta_range,
+                match_capacity=self.config.match_capacity_fast,
+                topn=topn or self.config.topn,
+                offset_stride=self._offset_stride,
+                use_fused=_fused_ok(self.config),
+                query_capacity=q_cap,
+                heads=heads,
+            ))
+        device_time = time.time() - t0
+        if (
+            int(n_peaks) > self.config.peak_capacity
+            or int(span_max) > self.config.match_capacity_fast
+            or int(n_hashes) > q_cap
+        ):
+            # overflow (peaks, any span's expansion, or query lanes):
+            # the two-dispatch spanned path retries with escalating tiers
+            return self.recognize_samples([samples], topn=topn)
+
+        t0 = time.time()
+        matched = align_results(
+            raw, int(n_pairs), catalog=self.catalog, config=self.config,
+            match_capacity=max(int(raw.total_rows),
+                               self.config.match_capacity_fast),
+        )
+        align_time = time.time() - t0
+        return {
+            "results": matched.results,
+            "total_matches": matched.total_matches,
+            "overflowed": matched.overflowed,
+            "input_hashes": int(n_pairs),
+            "fingerprint_time": device_time,  # one fused dispatch
+            "query_time": 0.0,
+            "align_time": align_time,
+            "total_time": device_time + align_time,
+        }
+
     def recognize_batch(
         self,
         clips: Sequence[np.ndarray],
@@ -1123,6 +1269,13 @@ class SIA:
         n_clips = len(clips)
         if n_clips == 0:
             return []
+        if self._is_spanned:
+            # the vmapped batched matcher is single-span; per-clip
+            # spanned matches are correct and still one device program
+            # per clip (fingerprints could batch, but spanned stores
+            # exist for bulk-ingest scale where serving QPS goes through
+            # ShardedCatalog / multihost instead)
+            return [self.recognize_samples([c], topn=topn) for c in clips]
         blen = max(_bucket_len(len(c)) for c in clips)
         batch = np.zeros((n_clips, blen), np.float32)
         n_valid = np.zeros(n_clips, np.int32)

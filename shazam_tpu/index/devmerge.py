@@ -382,3 +382,239 @@ class DeviceIndex:
         return FingerprintIndex(hi, lo, ex, sid, off,
                                 n_songs=self.n_songs,
                                 max_offset=self.max_offset)
+
+
+def _run_pow2(n: int) -> int:
+    """Smallest power-of-two >= n (floor 1024) — bounded program count
+    for sliced addition runs."""
+    c = 1024
+    while c < n:
+        c <<= 1
+    return c
+
+
+class SpannedDeviceStore:
+    """HBM index as multiple bounded sorted spans: beyond-one-sort scale.
+
+    A single ``DeviceIndex`` doubles its capacity buffer and re-sorts the
+    WHOLE index at :meth:`finalize` — at the reference's largest recorded
+    deployment (436,682,654 hashes, ``fingerprints_queries.sql:3``) that
+    is a >half-HBM allocation sorted twice over (in+out), which neither
+    fits beside the fingerprint pipeline nor stays under this worker's
+    device-program kill horizon.  This store caps every span at a fixed
+    ``span_rows`` capacity: ingest appends into the ACTIVE (last) span,
+    seals it with one bounded sort when the next run would not fit, and
+    opens a fresh span.  No device program ever touches more than one
+    span, so sort cost, scratch memory and program shapes are all
+    O(span_rows) regardless of catalog size.
+
+    Queries search every span (each is an independent sorted run with
+    its own bucket-CDF head) and merge the vote streams before ranking —
+    ``match.lookup.match_query_sparse_spanned`` — the TPU analog of the
+    reference's multi-shard knob it never turned on
+    (``elastic_database.py:42,80``, number_of_shards pinned to 1).
+
+    Shares the ``DeviceIndex`` ingest surface consumed by ``api.SIA``
+    (stride / n_valid / n_songs / max_offset, ``_ensure_layout``,
+    ``append_run``, ``merge_device_run``, ``merge``, ``finalize``,
+    ``query_cols``, ``to_host``).  Packed 4-column layout only: at the
+    scale that needs spans, an unpacked catalog should use the by-song
+    sharded regime instead.
+    """
+
+    is_spanned = True
+
+    def __init__(self, span_rows: int, n_songs: int = 0,
+                 max_offset: int = 0, stride: int = 1):
+        if span_rows < MIN_CAPACITY // 16:
+            raise ValueError(f"span_rows {span_rows} is below the "
+                             f"minimum {MIN_CAPACITY // 16}")
+        if stride == 0:
+            raise ValueError("SpannedDeviceStore requires the packed "
+                             "4-column layout (stride > 0)")
+        self.span_rows = int(span_rows)
+        self.n_songs = int(n_songs)
+        self.max_offset = int(max_offset)
+        self.stride = int(stride)
+        self.spans: list = [self._new_span()]
+
+    # ---- construction -------------------------------------------------
+    @classmethod
+    def from_host(cls, ix: FingerprintIndex, span_rows: int,
+                  reserve: int = 0) -> "SpannedDeviceStore":
+        """Upload a host index split into contiguous sorted spans.
+
+        ``reserve`` is accepted for ``DeviceIndex.from_host`` parity but
+        unused — span capacity is fixed, so every ingest already compiles
+        a bounded set of programs.
+        """
+        stride = ix.offset_stride
+        if stride == 0 and ix.n_hashes > 0:
+            raise ValueError(
+                "SpannedDeviceStore requires the packed payload layout; "
+                "use DeviceIndex / the by-song sharded regime instead")
+        store = cls(span_rows, ix.n_songs, ix.max_offset,
+                    stride if stride else 1)
+        for start in range(0, ix.n_hashes, span_rows):
+            n = min(span_rows, ix.n_hashes - start)
+            packed = (
+                ix.song_id[start:start + n].astype(np.uint32)
+                * np.uint32(stride)
+                + ix.offset[start:start + n].astype(np.uint32)
+            )
+            pad = span_rows - n
+
+            def up(a):
+                return jnp.asarray(np.concatenate(
+                    [a.astype(np.uint32),
+                     np.full(pad, SENTINEL, np.uint32)]))
+
+            cols = (up(ix.key_hi[start:start + n]),
+                    up(ix.key_lo[start:start + n]),
+                    up(ix.key_ex[start:start + n]), up(packed))
+            span = DeviceIndex(cols, n, ix.n_songs, ix.max_offset, stride)
+            if store.spans[-1].n_valid == 0:
+                store.spans[-1] = span
+            else:
+                store.spans.append(span)
+        return store
+
+    # ---- shared-surface properties ------------------------------------
+    @property
+    def n_valid(self) -> int:
+        return sum(s.n_valid for s in self.spans)
+
+    @property
+    def active(self) -> DeviceIndex:
+        return self.spans[-1]
+
+    def _new_span(self) -> DeviceIndex:
+        cols = tuple(jnp.full(self.span_rows, SENTINEL, jnp.uint32)
+                     for _ in range(4))
+        return DeviceIndex(cols, 0, self.n_songs, self.max_offset,
+                           self.stride)
+
+    def _seal_active(self) -> None:
+        """Sort the active span into final order and open a fresh one."""
+        self.active.finalize()
+        self.spans.append(self._new_span())
+
+    def _ensure_layout(self, n_songs: int, max_offset: int) -> None:
+        """Repack EVERY span if catalog growth changes the stride —
+        queries assume one stride across spans."""
+        new_stride = _stride_for(max_offset, n_songs)
+        if new_stride == 0:
+            raise ValueError(
+                f"catalog ({n_songs} songs x offset {max_offset}) exceeds "
+                "the packed uint32 payload; spanned device residency "
+                "cannot hold it — use the by-song sharded regime")
+        for s in self.spans:
+            s._ensure_layout(n_songs, max_offset)
+            s.n_songs = max(s.n_songs, n_songs)
+            s.max_offset = max(s.max_offset, max_offset)
+        self.stride = new_stride
+        self.n_songs = max(self.n_songs, n_songs)
+        self.max_offset = max(self.max_offset, max_offset)
+
+    # ---- ingest --------------------------------------------------------
+    def _fit_or_roll(self, need_rows: int) -> DeviceIndex:
+        if need_rows > self.span_rows:
+            raise ValueError(
+                f"one addition run ({need_rows} rows incl. padding) "
+                f"exceeds span_rows {self.span_rows}; raise span_rows or "
+                "split the batch")
+        if self.active.n_valid + need_rows > self.span_rows:
+            self._seal_active()
+        return self.active
+
+    def append_run(self, add_cols: Tuple, n_add: int,
+                   n_songs: int, max_offset: int) -> None:
+        """Deferred-sort ingest into the active span (see
+        ``DeviceIndex.append_run``); rolls to a fresh span when the run
+        would not fit, sealing the full one with a bounded sort."""
+        if n_add == 0:
+            return
+        self._ensure_layout(max(self.n_songs, n_songs),
+                            max(self.max_offset, max_offset))
+        # slice the sentinel-padded run tight: less HBM written per
+        # append and less span capacity consumed (O(log) slice shapes)
+        run_len = min(_run_pow2(n_add), add_cols[0].shape[0])
+        if run_len < add_cols[0].shape[0]:
+            add_cols = tuple(c[:run_len] for c in add_cols)
+        span = self._fit_or_roll(run_len)
+        span.append_run(add_cols, n_add, self.n_songs, self.max_offset)
+        self.n_songs = span.n_songs
+        self.max_offset = span.max_offset
+
+    def merge_device_run(self, add_cols: Tuple, n_add: int,
+                         n_songs: int, max_offset: int) -> None:
+        """Scatter-merge a device run into the active span (bounded at
+        span_rows, so the scatter stays under the worker kill horizon)."""
+        if n_add == 0:
+            return
+        self._ensure_layout(max(self.n_songs, n_songs),
+                            max(self.max_offset, max_offset))
+        run_len = min(_run_pow2(n_add), add_cols[0].shape[0])
+        if run_len < add_cols[0].shape[0]:
+            add_cols = tuple(c[:run_len] for c in add_cols)
+        # scatter-merge keeps base length: only the n_add real rows
+        # consume span capacity
+        span = self._fit_or_roll(n_add)
+        span.merge_device_run(add_cols, n_add, self.n_songs,
+                              self.max_offset)
+        self.n_songs = span.n_songs
+        self.max_offset = span.max_offset
+
+    def merge(self, addition: FingerprintIndex) -> None:
+        """Absorb a host-side sorted addition (chunked to span bounds)."""
+        if addition.n_hashes == 0:
+            return
+        self._ensure_layout(max(self.n_songs, addition.n_songs),
+                            max(self.max_offset, addition.max_offset))
+        chunk = self.span_rows // 2
+        for start in range(0, addition.n_hashes, chunk):
+            sl = slice(start, min(start + chunk, addition.n_hashes))
+            piece = FingerprintIndex(
+                addition.key_hi[sl], addition.key_lo[sl],
+                addition.key_ex[sl], addition.song_id[sl],
+                addition.offset[sl], n_songs=self.n_songs,
+                max_offset=self.max_offset)
+            # only real rows land in the span (merge_runs keeps base
+            # length; the padded upload is search-side), so fit on
+            # n_hashes, not the padded capacity
+            span = self._fit_or_roll(piece.n_hashes)
+            span.merge(piece)
+            self.n_songs = span.n_songs
+            self.max_offset = span.max_offset
+
+    # ---- consumption ---------------------------------------------------
+    def finalize(self) -> None:
+        for s in self.spans:
+            s.finalize()
+
+    def query_cols(self) -> Tuple[Tuple, ...]:
+        """Tuple of per-span column tuples (non-empty spans only)."""
+        self.finalize()
+        live = tuple(s.cols for s in self.spans if s.n_valid > 0)
+        # an empty store still needs one searchable span
+        return live if live else (self.spans[-1].cols,)
+
+    def to_host(self) -> FingerprintIndex:
+        """Materialize ONE globally sorted host index (persistence/stats).
+
+        Spans are each sorted; the host-side lexsort restores global
+        order (equal full-column rows are interchangeable, so this is
+        element-identical to a single-store build).
+        """
+        self.finalize()
+        parts = [s.to_host() for s in self.spans if s.n_valid > 0]
+        if not parts:
+            return FingerprintIndex(
+                *(np.zeros(0, np.uint32) for _ in range(5)),
+                n_songs=self.n_songs, max_offset=self.max_offset)
+        cat = [np.concatenate([getattr(p, f) for p in parts])
+               for f in ("key_hi", "key_lo", "key_ex", "song_id", "offset")]
+        order = np.lexsort((cat[4], cat[3], cat[2], cat[1], cat[0]))
+        return FingerprintIndex(*(a[order] for a in cat),
+                                n_songs=self.n_songs,
+                                max_offset=self.max_offset)

@@ -257,6 +257,24 @@ def match_query_sparse(
         match_capacity=match_capacity, offset_stride=offset_stride,
         head=head,
     )
+    first = jnp.take(q_first, p)
+    return _sparse_vote_rank(
+        sid, delta, first, valid, total,
+        n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+        topn=topn,
+    )
+
+
+def _sparse_vote_rank(sid, delta, first, valid, total, *, n_songs: int,
+                      delta_min: int, delta_range: int,
+                      topn: int) -> RawMatch:
+    """Sort + run-length vote count + rank over flat expanded vote slots.
+
+    Shared by ``match_query_sparse`` (one expansion) and the spanned
+    matcher (concatenated expansions from several sorted spans — vote
+    keys from different spans for the same (song, delta) coalesce in the
+    sort exactly as if they came from one index).
+    """
     cap = sid.shape[0]
     dbin = delta - delta_min
     in_range = (dbin >= 0) & (dbin < delta_range)
@@ -266,7 +284,6 @@ def match_query_sparse(
     key = jnp.where(vote_ok, sid * delta_range + dbin, SENT)
     ks = jax.lax.sort(key)
     live = ks != SENT
-    idx = jnp.arange(cap, dtype=jnp.int32)
     run_start = live & jnp.concatenate(
         [jnp.ones(1, bool), ks[1:] != ks[:-1]])
     seg_id = jnp.cumsum(run_start.astype(jnp.int32)) - 1  # -1 before 1st
@@ -286,7 +303,6 @@ def match_query_sparse(
     best_bin = jnp.full(n_songs, 0x7FFFFFFF, jnp.int32).at[song_seg].min(
         jnp.where(is_best, dbin_seg, 0x7FFFFFFF), mode="drop")
 
-    first = jnp.take(q_first, p)
     rows_hist = jnp.zeros(n_songs, jnp.int32).at[sid].add(
         (valid & first).astype(jnp.int32), mode="drop")
 
@@ -307,3 +323,89 @@ def match_query_sparse(
         top_songs.astype(jnp.int32), top_deltas, top_votes,
         row_counts, total, n_ranked,
     )
+
+
+def _expand_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
+                  q_first, *, match_capacity: int, offset_stride: int):
+    """Expand a query against every span; concatenate the vote streams.
+
+    Returns (sid, delta, first, valid, total, span_max): flat arrays of
+    length n_spans * match_capacity, the exact global match count, and
+    the largest single-span count (the overflow/retry signal — each
+    span's expansion clamps independently at match_capacity).
+    """
+    parts = []
+    totals = []
+    for i, arrs in enumerate(span_arrays):
+        head = heads[i] if heads is not None else None
+        sid, delta, p, valid, total = _expand(
+            arrs, q_hi, q_lo, q_ex, q_t, q_valid,
+            match_capacity=match_capacity, offset_stride=offset_stride,
+            head=head,
+        )
+        parts.append((sid, delta, jnp.take(q_first, p), valid))
+        totals.append(total)
+    sid = jnp.concatenate([x[0] for x in parts])
+    delta = jnp.concatenate([x[1] for x in parts])
+    first = jnp.concatenate([x[2] for x in parts])
+    valid = jnp.concatenate([x[3] for x in parts])
+    total = functools.reduce(jnp.add, totals)
+    span_max = functools.reduce(jnp.maximum, totals)
+    return sid, delta, first, valid, total, span_max
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
+                     "topn", "offset_stride"),
+)
+def match_query_sparse_spanned(
+    span_arrays,
+    q_hi: jnp.ndarray,
+    q_lo: jnp.ndarray,
+    q_ex: jnp.ndarray,
+    q_t: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    q_first: jnp.ndarray,
+    *,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 65536,
+    topn: int = 2,
+    offset_stride: int = 0,
+    heads=None,
+):
+    """``match_query_sparse`` over a spanned index (tuple of sorted runs).
+
+    A ``SpannedDeviceStore`` holds the catalog as several independently
+    sorted spans (bounded sorts at ingest — see index/devmerge.py); a
+    row for one (song, delta) may live in any span, so every span is
+    searched and the expanded vote streams are counted TOGETHER — the
+    sort-based run-length count coalesces equal vote keys regardless of
+    which span produced them, making the result element-identical to one
+    big sorted index (tested).  This is the single-chip analog of the
+    reference's Elasticsearch shard knob (``elastic_database.py:42,80``).
+
+    Returns (RawMatch, span_max): ``total_rows`` sums the spans' exact
+    counts; ``span_max`` is the largest per-span count — the caller's
+    retry trigger, since each span clamps its expansion independently at
+    ``match_capacity``.
+    """
+    if n_songs * delta_range >= 1 << 31:
+        raise ValueError(
+            f"n_songs * delta_range = {n_songs * delta_range} overflows the "
+            "int32 vote key (>= 2^31): votes would be attributed to wrong "
+            "songs silently. Use the by-song sharded regime "
+            "(parallel.serving.ShardedCatalog) for catalogs this large."
+        )
+    sid, delta, first, valid, total, span_max = _expand_spans(
+        span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
+        match_capacity=match_capacity, offset_stride=offset_stride,
+    )
+    raw = _sparse_vote_rank(
+        sid, delta, first, valid, total,
+        n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+        topn=topn,
+    )
+    return raw, span_max

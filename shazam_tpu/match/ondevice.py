@@ -25,47 +25,19 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fingerprint import fingerprint_batch_fused, fingerprint_batch
-from .lookup import match_local, match_query_sparse, rank_votes, RawMatch
+from .lookup import (match_local, match_query_sparse, rank_votes, RawMatch,
+                     _expand_spans, _sparse_vote_rank)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("fs", "wsize", "hop", "amp_min", "radius", "fan_value",
-                     "min_dt", "max_dt", "peak_capacity", "n_songs",
-                     "delta_min", "delta_range", "match_capacity", "topn",
-                     "offset_stride", "use_fused", "query_capacity"),
-)
-def recognize_on_device(
-    samples: jnp.ndarray,          # (1, padded_len) float32
-    n_valid: jnp.ndarray,          # (1,) int32
-    index_arrays,
-    *,
-    fs: int = 44100,
-    wsize: int = 4096,
-    hop: int = 2048,
-    amp_min: float = 10.0,
-    radius: int = 10,
-    fan_value: int = 5,
-    min_dt: int = 0,
-    max_dt: int = 200,
-    peak_capacity: int = 4096,
-    n_songs: int,
-    delta_min: int,
-    delta_range: int,
-    match_capacity: int = 16384,
-    topn: int = 2,
-    offset_stride: int = 0,
-    use_fused: bool = True,
-    query_capacity: int = 4096,
-    head=None,
-):
-    """One jitted program: mono clip -> (RawMatch, n_pairs, n_peaks, n_hash).
+def _fingerprint_dedup(samples, n_valid, *, fs, wsize, hop, amp_min,
+                       radius, fan_value, min_dt, max_dt, peak_capacity,
+                       use_fused, query_capacity):
+    """Fused fingerprint + on-device query dedup (steps 1-2 of the
+    single-dispatch program; shared by the flat and spanned matchers).
 
-    Binary-search cost is linear in query lanes, so after the dedup sort
-    the query is sliced to `query_capacity` lanes (valid lanes sort to the
-    front; a 5-15 s clip yields 1-8K hashes). The caller checks the
-    returned total hash count against query_capacity and falls back to
-    the two-dispatch path on overflow.
+    Returns (sort_hi, lo, ex, t1, q_valid, q_first, n_pairs, n_peaks,
+    n_hashes_total) — query lanes sorted by (hash, offset) and sliced to
+    ``query_capacity``.
     """
     n_frames_max = (samples.shape[1] - wsize) // hop + 1
     if n_frames_max > 1 << 16:
@@ -128,6 +100,56 @@ def recognize_on_device(
     q_valid = valid & ~same_pair          # unique (hash, offset) pairs
     q_first = q_valid & ~same_hash        # first pair of each unique hash
     n_pairs = jnp.sum(q_valid.astype(jnp.int32))
+    return (sort_hi, lo, ex, t1, q_valid, q_first, n_pairs,
+            fp.n_peaks[0], n_hashes_total)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "wsize", "hop", "amp_min", "radius", "fan_value",
+                     "min_dt", "max_dt", "peak_capacity", "n_songs",
+                     "delta_min", "delta_range", "match_capacity", "topn",
+                     "offset_stride", "use_fused", "query_capacity"),
+)
+def recognize_on_device(
+    samples: jnp.ndarray,          # (1, padded_len) float32
+    n_valid: jnp.ndarray,          # (1,) int32
+    index_arrays,
+    *,
+    fs: int = 44100,
+    wsize: int = 4096,
+    hop: int = 2048,
+    amp_min: float = 10.0,
+    radius: int = 10,
+    fan_value: int = 5,
+    min_dt: int = 0,
+    max_dt: int = 200,
+    peak_capacity: int = 4096,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 16384,
+    topn: int = 2,
+    offset_stride: int = 0,
+    use_fused: bool = True,
+    query_capacity: int = 4096,
+    head=None,
+):
+    """One jitted program: mono clip -> (RawMatch, n_pairs, n_peaks, n_hash).
+
+    Binary-search cost is linear in query lanes, so after the dedup sort
+    the query is sliced to `query_capacity` lanes (valid lanes sort to the
+    front; a 5-15 s clip yields 1-8K hashes). The caller checks the
+    returned total hash count against query_capacity and falls back to
+    the two-dispatch path on overflow.
+    """
+    (sort_hi, lo, ex, t1, q_valid, q_first, n_pairs, n_peaks,
+     n_hashes_total) = _fingerprint_dedup(
+        samples, n_valid, fs=fs, wsize=wsize, hop=hop, amp_min=amp_min,
+        radius=radius, fan_value=fan_value, min_dt=min_dt, max_dt=max_dt,
+        peak_capacity=peak_capacity, use_fused=use_fused,
+        query_capacity=query_capacity,
+    )
 
     if n_songs * delta_range > 16_000_000:
         # big catalogs: sort-based sparse matcher (O(match_capacity),
@@ -147,4 +169,62 @@ def recognize_on_device(
         )
         raw = rank_votes(hist, rows_hist, total, delta_min=delta_min,
                          topn=topn)
-    return raw, n_pairs, fp.n_peaks[0], n_hashes_total
+    return raw, n_pairs, n_peaks, n_hashes_total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "wsize", "hop", "amp_min", "radius", "fan_value",
+                     "min_dt", "max_dt", "peak_capacity", "n_songs",
+                     "delta_min", "delta_range", "match_capacity", "topn",
+                     "offset_stride", "use_fused", "query_capacity"),
+)
+def recognize_on_device_spanned(
+    samples: jnp.ndarray,          # (1, padded_len) float32
+    n_valid: jnp.ndarray,          # (1,) int32
+    span_arrays,                   # tuple of per-span column tuples
+    *,
+    fs: int = 44100,
+    wsize: int = 4096,
+    hop: int = 2048,
+    amp_min: float = 10.0,
+    radius: int = 10,
+    fan_value: int = 5,
+    min_dt: int = 0,
+    max_dt: int = 200,
+    peak_capacity: int = 4096,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 16384,
+    topn: int = 2,
+    offset_stride: int = 0,
+    use_fused: bool = True,
+    query_capacity: int = 4096,
+    heads=None,
+):
+    """``recognize_on_device`` against a spanned index (SpannedDeviceStore).
+
+    One jitted program: clip -> (RawMatch, span_max, n_pairs, n_peaks,
+    n_hashes).  Every span is searched with its own bucket-CDF head and
+    the vote streams are counted together (see
+    ``lookup.match_query_sparse_spanned``); ``span_max`` is the per-span
+    overflow signal the caller checks against ``match_capacity``.
+    """
+    (sort_hi, lo, ex, t1, q_valid, q_first, n_pairs, n_peaks,
+     n_hashes_total) = _fingerprint_dedup(
+        samples, n_valid, fs=fs, wsize=wsize, hop=hop, amp_min=amp_min,
+        radius=radius, fan_value=fan_value, min_dt=min_dt, max_dt=max_dt,
+        peak_capacity=peak_capacity, use_fused=use_fused,
+        query_capacity=query_capacity,
+    )
+    sid, delta, first, valid, total, span_max = _expand_spans(
+        span_arrays, heads, sort_hi, lo, ex, t1, q_valid, q_first,
+        match_capacity=match_capacity, offset_stride=offset_stride,
+    )
+    raw = _sparse_vote_rank(
+        sid, delta, first, valid, total,
+        n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+        topn=topn,
+    )
+    return raw, span_max, n_pairs, n_peaks, n_hashes_total

@@ -1,0 +1,197 @@
+"""Spanned device store (index/devmerge.SpannedDeviceStore).
+
+Past ~150M hashes a single DeviceIndex's finalize sort outgrows both the
+HBM headroom (capacity-doubled buffer + sort scratch) and the tunnel
+worker's device-program kill horizon, so the index becomes multiple
+bounded sorted spans queried together.  The contract: a spanned store is
+ELEMENT-IDENTICAL to the single store — same host index after ingest,
+same recognition results — regardless of how rows land across spans.
+Matches the scale of the reference's largest recorded deployment
+(436,682,654 hashes, ``fingerprints_queries.sql:3``).
+"""
+
+import numpy as np
+import pytest
+
+
+def _songs(n, secs=3.0):
+    from shazam_tpu.audio.synth import synth_song
+
+    return [(f"s{i}", synth_song(i, duration_s=secs, seed=11))
+            for i in range(n)]
+
+
+def _pad_batch(arrs):
+    import jax.numpy as jnp
+
+    blen = 1 << 18
+    mat = np.zeros((len(arrs), blen), np.float32)
+    nv = []
+    for i, a in enumerate(arrs):
+        mat[i, : len(a)] = a
+        nv.append(len(a))
+    return jnp.asarray(mat), nv
+
+
+def _index_equal(a, b):
+    for fa, fb in ((a.key_hi, b.key_hi), (a.key_lo, b.key_lo),
+                   (a.key_ex, b.key_ex), (a.song_id, b.song_id),
+                   (a.offset, b.offset)):
+        assert np.array_equal(np.asarray(fa), np.asarray(fb))
+    assert a.n_songs == b.n_songs
+
+
+# --------------------------------------------------------------------- #
+# matcher parity: spanned == flat on the same rows
+# --------------------------------------------------------------------- #
+
+def _random_index(n_rows, n_songs, stride, seed=0):
+    rng = np.random.default_rng(seed)
+    hi = np.sort(rng.integers(0, 2**32, n_rows, dtype=np.uint32))
+    lo = rng.integers(0, 2**32, n_rows, dtype=np.uint32)
+    ex = rng.integers(0, 2**16, n_rows, dtype=np.uint32)
+    sid = rng.integers(0, n_songs, n_rows, dtype=np.uint32)
+    off = rng.integers(0, stride, n_rows, dtype=np.uint32)
+    order = np.lexsort((off, sid, ex, lo, hi))
+    return hi[order], lo[order], ex[order], sid[order], off[order]
+
+
+@pytest.mark.parametrize("n_spans", [1, 3])
+def test_spanned_matcher_equals_flat(n_spans):
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import maybe_build_head
+    from shazam_tpu.match.lookup import (match_query_sparse,
+                                         match_query_sparse_spanned)
+
+    n_rows, n_songs, stride = 30000, 40, 4096
+    hi, lo, ex, sid, off = _random_index(n_rows, n_songs, stride)
+    packed = sid * np.uint32(stride) + off
+    flat = tuple(jnp.asarray(a) for a in (hi, lo, ex, packed))
+
+    # round-robin partition: every span holds the full key range (a
+    # subsequence of a sorted array is sorted), mimicking ingest-time
+    # spans whose key ranges fully overlap
+    spans = tuple(
+        tuple(jnp.asarray(a[k::n_spans]) for a in (hi, lo, ex, packed))
+        for k in range(n_spans)
+    )
+    heads = tuple(maybe_build_head(s[0]) for s in spans)
+
+    rng = np.random.default_rng(7)
+    q_n = 256
+    pick = rng.integers(0, n_rows, q_n)
+    q = dict(
+        q_hi=jnp.asarray(hi[pick]), q_lo=jnp.asarray(lo[pick]),
+        q_ex=jnp.asarray(ex[pick]),
+        q_t=jnp.asarray(rng.integers(0, 50, q_n).astype(np.uint32)),
+        q_valid=jnp.asarray(np.ones(q_n, bool)),
+        q_first=jnp.asarray(np.ones(q_n, bool)),
+    )
+    kw = dict(n_songs=n_songs, delta_min=-64,
+              delta_range=stride + 128, match_capacity=16384, topn=5,
+              offset_stride=stride)
+
+    ref = match_query_sparse(flat, *q.values(),
+                             head=maybe_build_head(flat[0]), **kw)
+    got, span_max = match_query_sparse_spanned(spans, *q.values(),
+                                               heads=heads, **kw)
+    assert int(got.total_rows) == int(ref.total_rows)
+    assert int(span_max) <= int(ref.total_rows)
+    np.testing.assert_array_equal(np.asarray(got.top_songs),
+                                  np.asarray(ref.top_songs))
+    np.testing.assert_array_equal(np.asarray(got.top_votes),
+                                  np.asarray(ref.top_votes))
+    np.testing.assert_array_equal(np.asarray(got.top_deltas),
+                                  np.asarray(ref.top_deltas))
+    np.testing.assert_array_equal(np.asarray(got.row_counts),
+                                  np.asarray(ref.row_counts))
+
+
+# --------------------------------------------------------------------- #
+# store: device ingest across span rolls == single store
+# --------------------------------------------------------------------- #
+
+def test_spanned_device_ingest_matches_single():
+    from shazam_tpu.api import SIA
+    from shazam_tpu.index.devmerge import SpannedDeviceStore
+
+    songs = _songs(6)
+
+    single = SIA(device_resident=True)
+    spanned = SIA(device_resident=True, device_span_rows=4096)
+
+    for sia in (single, spanned):
+        # 2-song batches with a tight per-song capacity keep every
+        # appended run under span_rows; 6 songs x ~600 hashes roll
+        # the 4096-row spans at least once
+        for i in range(0, len(songs), 2):
+            chunk = songs[i:i + 2]
+            batch, nv = _pad_batch([s for _n, s in chunk])
+            stats = sia.ingest_device_batch(
+                [n for n, _s in chunk], batch, nv,
+                per_song_hash_capacity=4096, defer_sort=True)
+            assert stats["overflowed"] == []
+
+    store = spanned._dev_store
+    assert isinstance(store, SpannedDeviceStore)
+    assert len(store.spans) >= 2, "test must exercise a span roll"
+    _index_equal(single.index, spanned.index)
+
+    clip = songs[3][1][11025: 11025 + 2 * 44100]
+    out_s = single.recognize_samples([clip])
+    out_p = spanned.recognize_samples([clip])
+    assert out_p["results"][0]["song_name"] == "s3"
+    assert (out_p["results"][0]["hashes_matched_in_input"]
+            == out_s["results"][0]["hashes_matched_in_input"])
+    assert out_p["total_matches"] == out_s["total_matches"]
+
+    # single-dispatch path agrees too
+    clip_out = spanned.recognize_clip(clip)
+    assert clip_out["results"][0]["song_name"] == "s3"
+    assert (clip_out["results"][0]["hashes_matched_in_input"]
+            == out_s["results"][0]["hashes_matched_in_input"])
+
+    # batch serving API (per-clip spanned fallback)
+    outs = spanned.recognize_batch([clip, songs[1][1][: 44100]])
+    assert outs[0]["results"][0]["song_name"] == "s3"
+    assert outs[1]["results"][0]["song_name"] == "s1"
+
+
+def test_spanned_host_ingest_and_from_host():
+    """Host-path merge absorption + from_host span splitting."""
+    from shazam_tpu.api import SIA
+
+    songs = _songs(10)
+
+    host = SIA()
+    host.ingest_arrays(songs)
+
+    # host ingest into a spanned store (absorb via chunked span merges)
+    spanned = SIA(device_resident=True, device_span_rows=4096)
+    spanned.ingest_arrays(songs)
+    _index_equal(host.index, spanned.index)
+
+    # from_host: preload an existing index into spans, then recognize
+    pre = SIA(index=host.index, device_resident=True,
+              device_span_rows=4096)
+    pre.catalog = host.catalog  # same song ids as the preloaded index
+    store = pre._ensure_dev_store()
+    assert len(store.spans) >= 2
+    clip = songs[2][1][22050: 22050 + 2 * 44100]
+    out = pre.recognize_samples([clip])
+    ref = host.recognize_samples([clip])
+    assert out["results"][0]["song_name"] == "s2"
+    assert (out["results"][0]["hashes_matched_in_input"]
+            == ref["results"][0]["hashes_matched_in_input"])
+    assert out["total_matches"] == ref["total_matches"]
+
+
+def test_spanned_run_too_large_raises():
+    from shazam_tpu.index.devmerge import SENTINEL, SpannedDeviceStore
+    import jax.numpy as jnp
+
+    store = SpannedDeviceStore(span_rows=4096, n_songs=1, max_offset=100,
+                               stride=128)
+    cols = tuple(jnp.full(8192, SENTINEL, jnp.uint32) for _ in range(4))
+    with pytest.raises(ValueError, match="exceeds span_rows"):
+        store.append_run(cols, 8000, 1, 100)
