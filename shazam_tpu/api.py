@@ -100,8 +100,11 @@ class SIA:
         # (index/devmerge.SpannedDeviceStore) — past ~150M hashes a
         # single span's finalize sort outgrows both HBM headroom and the
         # tunnel worker's device-program kill horizon; spans bound every
-        # program at O(span_rows) and queries search all spans
+        # program at O(span_rows) and queries search all spans.  Spans
+        # only exist device-resident, so the flag implies it.
         self.device_span_rows = device_span_rows
+        if device_span_rows:
+            self.device_resident = True
         self._dev_store: Optional[DeviceIndex] = None
         self._host_stale = False
         self.index = index or build_index([], n_songs=0)
@@ -998,16 +1001,30 @@ class SIA:
         dev = self._ensure_device_index()
         delta_min, delta_range = self._delta_params_for(n_samples)
         n_songs_live = max(self._live_n_songs(), 1)
-        if self._is_spanned:
-            return self._match_prepared_spanned(
-                dev, q, n_songs=n_songs_live, delta_min=delta_min,
-                delta_range=delta_range, topn=topn)
-        head = self._ensure_head(dev)
         # apriori accumulates a dense histogram across batches — past the
         # sparse-matcher threshold that allocation is the ~0.5 GB/query
         # cost the sparse path exists to avoid, so early exit is a net
         # loss there (it already loses to per-batch RTT on this tunnel,
         # see benchmarks/apriori_timing.py); take the full match instead
+        # (warn rather than silently change semantics vs the reference's
+        # partial-scan apriori mode)
+        if early_exit and (self._is_spanned
+                           or n_songs_live * delta_range > 16_000_000):
+            import warnings
+
+            warnings.warn(
+                "early_exit is unavailable for "
+                + ("spanned stores" if self._is_spanned
+                   else "catalogs past the sparse-matcher threshold")
+                + "; running a full match (identical top-1, but "
+                "vote counts reflect the full scan, not a partial one)",
+                stacklevel=3,
+            )
+        if self._is_spanned:
+            return self._match_prepared_spanned(
+                dev, q, n_songs=n_songs_live, delta_min=delta_min,
+                delta_range=delta_range, topn=topn)
+        head = self._ensure_head(dev)
         if early_exit and n_songs_live * delta_range <= 16_000_000:
             from .match.apriori import match_query_apriori
 

@@ -84,11 +84,22 @@ def maybe_build_head(k_hi: jnp.ndarray):
 
     Callers (api._ensure_head, ShardedCatalog, multihost, benches) share
     this so threshold/resolution tuning happens in exactly one place.
+    Stacked per-shard variants go through :func:`stacked_head_bits` —
+    same threshold and resolution rule.
     """
-    n = k_hi.shape[0]
-    if n < HEAD_MIN_ROWS:
+    bits = stacked_head_bits(k_hi.shape[0])
+    if bits is None:
         return None
-    return build_head(k_hi, bits=head_bits_for(n))
+    return build_head(k_hi, bits=bits)
+
+
+def stacked_head_bits(rows: int):
+    """Head policy for per-shard stacked builds (vmapped callers own the
+    build itself — sharded regimes need custom out_shardings): None
+    below HEAD_MIN_ROWS, else the ~64 rows/bucket resolution."""
+    if rows < HEAD_MIN_ROWS:
+        return None
+    return head_bits_for(rows)
 
 
 def _descend_step(keys, queries, keep_left_on):

@@ -77,7 +77,7 @@ def match_query_apriori(
     batch_size: int = 1024,
     offset_stride: int = 0,
     head=None,
-) -> Tuple[RawMatch, int]:
+) -> Tuple[RawMatch, int, bool]:
     """Batched match with the 2x-leader early exit.
 
     Returns (RawMatch, batches_used, clamped). ``total_rows`` is the

@@ -29,7 +29,7 @@ import numpy as np
 from ..index.store import FingerprintIndex
 from ..match.align import align_results, MatchResult
 from ..match.prepare import QueryPairs
-from ..index.search import HEAD_MIN_ROWS, build_head, head_bits_for
+from ..index.search import build_head, stacked_head_bits
 from .bigcatalog import shard_index_by_song, sharded_match_by_song
 
 
@@ -135,11 +135,10 @@ class SpannedCatalog:
         # per-shard bucket-CDF heads (exact search windows; hot hash
         # runs defeat the interpolation fallback) — computed shard-local
         # under jit, no cross-process data movement
-        rows = self._arrays[0].shape[1]
-        if rows >= HEAD_MIN_ROWS:
+        bits = stacked_head_bits(self._arrays[0].shape[1])
+        if bits is not None:
             import functools
 
-            bits = head_bits_for(rows)
             fn = jax.jit(
                 jax.vmap(functools.partial(build_head, bits=bits)),
                 out_shardings=sharding,

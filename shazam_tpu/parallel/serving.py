@@ -23,7 +23,7 @@ import numpy as np
 import jax
 
 from ..config import FingerprintConfig, DEFAULT_CONFIG
-from ..index.search import HEAD_MIN_ROWS, build_head, head_bits_for
+from ..index.search import build_head, stacked_head_bits
 from ..index.store import FingerprintIndex
 from ..match.prepare import QueryPairs
 from ..match.align import align_results, MatchResult
@@ -70,9 +70,8 @@ class ShardedCatalog:
             self._shards = tuple(jnp.asarray(a) for a in stacked)
         # per-shard bucket-CDF heads: exact search windows regardless of
         # the key distribution (hot hash runs defeat interpolation)
-        rows = self._shards[0].shape[1]
-        if rows >= HEAD_MIN_ROWS:
-            bits = head_bits_for(rows)
+        bits = stacked_head_bits(self._shards[0].shape[1])
+        if bits is not None:
             self._head = jax.vmap(
                 lambda h: build_head(h, bits=bits))(self._shards[0])
         else:
