@@ -186,6 +186,41 @@ def test_spanned_host_ingest_and_from_host():
     assert out["total_matches"] == ref["total_matches"]
 
 
+def test_spanned_lifecycle_delete_save_reload(tmp_path):
+    """delete_songs / save_index / load_index across the host-sync
+    boundary of a spanned store (DELETE_SONGS cascade parity,
+    ``mysql_database.py:52-58,136-138``)."""
+    from shazam_tpu.api import SIA
+
+    songs = _songs(6)
+    sia = SIA(device_span_rows=4096)   # implies device_resident
+    assert sia.device_resident
+    sia.ingest_arrays(songs)
+    n0 = sia.index.n_hashes
+
+    sid3 = next(r["song_id"] for r in sia.catalog.get_songs()
+                if r["song_name"] == "s3")
+    removed = sia.delete_songs([sid3])
+    assert 0 < removed < n0
+    assert sia.index.n_hashes == n0 - removed
+    assert not np.isin(sia.index.song_id, [sid3]).any()
+
+    path = str(tmp_path / "ix.npz")
+    sia.save_index(path)
+
+    fresh = SIA(device_span_rows=4096)
+    fresh.catalog = sia.catalog
+    fresh.load_index(path)
+    clip = songs[1][1][11025: 11025 + 2 * 44100]
+    out = fresh.recognize_samples([clip])
+    assert out["results"][0]["song_name"] == "s1"
+    # the deleted song can't match
+    clip3 = songs[3][1][11025: 11025 + 2 * 44100]
+    out3 = fresh.recognize_samples([clip3])
+    assert (not out3["results"]
+            or out3["results"][0]["song_name"] != "s3")
+
+
 def test_spanned_run_too_large_raises():
     from shazam_tpu.index.devmerge import SENTINEL, SpannedDeviceStore
     import jax.numpy as jnp
