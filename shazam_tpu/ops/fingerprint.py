@@ -39,7 +39,7 @@ class Fingerprints(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fs", "wsize", "hop", "radius", "fan_value",
+    static_argnames=("fs", "wsize", "hop", "amp_min", "radius", "fan_value",
                      "min_dt", "max_dt", "peak_capacity"),
 )
 def fingerprint_samples(
@@ -66,6 +66,12 @@ def fingerprint_samples(
     """
     spec = spectrogram_db(samples, fs=fs, wsize=wsize, hop=hop)
     if n_valid_samples is not None:
+        if amp_min <= 0:
+            raise ValueError(
+                "pad-to-bucket fingerprinting requires amp_min > 0: the "
+                "zeroed pad columns rely on the strict amp > amp_min "
+                "gate to stay peak-free (amp_min <= 0 would admit "
+                "phantom peaks past the valid frames)")
         n_valid_frames = jnp.maximum(
             (n_valid_samples.astype(jnp.int32) - wsize) // hop + 1, 0
         )
@@ -105,9 +111,18 @@ def fingerprint_batch_fused(
 
     Same contract as ``fingerprint_batch`` but the spectrogram and the
     peak mask + compaction run as fused Pallas kernels (one HBM pass
-    each) instead of the XLA op graph — ~4x faster on a v5e chip. Peak
-    sets are bit-identical to the XLA path (verified in
-    tests/test_pallas.py); requires wsize=4096, radius=10, amp_min>0.
+    each) instead of the XLA op graph — ~4x faster on a v5e chip.
+    Requires wsize=4096, radius=10, amp_min>0.
+
+    Parity caveat (exactness tested in tests/test_pallas.py, end-to-end
+    hash sets jaccard-gated in tests/test_dsp_parity.py): the fused path
+    compares peaks in the POWER domain, where dB is strictly monotone in
+    real arithmetic but not on the f32 lattice — two distinct powers can
+    round to the same f32 dB, in which case the XLA path's plateau
+    semantics mark both cells while the power compare keeps only the
+    larger. Such dB-collision co-peaks are the only possible divergence;
+    they are rare enough that the measured hash-set jaccard stays > 0.99
+    and end-to-end accuracy is unaffected.
     """
     from .pallas.spectrogram import spectrogram_power_fused
     from .pallas.peaks import peak_candidates_fused
@@ -135,7 +150,7 @@ def fingerprint_batch_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fs", "wsize", "hop", "radius", "fan_value",
+    static_argnames=("fs", "wsize", "hop", "amp_min", "radius", "fan_value",
                      "min_dt", "max_dt", "peak_capacity"),
 )
 def fingerprint_batch(

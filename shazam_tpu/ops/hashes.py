@@ -33,6 +33,12 @@ def generate_hashes(times: jnp.ndarray, freqs: jnp.ndarray, n_peaks: jnp.ndarray
         ((fan_value-1) * capacity,). `valid` marks real hashes; masked
         lanes hold arbitrary key bits.
     """
+    if not 0 <= min_dt <= max_dt <= 9999:
+        raise ValueError(
+            f"min_dt/max_dt ({min_dt}/{max_dt}) out of range: the lane "
+            "SHA-1 formats each field with at most 4 decimal digits "
+            "(sha1._MAX_MSG_BYTES), so dt > 9999 would hash a truncated "
+            "message and silently diverge from hashlib/the reference")
     cap = times.shape[0]
     n = jnp.minimum(n_peaks, jnp.uint32(cap))
     idx = jnp.arange(cap, dtype=jnp.uint32)

@@ -34,14 +34,29 @@ TILE_CAP = 1024    # dense segment size per tile (typ. ~300 candidates at
                    # 128 frames; overflow falls back to the exact path)
 
 
-def _kernel(tab_ref, out_ref, cnt_ref, *, tile_rows=TILE_ROWS,
-            tile_cap=TILE_CAP, group_cap=GROUP_CAP):
-    rt = pl.program_id(1)
-    a_rows = tile_cap // 128
+def _tile_segment(tile, rt, *, tile_rows, tile_cap, group_cap):
+    """One candidate-table tile -> (dense packed segment, tile_total).
 
-    tile = tab_ref[0]                      # (tile_rows, 128) int32
+    The shared core of both compaction kernels: per-row exclusive prefix
+    of kept counts, then the rank-factored one-hot scatter placing each
+    candidate's packed ``t * 4096 + f`` value at its dense position.
+
+    Exactness: the scatter rides an f32 MXU matmul, which is exact only
+    below 2^24 — but ``t`` reaches 4608 frames on 210 s tracks, so the
+    GLOBAL packed value (up to ~18.9M) would round (off-by-one freqs in
+    every frame >= 4096, silently corrupting hashes).  The scatter
+    therefore places the TILE-LOCAL value ``t_loc * 4096 + f`` (t_loc <
+    tile_frames = 128 => value < 2^19, exact) and the per-tile frame
+    base is added back with one masked int32 add on the (a_rows, 128)
+    segment — positions [0, tile_total) are exactly the live slots, so
+    the mask is a flat-index compare.  int32 holds t < 2^19 frames
+    (~6.8 h of audio), far past the 2^16-frame single-dispatch bound.
+    """
+    a_rows = tile_cap // 128
+    tile_frames = tile_rows // N_GROUPS
+
     cand = tile[:, :group_cap]             # global freq or -1
-    kept = jnp.minimum(tile[:, group_cap : group_cap + 1], group_cap)
+    kept = jnp.minimum(tile[:, group_cap: group_cap + 1], group_cap)
 
     # exclusive per-row prefix of kept counts (log shifts over sublanes)
     incl = kept
@@ -59,15 +74,14 @@ def _kernel(tab_ref, out_ref, cnt_ref, *, tile_rows=TILE_ROWS,
     pos = jnp.where(valid, base + c_ids, tile_cap)  # invalid -> out of range
 
     r_tab = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, group_cap), 0)
-    t_val = ((rt * tile_rows) + r_tab) // N_GROUPS
-    packed_val = jnp.where(valid, t_val * 4096 + cand, 0)  # < 2^26, int32
+    t_loc = r_tab // N_GROUPS              # frame within this tile
+    packed_val = jnp.where(valid, t_loc * 4096 + cand, 0)  # < 2^19: exact
 
     # rank-factored one-hot scatter: position k = 128 a + b splits into
     # an (TILE_ROWS, 8) and a (TILE_ROWS, 128) one-hot whose product
     # contracts on the MXU — out[a, b] = sum_rows H[row, a] (L*val)[row, b]
     # lands each value at its position. ~7x fewer VPU compares than a
     # flat (TILE_ROWS, TILE_CAP) one-hot, and the sum rides the MXU.
-    # Values are < 2^24 so the f32 matmul is exact.
     #
     # Every elementwise op here costs a FULL (TILE_ROWS, 128)-vreg pass
     # regardless of array width (narrow (N, 1)/(N, 8) arrays still span
@@ -81,14 +95,30 @@ def _kernel(tab_ref, out_ref, cnt_ref, *, tile_rows=TILE_ROWS,
     out_tile = jnp.zeros((a_rows, 128), jnp.float32)
     dn = (((0,), (0,)), ((), ()))
     for c in range(group_cap):
-        h = (pdiv[:, c : c + 1] == a_ids).astype(jnp.float32)
-        lv = jnp.where(pmod[:, c : c + 1] == b_ids, val_f[:, c : c + 1], 0.0)
+        h = (pdiv[:, c: c + 1] == a_ids).astype(jnp.float32)
+        lv = jnp.where(pmod[:, c: c + 1] == b_ids, val_f[:, c: c + 1], 0.0)
         out_tile = out_tile + jax.lax.dot_general(
             h, lv, dn, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    out_ref[0] = out_tile.astype(jnp.int32)
+    # add the global frame base back on the live slots (int32, exact)
+    seg = out_tile.astype(jnp.int32)
+    fi = (jax.lax.broadcasted_iota(jnp.int32, (a_rows, 128), 0) * 128
+          + jax.lax.broadcasted_iota(jnp.int32, (a_rows, 128), 1))
+    live = fi < jnp.minimum(tile_total, tile_cap)
+    seg = seg + jnp.where(live, rt * (tile_frames * 4096), 0)
+    return seg, tile_total
+
+
+def _kernel(tab_ref, out_ref, cnt_ref, *, tile_rows=TILE_ROWS,
+            tile_cap=TILE_CAP, group_cap=GROUP_CAP):
+    rt = pl.program_id(1)
+    a_rows = tile_cap // 128
+    seg, tile_total = _tile_segment(
+        tab_ref[0], rt, tile_rows=tile_rows, tile_cap=tile_cap,
+        group_cap=group_cap)
+    out_ref[0] = seg
     cnt_ref[0] = jnp.full((a_rows, 128), tile_total, jnp.int32)
 
 
@@ -113,41 +143,9 @@ def _ff_kernel(tab_ref, out_ref, cnt_ref, acc_ref, cur_ref, *,
         cur_ref[0] = 0
         cur_ref[1] = 0
 
-    tile = tab_ref[0]
-    cand = tile[:, :group_cap]
-    kept = jnp.minimum(tile[:, group_cap: group_cap + 1], group_cap)
-
-    incl = kept
-    shift = 1
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 1), 0)
-    while shift < tile_rows:
-        rolled = pltpu.roll(incl, shift, 0)
-        incl = incl + jnp.where(row_ids >= shift, rolled, 0)
-        shift *= 2
-    base = incl - kept
-    tile_total = incl[tile_rows - 1, 0]
-
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, group_cap), 1)
-    valid = c_ids < kept
-    pos = jnp.where(valid, base + c_ids, tile_cap)
-    r_tab = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, group_cap), 0)
-    t_val = ((rt * tile_rows) + r_tab) // N_GROUPS
-    packed_val = jnp.where(valid, t_val * 4096 + cand, 0)
-
-    a_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, a_rows), 1)
-    b_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 128), 1)
-    pdiv = pos // 128
-    pmod = pos % 128
-    val_f = packed_val.astype(jnp.float32)
-    out_tile = jnp.zeros((a_rows, 128), jnp.float32)
-    dn = (((0,), (0,)), ((), ()))
-    for c in range(group_cap):
-        h = (pdiv[:, c: c + 1] == a_ids).astype(jnp.float32)
-        lv = jnp.where(pmod[:, c: c + 1] == b_ids, val_f[:, c: c + 1], 0.0)
-        out_tile = out_tile + jax.lax.dot_general(
-            h, lv, dn, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-    seg = out_tile.astype(jnp.int32)                     # (a_rows, 128)
+    seg, tile_total = _tile_segment(
+        tab_ref[0], rt, tile_rows=tile_rows, tile_cap=tile_cap,
+        group_cap=group_cap)                             # (a_rows, 128)
 
     # place seg at flat offset min(cur, capacity): lane roll + row-carry
     # split, then a dynamic sublane roll of the (a_rows+1)-row

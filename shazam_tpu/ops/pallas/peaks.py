@@ -316,6 +316,12 @@ def peak_candidates_fused(
     """
     if amp_min <= 0:
         raise ValueError("fused peak kernel requires amp_min > 0")
+    if not 0 < radius <= 16:
+        # pad_rows=16 bounds the time halo each tile DMAs; a larger
+        # radius would wrap the tfmax slice start negative and silently
+        # misalign the peak mask
+        raise ValueError(f"fused peak kernel supports radius in [1, 16], "
+                         f"got {radius}")
     bsz, t_pad, f_tot = spec.shape
     if f_tot != F_TOT or t_pad <= 0 or t_pad % tile_frames:
         raise ValueError("expected freq-pre-padded fused-spectrogram layout")
@@ -355,27 +361,30 @@ def peak_candidates_fused(
     )(padded)
 
 
-def extract_peaks_from_candidates(table: jnp.ndarray, capacity: int):
+def extract_peaks_from_candidates(table: jnp.ndarray, capacity: int,
+                                  group_cap: int = GROUP_CAP):
     """XLA finish: candidate table -> (times, freqs, n_peaks) per song.
 
     Same contract as ops.peaks.extract_peaks: uint32 (capacity,) arrays in
     (t, f) order plus the true peak count (clamped above capacity when any
-    group overflowed GROUP_CAP so callers see the truncation).
+    group overflowed ``group_cap`` so callers see the truncation).
+    ``group_cap`` must match the value the table was built with
+    (``peak_candidates_fused(group_cap=...)``).
     """
     def one(tab):
         r = tab.shape[0]
-        cand = tab[:, :GROUP_CAP]                     # (R, CAP) global f
-        counts = tab[:, GROUP_CAP]                    # (R,)
-        kept = jnp.minimum(counts, GROUP_CAP)
-        c_ids = jnp.arange(GROUP_CAP, dtype=jnp.int32)[None, :]
+        cand = tab[:, :group_cap]                     # (R, CAP) global f
+        counts = tab[:, group_cap]                    # (R,)
+        kept = jnp.minimum(counts, group_cap)
+        c_ids = jnp.arange(group_cap, dtype=jnp.int32)[None, :]
         valid = c_ids < kept[:, None]
         t_ids = (
             jnp.arange(r, dtype=jnp.int32) // N_GROUPS
         )[:, None]
 
-        n = r * GROUP_CAP  # flat candidate count
+        n = r * group_cap  # flat candidate count
         flat_pos = (
-            jnp.arange(r, dtype=jnp.int32)[:, None] * GROUP_CAP + c_ids
+            jnp.arange(r, dtype=jnp.int32)[:, None] * group_cap + c_ids
         )
         score = jnp.where(valid, n - flat_pos, 0).reshape(-1)
         vals, idx = jax.lax.top_k(score, min(capacity, n))
@@ -384,14 +393,14 @@ def extract_peaks_from_candidates(table: jnp.ndarray, capacity: int):
             idx = jnp.pad(idx, (0, capacity - n))
         sel_valid = vals > 0
         times = jnp.where(
-            sel_valid, jnp.take(t_ids[:, 0], idx // GROUP_CAP), 0
+            sel_valid, jnp.take(t_ids[:, 0], idx // group_cap), 0
         ).astype(jnp.uint32)
         freqs = jnp.where(
             sel_valid, jnp.take(cand.reshape(-1), idx), 0
         ).astype(jnp.uint32)
 
         n_peaks = jnp.sum(counts).astype(jnp.uint32)
-        overflow = jnp.any(counts > GROUP_CAP)
+        overflow = jnp.any(counts > group_cap)
         n_peaks = jnp.where(
             overflow, jnp.maximum(n_peaks, jnp.uint32(capacity + 1)), n_peaks
         )

@@ -40,6 +40,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..spectrogram import hann_window
+# the (F_OUT, F_PAD, F_HALO, F_TOT) freq layout is a CONTRACT with the
+# peak kernel (it masks f >= F_OUT and reads data at [F_HALO, F_HALO +
+# F_PAD)); one module owns the numbers so they cannot drift apart
+from .peaks import F_HALO, F_OUT, F_PAD, F_TOT
 
 # FFT matmul precision. HIGHEST (full f32) is required: DEFAULT (bf16)
 # drops peak-set jaccard vs the XLA pipeline to 0.71 — bf16 PSD noise
@@ -49,12 +53,6 @@ PRECISION = jax.lax.Precision.HIGHEST
 
 NA = 32    # outer Cooley-Tukey factor
 NB = 128   # inner factor (native lane width)
-F_OUT = 2049
-F_PAD = 2176  # 17 * 128
-F_TOT = 2432  # F_HALO + F_PAD + F_HALO (pre-padded output width)
-
-
-F_HALO = 128          # freq zero-halo per side (= 32 * M_SHIFT)
 M_SHIFT = F_HALO // NA  # 4: halo in twisted m-units (k = 32 m + r)
 M_OUT = (F_HALO + F_PAD) // NA  # 72: m' rows carrying halo + data
 

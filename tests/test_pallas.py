@@ -133,6 +133,53 @@ def test_compact_candidates_matches_topk_finish(clip):
     assert np.array_equal(np.asarray(f1)[0][:n], np.asarray(f2)[0][:n])
 
 
+def test_compact_exact_past_frame_4096():
+    """Regression: the compact scatter must stay exact for frames >= 4096.
+
+    The scatter rides an f32 matmul (exact < 2^24); the GLOBAL packed
+    value t * 4096 + f reaches ~18.9M on 210 s tracks, where f32
+    rounding flipped odd freqs off-by-one (silent hash corruption in the
+    last ~16 s of every full-length track).  The kernel now scatters the
+    tile-local value and re-adds the frame base in int32 — this test
+    plants odd-frequency candidates at frames up to 4607 and requires
+    bit-exact decode.
+    """
+    import jax.numpy as jnp
+    from shazam_tpu.ops.pallas.peaks import (N_GROUPS,
+                                             extract_peaks_from_candidates)
+    from shazam_tpu.ops.pallas.compact import compact_candidates
+
+    frames = 4608                       # 210 s track's t_pad
+    rows = frames * N_GROUPS
+    table = np.full((1, rows, 128), 0, np.int32)
+    table[:, :, :8] = -1
+    rng = np.random.default_rng(3)
+    planted = []
+    for t in [0, 5, 4095, 4096, 4500, 4607]:
+        g = int(rng.integers(0, N_GROUPS))
+        lanes = sorted(int(x) for x in
+                       rng.choice(128, size=3, replace=False))
+        f_glob = [g * 128 + l for l in lanes]
+        # force odd global freqs (the corrupted class)
+        f_glob = [f | 1 for f in f_glob]
+        row = t * N_GROUPS + g
+        table[0, row, :3] = sorted(set(f_glob))[:3]
+        table[0, row, 8] = len(sorted(set(f_glob))[:3])
+        planted.append((t, sorted(set(f_glob))[:3]))
+
+    with _interpret():
+        t2, f2, n2 = compact_candidates(jnp.asarray(table), 256)
+    t1, f1, n1 = extract_peaks_from_candidates(jnp.asarray(table), 256)
+    n = int(n1[0])
+    assert int(n2[0]) == n == sum(len(fs) for _t, fs in planted)
+    assert np.array_equal(np.asarray(t1)[0][:n], np.asarray(t2)[0][:n])
+    assert np.array_equal(np.asarray(f1)[0][:n], np.asarray(f2)[0][:n])
+    got = list(zip(np.asarray(t2)[0][:n].tolist(),
+                   np.asarray(f2)[0][:n].tolist()))
+    want = [(t, f) for t, fs in planted for f in fs]
+    assert got == want
+
+
 def test_fused_peaks_single_tile(clip):
     """A one-tile spectrogram exercises the first&last clamped-DMA branch."""
     import jax.numpy as jnp
