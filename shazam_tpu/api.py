@@ -876,7 +876,20 @@ class SIA:
         so their heads build once; the active span's columns swap on
         every append and its head rebuilds on next query — all spans
         share one capacity, so the build is ONE compiled program.
+        Consolidated (stacked) stores get one (n_spans, 2^bits + 1)
+        stacked head, built vmapped.
         """
+        if not isinstance(devs[0], tuple):   # stacked (n_spans, rows)
+            k_hi = devs[0]
+            if self._head_src is not k_hi:
+                from .index.search import build_head, stacked_head_bits
+
+                bits = stacked_head_bits(k_hi.shape[1])
+                self._device_head = (
+                    jax.vmap(lambda h: build_head(h, bits=bits))(k_hi)
+                    if bits is not None else None)
+                self._head_src = k_hi
+            return self._device_head
         cached = getattr(self, "_span_heads", [])
         out = []
         for i, arrs in enumerate(devs):

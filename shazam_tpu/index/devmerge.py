@@ -437,6 +437,8 @@ class SpannedDeviceStore:
         self.max_offset = int(max_offset)
         self.stride = int(stride)
         self.spans: list = [self._new_span()]
+        self._stacked = None          # consolidate() serving layout
+        self._stacked_valids: list = []
 
     # ---- construction -------------------------------------------------
     @classmethod
@@ -482,7 +484,11 @@ class SpannedDeviceStore:
     # ---- shared-surface properties ------------------------------------
     @property
     def n_valid(self) -> int:
-        return sum(s.n_valid for s in self.spans)
+        return sum(self._stacked_valids) + sum(s.n_valid for s in self.spans)
+
+    @property
+    def is_stacked(self) -> bool:
+        return self._stacked is not None
 
     @property
     def active(self) -> DeviceIndex:
@@ -508,6 +514,11 @@ class SpannedDeviceStore:
                 f"catalog ({n_songs} songs x offset {max_offset}) exceeds "
                 "the packed uint32 payload; spanned device residency "
                 "cannot hold it — use the by-song sharded regime")
+        if self.is_stacked and new_stride != self.stride:
+            raise ValueError(
+                "store is consolidated; a layout change (stride "
+                f"{self.stride} -> {new_stride}) cannot be applied to "
+                "the stacked arrays")
         for s in self.spans:
             s._ensure_layout(n_songs, max_offset)
             s.n_songs = max(s.n_songs, n_songs)
@@ -518,6 +529,11 @@ class SpannedDeviceStore:
 
     # ---- ingest --------------------------------------------------------
     def _fit_or_roll(self, need_rows: int) -> DeviceIndex:
+        if self.is_stacked:
+            raise ValueError(
+                "store is consolidated (stacked serving layout); "
+                "re-opening for ingest is not supported — keep the "
+                "per-span layout while the catalog is still growing")
         if need_rows > self.span_rows:
             raise ValueError(
                 f"one addition run ({need_rows} rows incl. padding) "
@@ -592,8 +608,40 @@ class SpannedDeviceStore:
         for s in self.spans:
             s.finalize()
 
-    def query_cols(self) -> Tuple[Tuple, ...]:
-        """Tuple of per-span column tuples (non-empty spans only)."""
+    def consolidate(self) -> None:
+        """Stack the spans into (n_spans, span_rows) serving arrays.
+
+        The per-span tuple layout searches spans in an unrolled loop —
+        n_spans serialized descent/expansion rounds per query; the
+        stacked layout lets the matcher vmap over the span axis, issuing
+        every span's gathers in one batched round (measured: see
+        benchmarks/README.md at the 436M-hash scale).  Column-by-column
+        stacking keeps peak HBM at resident + ONE span column; the
+        original buffers are released as each column lands.  Terminal
+        for ingest: further appends/merges raise (consolidate a copy of
+        a growing catalog via ``to_host`` -> ``from_host`` instead).
+        """
+        if self.is_stacked:
+            return
+        self.finalize()
+        live = [s for s in self.spans if s.n_valid > 0] or [self.spans[-1]]
+        stacked = []
+        for c in range(len(live[0].cols)):
+            stacked.append(jnp.stack([s.cols[c] for s in live]))
+            stacked[-1].block_until_ready()
+            for s in live:                    # release originals eagerly
+                cols = list(s.cols)
+                cols[c] = None
+                s.cols = tuple(cols)
+        self._stacked = tuple(stacked)
+        self._stacked_valids = [s.n_valid for s in live]
+        self.spans = []
+
+    def query_cols(self):
+        """Per-span column tuples, or the stacked 4-tuple once
+        consolidated (both accepted by ``match_query_sparse_spanned``)."""
+        if self.is_stacked:
+            return self._stacked
         self.finalize()
         live = tuple(s.cols for s in self.spans if s.n_valid > 0)
         # an empty store still needs one searchable span
@@ -607,7 +655,15 @@ class SpannedDeviceStore:
         element-identical to a single-store build).
         """
         self.finalize()
-        parts = [s.to_host() for s in self.spans if s.n_valid > 0]
+        if self.is_stacked:
+            parts = [
+                DeviceIndex(tuple(c[i] for c in self._stacked), nv,
+                            self.n_songs, self.max_offset,
+                            self.stride).to_host()
+                for i, nv in enumerate(self._stacked_valids) if nv > 0
+            ]
+        else:
+            parts = [s.to_host() for s in self.spans if s.n_valid > 0]
         if not parts:
             return FingerprintIndex(
                 *(np.zeros(0, np.uint32) for _ in range(5)),

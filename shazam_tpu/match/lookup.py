@@ -354,6 +354,45 @@ def _expand_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
     return sid, delta, first, valid, total, span_max
 
 
+def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
+                    q_first, *, match_capacity: int, offset_stride: int):
+    """``_expand_spans`` over a CONSOLIDATED (n_spans, span_rows) layout.
+
+    The unrolled per-span loop serializes n_spans dynamic search
+    descents and expansion gathers; vmapping over the stacked span axis
+    issues every span's gathers in one batched round — the descent is
+    latency-bound random HBM access, so S x the lanes in flight
+    amortizes it (the same reason the by-song sharded regime stacks its
+    shards, parallel/bigcatalog.py).
+    """
+    def one(span_cols, head):
+        return _expand(span_cols, q_hi, q_lo, q_ex, q_t, q_valid,
+                       match_capacity=match_capacity,
+                       offset_stride=offset_stride, head=head)
+
+    if heads is None:
+        sid, delta, p, valid, totals = jax.vmap(
+            lambda c: one(c, None))(stacked_arrays)
+    else:
+        sid, delta, p, valid, totals = jax.vmap(one)(stacked_arrays, heads)
+    first = jnp.take(q_first, p.reshape(-1))
+    return (sid.reshape(-1), delta.reshape(-1), first, valid.reshape(-1),
+            jnp.sum(totals), jnp.max(totals))
+
+
+def _expand_any_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
+                      q_first, *, match_capacity: int, offset_stride: int):
+    """Dispatch: per-span column tuples vs consolidated stacked layout.
+
+    Trace-time structural dispatch — the two layouts are distinct
+    pytrees, so each gets its own compiled program."""
+    expand = (_expand_spans if isinstance(span_arrays[0], (tuple, list))
+              else _expand_stacked)
+    return expand(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
+                  q_first, match_capacity=match_capacity,
+                  offset_stride=offset_stride)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
@@ -376,7 +415,7 @@ def match_query_sparse_spanned(
     offset_stride: int = 0,
     heads=None,
 ):
-    """``match_query_sparse`` over a spanned index (tuple of sorted runs).
+    """``match_query_sparse`` over a spanned index.
 
     A ``SpannedDeviceStore`` holds the catalog as several independently
     sorted spans (bounded sorts at ingest — see index/devmerge.py); a
@@ -386,6 +425,12 @@ def match_query_sparse_spanned(
     which span produced them, making the result element-identical to one
     big sorted index (tested).  This is the single-chip analog of the
     reference's Elasticsearch shard knob (``elastic_database.py:42,80``).
+
+    ``span_arrays`` is either a tuple of per-span 4-column tuples (live
+    ingest layout) or a 4-tuple of (n_spans, span_rows) stacked arrays
+    (``SpannedDeviceStore.consolidate()`` serving layout — one vmapped
+    search instead of an unrolled span loop); ``heads`` correspondingly
+    a tuple of per-span heads or one (n_spans, 2^bits + 1) stack.
 
     Returns (RawMatch, span_max): ``total_rows`` sums the spans' exact
     counts; ``span_max`` is the largest per-span count — the caller's
@@ -399,7 +444,7 @@ def match_query_sparse_spanned(
             "songs silently. Use the by-song sharded regime "
             "(parallel.serving.ShardedCatalog) for catalogs this large."
         )
-    sid, delta, first, valid, total, span_max = _expand_spans(
+    sid, delta, first, valid, total, span_max = _expand_any_spans(
         span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
         match_capacity=match_capacity, offset_stride=offset_stride,
     )

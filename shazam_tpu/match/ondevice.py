@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..ops.fingerprint import fingerprint_batch_fused, fingerprint_batch
 from .lookup import (match_local, match_query_sparse, rank_votes, RawMatch,
-                     _expand_spans, _sparse_vote_rank)
+                     _expand_any_spans, _sparse_vote_rank)
 
 
 def _fingerprint_dedup(samples, n_valid, *, fs, wsize, hop, amp_min,
@@ -218,7 +218,7 @@ def recognize_on_device_spanned(
         peak_capacity=peak_capacity, use_fused=use_fused,
         query_capacity=query_capacity,
     )
-    sid, delta, first, valid, total, span_max = _expand_spans(
+    sid, delta, first, valid, total, span_max = _expand_any_spans(
         span_arrays, heads, sort_hi, lo, ex, t1, q_valid, q_first,
         match_capacity=match_capacity, offset_stride=offset_stride,
     )

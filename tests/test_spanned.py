@@ -186,6 +186,102 @@ def test_spanned_host_ingest_and_from_host():
     assert out["total_matches"] == ref["total_matches"]
 
 
+def test_stacked_matcher_equals_flat():
+    """Consolidated (n_spans, span_rows) layout: same results as flat."""
+    import jax
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import build_head, stacked_head_bits, \
+        maybe_build_head
+    from shazam_tpu.match.lookup import (match_query_sparse,
+                                         match_query_sparse_spanned)
+
+    n_rows, n_songs, stride, n_spans = 30000, 40, 4096, 3
+    hi, lo, ex, sid, off = _random_index(n_rows, n_songs, stride, seed=1)
+    packed = sid * np.uint32(stride) + off
+    flat = tuple(jnp.asarray(a) for a in (hi, lo, ex, packed))
+
+    # equal-capacity spans: round-robin + sentinel-pad to one length
+    span_rows = -(-n_rows // n_spans)
+    def spanify(a):
+        rows = []
+        for k in range(n_spans):
+            part = a[k::n_spans]
+            rows.append(np.concatenate(
+                [part, np.full(span_rows - len(part), 0xFFFFFFFF,
+                               np.uint32)]))
+        return jnp.asarray(np.stack(rows))
+    stacked = tuple(spanify(a) for a in (hi, lo, ex, packed))
+    bits = stacked_head_bits(span_rows)
+    heads = jax.vmap(lambda h: build_head(h, bits=bits))(stacked[0])
+
+    rng = np.random.default_rng(9)
+    q_n = 256
+    pick = rng.integers(0, n_rows, q_n)
+    valid = np.ones(q_n, bool)
+    valid[200:] = False          # padding lanes exercise q_valid
+    q = dict(
+        q_hi=jnp.asarray(hi[pick]), q_lo=jnp.asarray(lo[pick]),
+        q_ex=jnp.asarray(ex[pick]),
+        q_t=jnp.asarray(rng.integers(0, 50, q_n).astype(np.uint32)),
+        q_valid=jnp.asarray(valid), q_first=jnp.asarray(valid),
+    )
+    kw = dict(n_songs=n_songs, delta_min=-64, delta_range=stride + 128,
+              match_capacity=16384, topn=5, offset_stride=stride)
+
+    ref = match_query_sparse(flat, *q.values(),
+                             head=maybe_build_head(flat[0]), **kw)
+    got, span_max = match_query_sparse_spanned(stacked, *q.values(),
+                                               heads=heads, **kw)
+    assert int(got.total_rows) == int(ref.total_rows)
+    assert int(span_max) <= int(ref.total_rows)
+    for f in ("top_songs", "top_votes", "top_deltas", "row_counts"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, f)),
+                                      np.asarray(getattr(ref, f)))
+
+
+def test_consolidate_store_end_to_end():
+    """SpannedDeviceStore.consolidate(): same recognition, ingest raises."""
+    from shazam_tpu.api import SIA
+
+    songs = _songs(6)
+    sia = SIA(device_span_rows=4096)
+    for i in range(0, len(songs), 2):
+        chunk = songs[i:i + 2]
+        batch, nv = _pad_batch([s for _n, s in chunk])
+        sia.ingest_device_batch([n for n, _s in chunk], batch, nv,
+                                per_song_hash_capacity=4096,
+                                defer_sort=True)
+    clip = songs[4][1][11025: 11025 + 2 * 44100]
+    before = sia.recognize_samples([clip])
+    host_before = sia.index    # host sync BEFORE consolidation
+
+    store = sia._ensure_dev_store()
+    n_spans = len([s for s in store.spans if s.n_valid > 0])
+    assert n_spans >= 2
+    store.consolidate()
+    sia._host_stale = True     # force to_host through the stacked layout
+    assert store.is_stacked and store.query_cols()[0].ndim == 2
+
+    after = sia.recognize_samples([clip])
+    assert after["results"][0]["song_name"] == "s4"
+    assert (after["results"][0]["hashes_matched_in_input"]
+            == before["results"][0]["hashes_matched_in_input"])
+    assert after["total_matches"] == before["total_matches"]
+
+    clip_out = sia.recognize_clip(clip)
+    assert clip_out["results"][0]["song_name"] == "s4"
+    assert (clip_out["results"][0]["hashes_matched_in_input"]
+            == before["results"][0]["hashes_matched_in_input"])
+
+    _index_equal(host_before, sia.index)   # stacked to_host round trip
+
+    batch, nv = _pad_batch([songs[0][1]])
+    with pytest.raises(ValueError, match="consolidated"):
+        sia.ingest_device_batch(["fresh"], batch, nv,
+                                per_song_hash_capacity=4096,
+                                defer_sort=True)
+
+
 def test_spanned_lifecycle_delete_save_reload(tmp_path):
     """delete_songs / save_index / load_index across the host-sync
     boundary of a spanned store (DELETE_SONGS cascade parity,
