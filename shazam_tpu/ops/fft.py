@@ -72,16 +72,22 @@ def rfft_power(frames: jnp.ndarray, n: int = 4096, n1: int = 64) -> jnp.ndarray:
     zr = yr * tr - yi * ti
     zi = yr * ti + yi * tr
 
-    # stage 2: DFT over n1
+    # stage 2: DFT over n1 — only the k1 rows the one-sided output keeps.
+    # k = n2*k1 + k2 <= n/2 means k1 <= (n/2)/n2, so the upper ~half of
+    # the k1 rows would be sliced away below; skipping them halves the
+    # stage-2 contractions and the elementwise power work with outputs
+    # bit-identical (each kept element's contraction is unchanged).
+    n_keep = (n // 2) // n2 + 1
+    c1k, s1k = c1[:n_keep], s1[:n_keep]
     xr = (
-        jnp.einsum("...kn,ln->...kl", zr, c1, precision=_PRECISION)
-        - jnp.einsum("...kn,ln->...kl", zi, s1, precision=_PRECISION)
+        jnp.einsum("...kn,ln->...kl", zr, c1k, precision=_PRECISION)
+        - jnp.einsum("...kn,ln->...kl", zi, s1k, precision=_PRECISION)
     )
     xi = (
-        jnp.einsum("...kn,ln->...kl", zr, s1, precision=_PRECISION)
-        + jnp.einsum("...kn,ln->...kl", zi, c1, precision=_PRECISION)
+        jnp.einsum("...kn,ln->...kl", zr, s1k, precision=_PRECISION)
+        + jnp.einsum("...kn,ln->...kl", zi, c1k, precision=_PRECISION)
     )
 
-    power = xr * xr + xi * xi           # [.., k2, k1]
+    power = xr * xr + xi * xi           # [.., k2, k1<=n_keep]
     power = jnp.swapaxes(power, -1, -2)  # [.., k1, k2]; k = n2*k1 + k2
-    return power.reshape(*lead, n)[..., : n // 2 + 1]
+    return power.reshape(*lead, n_keep * n2)[..., : n // 2 + 1]
