@@ -971,7 +971,15 @@ class SIA:
         reference's 2x-leader stop rule (``recognizer_apriori.py:303``).
         """
         t0 = time.time()
-        channels = [np.asarray(ch) for ch in channels]
+        channels = [np.asarray(ch) for ch in channels if len(ch)]
+        if not channels:
+            # empty input (e.g. a stream queried before any audio):
+            # the reference returns no matches, not a crash
+            return {
+                "results": [], "total_matches": 0, "overflowed": False,
+                "input_hashes": 0, "fingerprint_time": 0.0,
+                "query_time": 0.0, "align_time": 0.0, "total_time": 0.0,
+            }
         fps = [self._fingerprint_channel(ch) for ch in channels]
         q = prepare_query(fps)
         jax.block_until_ready(fps[-1].hi)

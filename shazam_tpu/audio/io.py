@@ -49,13 +49,19 @@ def unique_file_hash(path: str, block_size: int = 2 ** 20) -> str:
 
 
 def find_files(path: str, extensions: Sequence[str]) -> List[Tuple[str, str]]:
-    """Recursively list files matching the extensions (reference ``find_files``)."""
-    exts = [e.replace(".", "") for e in extensions]
+    """Recursively list files matching the extensions (reference ``find_files``).
+
+    Case-insensitive on the extension (TRACK01.WAV is a wav file on
+    Linux too — fnmatch is case-sensitive there, so a plain filter
+    silently skips upper-cased corpus files).
+    """
+    exts = [e.lstrip(".").lower() for e in extensions]
     results: List[Tuple[str, str]] = []
     for dirpath, _dirnames, files in os.walk(path):
-        for ext in exts:
-            for name in fnmatch.filter(files, f"*.{ext}"):
-                results.append((os.path.join(dirpath, name), ext))
+        for name in files:
+            suffix = name.rsplit(".", 1)[-1].lower() if "." in name else ""
+            if suffix in exts:
+                results.append((os.path.join(dirpath, name), suffix))
     return results
 
 
@@ -169,8 +175,14 @@ def _read_via_ffmpeg(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int
         cmd += ["-t", str(limit)]
     # explicit -ac pins the decoded channel count to the probed layout
     cmd += ["-f", "s16le", "-acodec", "pcm_s16le", "-ac", str(n_channels), "-"]
-    out = subprocess.run(cmd, capture_output=True).stdout
-    return np.frombuffer(out, dtype="<i2").astype(np.int16), fs, n_channels
+    proc = subprocess.run(cmd, capture_output=True)
+    if proc.returncode != 0:
+        # a failed decode must be a clear error, not silently-empty
+        # audio fingerprinted as silence
+        raise ValueError(
+            f"ffmpeg failed to decode {path!r} (exit {proc.returncode})")
+    return (np.frombuffer(proc.stdout, dtype="<i2").astype(np.int16),
+            fs, n_channels)
 
 
 def read(path: str, limit: Optional[float] = None):

@@ -62,6 +62,12 @@ def run_recognition_sweep(
 
     for i, path in enumerate(songs):
         channels, file_fs, _sha = read(path)
+        if file_fs != fs:
+            # same guard as recognize_file: fingerprinting a clip at the
+            # wrong rate silently pitch-shifts every hash (accuracy ~0
+            # with no error) — fail loudly instead
+            raise ValueError(
+                f"{path}: sample rate {file_fs} != config {fs}")
         dur = len(channels[0]) / file_fs
         max_start = max(int(dur) - int(config.record_seconds), 1)
         start_s = int(rng.integers(0, max_start))

@@ -112,11 +112,19 @@ def cmd_sanity(args):
 
 def cmd_plot(args):
     from .audio.io import read
+    from .config import FingerprintConfig
     from .tools.plot import plot_constellation
 
+    # honor --config: the plot must show the peaks the PIPELINE extracts
+    cfg = FingerprintConfig()
+    if getattr(args, "config", None):
+        with open(args.config) as fh:
+            cfg = FingerprintConfig.from_json(fh.read())
     channels, fs, _ = read(args.file, limit=args.limit)
-    path = plot_constellation(channels[0], args.out, fs=fs,
-                              title=os.path.basename(args.file))
+    path = plot_constellation(
+        channels[0], args.out, fs=fs, amp_min=cfg.amp_min,
+        radius=cfg.peak_neighborhood_size,
+        title=os.path.basename(args.file))
     print(json.dumps({"plot": path}))
 
 

@@ -108,12 +108,18 @@ bool parse_wav(const uint8_t* p, size_t n, WavInfo* out) {
       out->channels = rd16(p + off + 10);
       out->rate = int(rd32(p + off + 12));
       out->bits = rd16(p + off + 22);
-      if (out->fmt == 0xFFFE && sz >= 40)  // WAVE_FORMAT_EXTENSIBLE
+      // extension bytes must ALSO fit in the file, not just in the
+      // chunk-declared sz (a truncated file with sz=40 would over-read)
+      if (out->fmt == 0xFFFE && sz >= 40 && off + 8 + 26 <= n)
         out->fmt = rd16(p + off + 8 + 24);
     } else if (!memcmp(p + off, "data", 4)) {
       out->data = p + off + 8;
       out->data_len = sz < n - off - 8 ? sz : n - off - 8;
-      return out->channels > 0 && out->rate > 0;
+      // bits must be a byte-aligned sane depth: callers divide by
+      // (bits/8)*channels, so bits=0 would SIGFPE the whole process
+      return out->channels > 0 && out->rate > 0 &&
+             (out->bits == 8 || out->bits == 16 || out->bits == 24 ||
+              out->bits == 32 || out->bits == 64);
     }
     off += 8 + sz + (sz & 1);
   }
@@ -241,11 +247,25 @@ int sia_load_batch(const char** paths, int n, float* out, long cap,
     pool.emplace_back([&, t]() {
       for (int i = t; i < n; i += n_threads) {
         memset(out + long(i) * cap, 0, size_t(cap) * 4);
-        long got = sia_decode_channel(paths[i], 0, out + long(i) * cap, cap);
+        n_valid[i] = 0;
+        // ONE disk read per file: hash and decode the same buffer
+        // (hashing via sia_sha1_file re-read the file from disk,
+        // doubling ingest I/O in the loop this module exists to speed)
+        std::vector<uint8_t> bytes;
+        if (!read_file(paths[i], &bytes)) {
+          failed[size_t(i)] = 1;
+          sha_hex[41 * i] = 0;
+          continue;
+        }
+        Sha1 s;
+        s.update(bytes.data(), bytes.size());
+        s.hex(sha_hex + 41 * i);
+        WavInfo w;
+        long got = -2;
+        if (parse_wav(bytes.data(), bytes.size(), &w))
+          got = decode_channel(w, 0, out + long(i) * cap, cap);
         n_valid[i] = got > 0 ? got : 0;
         if (got < 0) failed[size_t(i)] = 1;
-        if (sia_sha1_file(paths[i], sha_hex + 41 * i) != 0)
-          failed[size_t(i)] = 1;
       }
     });
   }

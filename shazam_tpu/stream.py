@@ -53,6 +53,17 @@ class IncrementalFingerprinter:
             (int(window_seconds * config.sample_rate) - wsize) // hop + 1, 1
         )
         self.radius = config.peak_neighborhood_size
+        if self.window_frames < 2 * self.radius:
+            # _settle's slab slicing assumes the window retains at least
+            # the ±radius context of every settled frame; shorter windows
+            # would slice negative and garble the mask silently (the
+            # device engine raises the same way)
+            raise ValueError(
+                f"window_seconds={window_seconds} gives "
+                f"{self.window_frames} frames < 2 * radius "
+                f"({2 * self.radius}); use a window of at least "
+                f"{(2 * self.radius * hop + wsize) / config.sample_rate:.2f} s"
+            )
         self._residual = np.zeros(0, np.float32)   # unframed sample tail
         self._spec = np.zeros((self.n_freqs, 0), np.float32)
         self._mask = np.zeros((self.n_freqs, 0), bool)  # settled columns
@@ -297,12 +308,16 @@ class StreamRecognizer:
                 f.fingerprints() for f in self._fps
                 if f.n_frames > f.window_bounds[0]
             ]
+            if not fps:
+                # nothing past the warm-up bound yet — still inside the
+                # try: the device engine raises OverflowError until its
+                # first 16-frame quantum lands, and that must fall back
+                # exactly like any other not-ready state
+                fps = [self._fps[0].fingerprints()]
         except OverflowError:
             return self.sia.recognize_samples(
                 self._window_channels(), topn=topn
             )
-        if not fps:
-            fps = [self._fps[0].fingerprints()]
         q = prepare_query(fps)
         fingerprint_time = time.time() - t0
 

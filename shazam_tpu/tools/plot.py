@@ -13,7 +13,8 @@ import numpy as np
 
 
 def plot_constellation(samples, out_path: str, fs: int = 44100,
-                       amp_min: float = 10.0, title: Optional[str] = None) -> str:
+                       amp_min: float = 10.0, radius: int = 10,
+                       title: Optional[str] = None) -> str:
     """Render the dB spectrogram with peak scatter to a PNG; returns path."""
     import matplotlib
 
@@ -24,7 +25,7 @@ def plot_constellation(samples, out_path: str, fs: int = 44100,
     from ..ops.peaks import peak_mask
 
     spec = np.asarray(spectrogram_db(np.asarray(samples), fs=fs))
-    mask = np.asarray(peak_mask(spec, amp_min, radius=10))
+    mask = np.asarray(peak_mask(spec, amp_min, radius=radius))
     freqs, times = np.nonzero(mask)
 
     fig, ax = plt.subplots(figsize=(12, 6))

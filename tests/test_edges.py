@@ -126,3 +126,39 @@ def test_apriori_multibatch_total_not_flagged_overflow():
         match_capacity=32, batch_size=32,
         offset_stride=index.offset_stride)
     assert clamped2
+
+
+def test_recognize_empty_channels_returns_no_match():
+    """recognize_samples([]) (e.g. a stream queried before any audio)
+    must return the reference's no-match shape, not crash."""
+    from shazam_tpu.api import SIA
+
+    sia = SIA()
+    for arg in ([], [np.zeros(0, np.float32)]):
+        out = sia.recognize_samples(arg)
+        assert out["results"] == []
+        assert out["total_matches"] == 0
+        assert out["input_hashes"] == 0
+
+
+def test_short_stream_window_raises():
+    """Windows shorter than the ±radius context would garble _settle's
+    slab slicing silently; both engines must refuse them loudly."""
+    import pytest as _pytest
+
+    from shazam_tpu.api import SIA
+    from shazam_tpu.stream import IncrementalFingerprinter
+
+    sia = SIA()
+    with _pytest.raises(ValueError, match="radius"):
+        IncrementalFingerprinter(sia.config, window_seconds=0.9)
+
+
+def test_find_files_case_insensitive(tmp_path):
+    from shazam_tpu.audio.io import find_files
+
+    for name in ("a.wav", "B.WAV", "c.Wav", "d.mp3", "e.txt"):
+        (tmp_path / name).write_bytes(b"x")
+    got = sorted(p.rsplit("/", 1)[-1]
+                 for p, _e in find_files(str(tmp_path), [".wav"]))
+    assert got == ["B.WAV", "a.wav", "c.Wav"]

@@ -69,3 +69,23 @@ def test_bad_file_falls_back(tmp_path):
         fh.write(b"this is not RIFF data")
     assert native.decode_channel(p, 0, 100) is None
     assert native.load_batch([p], 100) is None
+
+
+def test_zero_bits_wav_rejected_not_sigfpe(tmp_path):
+    """A corrupt fmt chunk with bits_per_sample=0 must be a clean error
+    (the old parse divided by (bits/8)*channels: SIGFPE, process death)."""
+    import struct
+
+    from shazam_tpu import native
+
+    if not native.available():
+        import pytest as _pytest
+        _pytest.skip("native loader unavailable")
+    data = b"\x00\x00" * 8
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 0, 0, 0)  # bits = 0
+    riff = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    p = tmp_path / "corrupt.wav"
+    p.write_bytes(riff)
+    assert native.wav_info(str(p)) is None  # clean rejection, no SIGFPE
