@@ -384,6 +384,14 @@ class DeviceIndex:
                                 max_offset=self.max_offset)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _stack_row(big, col, i):
+    """Write one span column into row i of the stacked buffer in place
+    (donation reuses big's allocation — consolidation never holds more
+    than the catalog + ONE stacked column)."""
+    return jax.lax.dynamic_update_slice(big, col.reshape(1, -1), (i, 0))
+
+
 def _run_pow2(n: int) -> int:
     """Smallest power-of-two >= n (floor 1024) — bounded program count
     for sliced addition runs."""
@@ -627,12 +635,23 @@ class SpannedDeviceStore:
         live = [s for s in self.spans if s.n_valid > 0] or [self.spans[-1]]
         stacked = []
         for c in range(len(live[0].cols)):
-            stacked.append(jnp.stack([s.cols[c] for s in live]))
-            stacked[-1].block_until_ready()
-            for s in live:                    # release originals eagerly
+            # allocate the (S, span_rows) column FIRST: if HBM cannot fit
+            # it (resident catalog + one stacked column ~= 1.25x the
+            # catalog), the failure happens before any source buffer has
+            # been dropped and the per-span layout stays fully usable.
+            # Rows then land via donated in-place updates and each span's
+            # source column is released immediately — peak demand never
+            # exceeds that first allocation.
+            big = jnp.full((len(live), self.span_rows), SENTINEL,
+                           jnp.uint32)
+            big.block_until_ready()
+            for i, s in enumerate(live):
+                big = _stack_row(big, s.cols[c], jnp.int32(i))
                 cols = list(s.cols)
-                cols[c] = None
+                cols[c] = None                # release the source
                 s.cols = tuple(cols)
+            big.block_until_ready()
+            stacked.append(big)
         self._stacked = tuple(stacked)
         self._stacked_valids = [s.n_valid for s in live]
         self.spans = []
