@@ -1307,13 +1307,6 @@ class SIA:
         n_clips = len(clips)
         if n_clips == 0:
             return []
-        if self._is_spanned:
-            # the vmapped batched matcher is single-span; per-clip
-            # spanned matches are correct and still one device program
-            # per clip (fingerprints could batch, but spanned stores
-            # exist for bulk-ingest scale where serving QPS goes through
-            # ShardedCatalog / multihost instead)
-            return [self.recognize_samples([c], topn=topn) for c in clips]
         blen = max(_bucket_len(len(c)) for c in clips)
         batch = np.zeros((n_clips, blen), np.float32)
         n_valid = np.zeros(n_clips, np.int32)
@@ -1351,31 +1344,44 @@ class SIA:
 
         t0 = time.time()
         dev = self._ensure_device_index()
-        head = self._ensure_head(dev)
         delta_min, delta_range = self._delta_params_for(
             max(len(c) for c in clips)
         )
-        raw = match_queries_batched(
-            dev,
-            *(jnp.asarray(stack[n]) for n in
-              ("hi", "lo", "ex", "t", "valid", "first")),
+        q_args = tuple(jnp.asarray(stack[n]) for n in
+                       ("hi", "lo", "ex", "t", "valid", "first"))
+        kw = dict(
             n_songs=max(self._live_n_songs(), 1),
             delta_min=delta_min, delta_range=delta_range,
             match_capacity=self.config.match_capacity,
             topn=topn or self.config.topn,
             offset_stride=self._offset_stride,
-            head=head,
         )
-        raw = jax.device_get(raw)
+        span_maxes = None
+        if self._is_spanned:
+            from .match.batched import match_queries_batched_spanned
+
+            raw, span_maxes = jax.device_get(match_queries_batched_spanned(
+                dev, *q_args, heads=self._ensure_heads(dev), **kw))
+        else:
+            raw = jax.device_get(match_queries_batched(
+                dev, *q_args, head=self._ensure_head(dev), **kw))
         query_time = time.time() - t0
 
         out = []
         for i in range(n_clips):
             t0 = time.time()
             one = type(raw)(*(np.asarray(a)[i] for a in raw))
+            # spanned: total sums the spans' exact counts, so a clip
+            # whose largest per-span count fits the capacity dropped
+            # nothing even when the sum exceeds it
+            cap_i = None
+            if span_maxes is not None:
+                cap_i = (max(int(one.total_rows), self.config.match_capacity)
+                         if int(span_maxes[i]) <= self.config.match_capacity
+                         else self.config.match_capacity)
             matched = align_results(
                 one, queries[i].n_pairs, catalog=self.catalog,
-                config=self.config,
+                config=self.config, match_capacity=cap_i,
             )
             align_time = time.time() - t0  # measured per clip
             out.append({

@@ -64,3 +64,38 @@ def match_queries_batched(
                           topn=topn)
 
     return jax.vmap(one)(q_hi, q_lo, q_ex, q_t, q_valid, q_first)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
+                     "topn", "offset_stride"),
+)
+def match_queries_batched_spanned(
+    span_arrays,
+    q_hi, q_lo, q_ex, q_t, q_valid, q_first,   # each (Bq, Q)
+    *,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 65536,
+    topn: int = 2,
+    offset_stride: int = 0,
+    heads=None,
+):
+    """``match_queries_batched`` against a spanned index (per-span tuples
+    or the consolidated stacked layout — lookup.match_query_sparse_spanned
+    dispatches).  Returns (batched RawMatch, (Bq,) span_max): the retry /
+    overflow signal is per clip, since every span clamps its expansion
+    independently at ``match_capacity``."""
+    from .lookup import match_query_sparse_spanned
+
+    def one(hi, lo, ex, t, valid, first):
+        return match_query_sparse_spanned(
+            span_arrays, hi, lo, ex, t, valid, first,
+            n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+            match_capacity=match_capacity, topn=topn,
+            offset_stride=offset_stride, heads=heads,
+        )
+
+    return jax.vmap(one)(q_hi, q_lo, q_ex, q_t, q_valid, q_first)

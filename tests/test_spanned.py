@@ -273,6 +273,12 @@ def test_consolidate_store_end_to_end():
     assert (clip_out["results"][0]["hashes_matched_in_input"]
             == before["results"][0]["hashes_matched_in_input"])
 
+    outs = sia.recognize_batch([clip, songs[1][1][:44100]])
+    assert outs[0]["results"][0]["song_name"] == "s4"
+    assert (outs[0]["results"][0]["hashes_matched_in_input"]
+            == before["results"][0]["hashes_matched_in_input"])
+    assert outs[1]["results"][0]["song_name"] == "s1"
+
     _index_equal(host_before, sia.index)   # stacked to_host round trip
 
     batch, nv = _pad_batch([songs[0][1]])
