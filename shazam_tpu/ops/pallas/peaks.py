@@ -339,7 +339,7 @@ def peak_candidates_fused(
     return pl.pallas_call(
         kernel,
         grid=(bsz, t_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, rows_per_tile, OUT_LANES),
             lambda b, t: (b, t, 0),

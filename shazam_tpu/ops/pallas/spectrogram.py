@@ -290,7 +290,7 @@ def _spectrogram_fused(samples, n_valid_frames, *, fs, wsize, hop,
         num_scalar_prefetch=1,
         grid=(bsz, t_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # samples stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # samples stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),   # window
             pl.BlockSpec(memory_space=pltpu.VMEM),   # c32
             pl.BlockSpec(memory_space=pltpu.VMEM),   # s32
