@@ -34,12 +34,14 @@ TILE_CAP = 1024    # dense segment size per tile (typ. ~300 candidates at
                    # 128 frames; overflow falls back to the exact path)
 
 
-def _tile_segment(tile, rt, *, tile_rows, tile_cap, group_cap):
+def _tile_segment(tile, rt, seg_ref, *, tile_rows, tile_cap, group_cap):
     """One candidate-table tile -> (dense packed segment, tile_total).
 
     The shared core of both compaction kernels: per-row exclusive prefix
     of kept counts, then the rank-factored one-hot scatter placing each
     candidate's packed ``t * 4096 + f`` value at its dense position.
+    ``seg_ref`` is an (tile_cap // 128, 128) f32 VMEM scratch holding the
+    scatter accumulator so slot dots can be predicated (see below).
 
     Exactness: the scatter rides an f32 MXU matmul, which is exact only
     below 2^24 — but ``t`` reaches 4608 frames on 210 s tracks, so the
@@ -92,18 +94,27 @@ def _tile_segment(tile, rt, *, tile_rows, tile_cap, group_cap):
     pdiv = pos // 128                          # (TILE_ROWS, GROUP_CAP)
     pmod = pos % 128
     val_f = packed_val.astype(jnp.float32)
-    out_tile = jnp.zeros((a_rows, 128), jnp.float32)
     dn = (((0,), (0,)), ((), ()))
+    # MXU cycles here are ~K per dot (M=8 << 128), i.e. proportional to
+    # table CELLS streamed — so skip slots no row uses: for c >= max(kept)
+    # every h/lv is exactly zero (pos = tile_cap for invalid slots), and
+    # real tables rarely fill all GROUP_CAP slots (measured mean per-tile
+    # max ~5.5/8 on the bench corpus -> ~30% of the scatter skipped).
+    max_kept = jnp.max(kept)
+    seg_ref[...] = jnp.zeros((a_rows, 128), jnp.float32)
     for c in range(group_cap):
-        h = (pdiv[:, c: c + 1] == a_ids).astype(jnp.float32)
-        lv = jnp.where(pmod[:, c: c + 1] == b_ids, val_f[:, c: c + 1], 0.0)
-        out_tile = out_tile + jax.lax.dot_general(
-            h, lv, dn, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        @pl.when(c < max_kept)
+        def _(c=c):
+            h = (pdiv[:, c: c + 1] == a_ids).astype(jnp.float32)
+            lv = jnp.where(pmod[:, c: c + 1] == b_ids,
+                           val_f[:, c: c + 1], 0.0)
+            seg_ref[...] += jax.lax.dot_general(
+                h, lv, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
     # add the global frame base back on the live slots (int32, exact)
-    seg = out_tile.astype(jnp.int32)
+    seg = seg_ref[...].astype(jnp.int32)
     fi = (jax.lax.broadcasted_iota(jnp.int32, (a_rows, 128), 0) * 128
           + jax.lax.broadcasted_iota(jnp.int32, (a_rows, 128), 1))
     live = fi < jnp.minimum(tile_total, tile_cap)
@@ -111,18 +122,18 @@ def _tile_segment(tile, rt, *, tile_rows, tile_cap, group_cap):
     return seg, tile_total
 
 
-def _kernel(tab_ref, out_ref, cnt_ref, *, tile_rows=TILE_ROWS,
+def _kernel(tab_ref, out_ref, cnt_ref, seg_ref, *, tile_rows=TILE_ROWS,
             tile_cap=TILE_CAP, group_cap=GROUP_CAP):
     rt = pl.program_id(1)
     a_rows = tile_cap // 128
     seg, tile_total = _tile_segment(
-        tab_ref[0], rt, tile_rows=tile_rows, tile_cap=tile_cap,
+        tab_ref[0], rt, seg_ref, tile_rows=tile_rows, tile_cap=tile_cap,
         group_cap=group_cap)
     out_ref[0] = seg
     cnt_ref[0] = jnp.full((a_rows, 128), tile_total, jnp.int32)
 
 
-def _ff_kernel(tab_ref, out_ref, cnt_ref, acc_ref, cur_ref, *,
+def _ff_kernel(tab_ref, out_ref, cnt_ref, acc_ref, cur_ref, seg_ref, *,
                tile_rows, tile_cap, capacity, a_acc, r_tiles,
                group_cap=GROUP_CAP):
     """Fused-finish variant: the scan-of-DUS finish folded in.
@@ -144,7 +155,7 @@ def _ff_kernel(tab_ref, out_ref, cnt_ref, acc_ref, cur_ref, *,
         cur_ref[1] = 0
 
     seg, tile_total = _tile_segment(
-        tab_ref[0], rt, tile_rows=tile_rows, tile_cap=tile_cap,
+        tab_ref[0], rt, seg_ref, tile_rows=tile_rows, tile_cap=tile_cap,
         group_cap=group_cap)                             # (a_rows, 128)
 
     # place seg at flat offset min(cur, capacity): lane roll + row-carry
@@ -223,6 +234,7 @@ def compact_candidates(table: jnp.ndarray, capacity: int,
         scratch_shapes=[
             pltpu.VMEM((a_acc, 128), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((tile_cap // 128, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             # large tiles (2048+ rows, double-buffered) exceed the 16M
