@@ -27,7 +27,8 @@ def _open_sia(args, need_index: bool):
         with open(args.config) as fh:
             config = FingerprintConfig.from_json(fh.read())
     sia = SIA(config=config, catalog_path=args.db + ".sqlite",
-              device_resident=getattr(args, "device_resident", False))
+              device_resident=getattr(args, "device_resident", False),
+              device_span_rows=getattr(args, "span_rows", 0) or 0)
     index_path = args.db + ".npz"
     if os.path.exists(index_path):
         sia.load_index(index_path)
@@ -169,6 +170,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--device-resident", action="store_true",
                    help="merge fingerprints on the device (index/devmerge"
                         ".py) — for catalogs where host merges dominate")
+    s.add_argument("--span-rows", type=int, default=0,
+                   help="hold the index as bounded sorted spans of this "
+                        "many rows (implies --device-resident; for "
+                        "catalogs past ~150M hashes, e.g. 1<<27 = "
+                        "134217728 — see index/devmerge"
+                        ".SpannedDeviceStore)")
     s.set_defaults(fn=cmd_ingest)
 
     s = sub.add_parser("recognize", help="identify one audio file")
@@ -176,6 +183,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--limit", type=float, default=None)
     s.add_argument("--topn", type=int, default=2)
     s.add_argument("--early-exit", action="store_true")
+    s.add_argument("--device-resident", action="store_true",
+                   help="serve the index from device HBM")
+    s.add_argument("--span-rows", type=int, default=0,
+                   help="serve as bounded sorted spans (implies "
+                        "--device-resident; required past ~150M hashes)")
     s.set_defaults(fn=cmd_recognize)
 
     s = sub.add_parser("bench", help="recognition accuracy/latency sweep")
