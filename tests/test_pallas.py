@@ -286,3 +286,42 @@ def test_group_cap_12_resolves_dense_combs():
     assert int(fp12.n_peaks[0]) == int(fpx.n_peaks[0]) <= 8192
     for a, b in zip(fp12, fpx):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compact_slot_skip_edges():
+    """The predicated slot dots must be exact at both extremes: an
+    all-empty tile (max kept = 0 -> every dot skipped) and a row using
+    every GROUP_CAP slot (no dot skipped), plus the peaks-extract analog
+    (covered via direct table equality with the XLA finish)."""
+    import jax.numpy as jnp
+    from shazam_tpu.ops.pallas.peaks import (GROUP_CAP, N_GROUPS,
+                                             extract_peaks_from_candidates)
+    from shazam_tpu.ops.pallas.compact import compact_candidates
+
+    frames = 384                       # 3 tiles of 128 frames
+    rows = frames * N_GROUPS
+    table = np.zeros((1, rows, 128), np.int32)
+    table[:, :, :GROUP_CAP] = -1
+    # tile 0 (frames 0..127): left empty -> max_kept == 0
+    # tile 1: one row with ALL slots used, another with 1
+    r_full = 130 * N_GROUPS + 4
+    table[0, r_full, :GROUP_CAP] = [4 * 128 + 2 * i for i in range(GROUP_CAP)]
+    table[0, r_full, GROUP_CAP] = GROUP_CAP
+    r_one = 200 * N_GROUPS + 16
+    table[0, r_one, 0] = 16 * 128 + 77
+    table[0, r_one, GROUP_CAP] = 1
+    # tile 2: a couple of mid-density rows
+    for j, (t, g, k) in enumerate([(300, 2, 3), (383, 16, 5)]):
+        r = t * N_GROUPS + g
+        table[0, r, :k] = [g * 128 + 3 * i + 1 for i in range(k)]
+        table[0, r, GROUP_CAP] = k
+
+    with _interpret():
+        t2, f2, n2 = compact_candidates(jnp.asarray(table), 256)
+    t1, f1, n1 = extract_peaks_from_candidates(jnp.asarray(table), 256)
+    n = int(n1[0])
+    assert int(n2[0]) == n == GROUP_CAP + 1 + 3 + 5
+    assert np.array_equal(np.asarray(t1)[0][:n], np.asarray(t2)[0][:n])
+    assert np.array_equal(np.asarray(f1)[0][:n], np.asarray(f2)[0][:n])
+    # nothing leaked into the skipped-empty-tile region
+    assert np.asarray(t2)[0][:n].min() >= 130
