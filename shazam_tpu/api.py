@@ -1365,20 +1365,39 @@ class SIA:
         else:
             raw = jax.device_get(match_queries_batched(
                 dev, *q_args, head=self._ensure_head(dev), **kw))
+
+        # per-clip escalation: the batch runs at the base tier; a clip
+        # whose expansion clamped (largest per-span count when spanned,
+        # exact total otherwise) re-runs alone through the tiered
+        # single-query path, keeping results identical to
+        # recognize_samples (hyper-common hashes can own 100K+ rows and
+        # every row must vote) — rare, so the common case stays one
+        # device program for the whole batch
+        retried: Dict[int, Tuple] = {}
+        if self._match_tiers()[-1] > self.config.match_capacity:
+            clamp = (np.asarray(span_maxes) if span_maxes is not None
+                     else np.asarray(raw.total_rows))
+            for i in np.nonzero(clamp > self.config.match_capacity)[0]:
+                retried[int(i)] = self._match_prepared(
+                    queries[i], len(clips[i]), topn=topn)
         query_time = time.time() - t0
 
         out = []
         for i in range(n_clips):
             t0 = time.time()
-            one = type(raw)(*(np.asarray(a)[i] for a in raw))
-            # spanned: total sums the spans' exact counts, so a clip
-            # whose largest per-span count fits the capacity dropped
-            # nothing even when the sum exceeds it
-            cap_i = None
-            if span_maxes is not None:
-                cap_i = (max(int(one.total_rows), self.config.match_capacity)
-                         if int(span_maxes[i]) <= self.config.match_capacity
-                         else self.config.match_capacity)
+            if i in retried:
+                one, cap_i = retried[i]
+            else:
+                one = type(raw)(*(np.asarray(a)[i] for a in raw))
+                # spanned: total sums the spans' exact counts, so a clip
+                # whose largest per-span count fits the capacity dropped
+                # nothing even when the sum exceeds it
+                cap_i = None
+                if span_maxes is not None:
+                    cap_i = (max(int(one.total_rows),
+                                 self.config.match_capacity)
+                             if int(span_maxes[i]) <= self.config.match_capacity
+                             else self.config.match_capacity)
             matched = align_results(
                 one, queries[i].n_pairs, catalog=self.catalog,
                 config=self.config, match_capacity=cap_i,

@@ -49,6 +49,13 @@ def run_recognition_sweep(
     noise_samples = None
     if config.add_noise and config.noise_kind == "file" and config.noise_file:
         noise_channels, nfs, _ = read(config.noise_file)
+        if nfs != fs:
+            # same guard as the per-song check below: mixing a
+            # wrong-rate noise recording silently shifts pitch/duration
+            # and the reported SNR with it
+            raise ValueError(
+                f"{config.noise_file}: noise sample rate {nfs} != "
+                f"config {fs}")
         noise_samples = noise_channels[0]
 
     predicted: List[str] = []

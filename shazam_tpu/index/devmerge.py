@@ -624,8 +624,10 @@ class SpannedDeviceStore:
         stacked layout lets the matcher vmap over the span axis, issuing
         every span's gathers in one batched round (measured: see
         benchmarks/README.md at the 436M-hash scale).  Column-by-column
-        stacking keeps peak HBM at resident + ONE span column; the
-        original buffers are released as each column lands.  Terminal
+        stacking keeps peak HBM at resident + ONE stacked column; each
+        source column is released once its stacked column has synced
+        (a transient fault therefore leaves the per-span layout whole).
+        Terminal
         for ingest: further appends/merges raise (consolidate a copy of
         a growing catalog via ``to_host`` -> ``from_host`` instead).
         """
@@ -647,10 +649,17 @@ class SpannedDeviceStore:
             big.block_until_ready()
             for i, s in enumerate(live):
                 big = _stack_row(big, s.cols[c], jnp.int32(i))
+            # sync BEFORE releasing the sources: transient tunnel faults
+            # surface at the next sync, so releasing per-dispatch would
+            # leave spans with None columns when a mid-column dispatch
+            # failed.  Peak HBM is identical either way — it occurs at
+            # the `big` allocation above, when every source column is
+            # still live.
+            big.block_until_ready()
+            for s in live:
                 cols = list(s.cols)
                 cols[c] = None                # release the source
                 s.cols = tuple(cols)
-            big.block_until_ready()
             stacked.append(big)
         self._stacked = tuple(stacked)
         self._stacked_valids = [s.n_valid for s in live]

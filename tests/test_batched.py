@@ -44,6 +44,35 @@ def test_batched_empty():
     assert sia.recognize_batch([]) == []
 
 
+@pytest.mark.parametrize("span_rows", [0, 4096])
+def test_batched_overflow_escalates(tmp_path, span_rows):
+    """A clip whose expansion clamps the base tier must re-run alone
+    through the escalating single-query path — results identical to
+    recognize_samples, never a silently-clamped vote count."""
+    from shazam_tpu.config import FingerprintConfig
+
+    cfg = FingerprintConfig(match_capacity=64, match_capacity_fast=64,
+                            match_capacity_max=4096)
+    files = [f for f, _ in
+             synth_corpus(str(tmp_path), 3, duration_s=8.0, seed=13)]
+    sia = SIA(cfg, device_span_rows=span_rows)
+    sia.ingest_files(files, batch_size=4)
+
+    song = synth_song(1, duration_s=8.0, seed=13)
+    clip = song[44100 : 44100 + 5 * 44100]
+    out = sia.recognize_batch([clip], topn=2)[0]
+    single = sia.recognize_samples([clip], topn=2)
+
+    assert single["total_matches"] > 64   # genuinely past the base tier
+    assert out["total_matches"] == single["total_matches"]
+    assert not out["overflowed"]
+    got = [(r["song_id"], r["offset"], r["hashes_matched_in_input"])
+           for r in out["results"]]
+    ref = [(r["song_id"], r["offset"], r["hashes_matched_in_input"])
+           for r in single["results"]]
+    assert got == ref
+
+
 def test_batched_sparse_equals_dense():
     """The vmapped sparse matcher must equal the vmapped dense one."""
     import jax.numpy as jnp
