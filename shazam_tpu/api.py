@@ -1461,8 +1461,40 @@ class SIA:
     # persistence
     # ------------------------------------------------------------------ #
     def save_index(self, path: str) -> None:
+        """Persist the index.
+
+        A live spanned device store writes the span-wise format — each
+        span's valid prefix, no global host sort (at 436M hashes the
+        flat path's ``to_host`` lexsort costs minutes and 2x peak RAM;
+        see ``SpannedDeviceStore.save``).  Everything else writes the
+        flat sorted npz.
+        """
+        from .index.devmerge import SpannedDeviceStore
+
+        if isinstance(self._dev_store, SpannedDeviceStore):
+            self._dev_store.save(path)
+            return
         self.index.save(path)
 
     def load_index(self, path: str) -> None:
+        """Load either index format.
+
+        Spanned files restore straight into a spanned device store when
+        this SIA is spanned (upload-only, zero sorting) and flatten on
+        the host otherwise; flat files go through ``FingerprintIndex``
+        (a spanned SIA re-splits them lazily on first device use).
+        """
+        from .index.devmerge import SpannedDeviceStore, is_spanned_file
+
+        if is_spanned_file(path):
+            if self._is_spanned:
+                self._dev_store = SpannedDeviceStore.load(
+                    path, span_rows=self.device_span_rows)
+                self._host_stale = True
+                self._device_index = None
+                return
+            self.index = SpannedDeviceStore.load_flat(path)
+            self._device_index = None
+            return
         self.index = FingerprintIndex.load(path)
         self._device_index = None

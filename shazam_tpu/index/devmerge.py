@@ -616,6 +616,95 @@ class SpannedDeviceStore:
         for s in self.spans:
             s.finalize()
 
+    # ---- persistence ----------------------------------------------------
+    _COL_NAMES = ("hi", "lo", "ex", "pp")
+
+    def _live_span_views(self):
+        """(cols, n_valid) per non-empty span, per-span or stacked."""
+        self.finalize()
+        if self.is_stacked:
+            return [(tuple(c[i] for c in self._stacked), nv)
+                    for i, nv in enumerate(self._stacked_valids) if nv > 0]
+        return [(s.cols, s.n_valid) for s in self.spans if s.n_valid > 0]
+
+    def save(self, path: str) -> None:
+        """Persist span-wise: each span's valid prefix, no global sort.
+
+        The flat path (``SIA.index.save`` via ``to_host``) concatenates
+        and re-sorts the whole catalog on the host — minutes of lexsort
+        plus 2x peak RAM at the 436M-hash scale this store exists for.
+        The spanned format downloads each span's valid prefix (bounded
+        64 MB transfers) and keeps the span structure, so :meth:`load`
+        re-uploads with zero sorting on either side.  Uncompressed npz:
+        sorted uint32 key columns barely deflate and zlib would dominate
+        the wall time at production scale.
+        """
+        payload = {"spanned_meta": np.array(
+            [self.span_rows, self.stride, self.n_songs, self.max_offset],
+            np.int64)}
+        for i, (cols, nv) in enumerate(self._live_span_views()):
+            tmp = DeviceIndex(cols, nv, self.n_songs, self.max_offset,
+                              self.stride)
+            for name, col in zip(self._COL_NAMES, cols):
+                payload[f"s{i:05d}_{name}"] = tmp._download(col)
+        np.savez(path, **payload)
+
+    @classmethod
+    def load(cls, path: str, span_rows: int = 0) -> "SpannedDeviceStore":
+        """Rebuild a store from :meth:`save` output — upload only, no
+        sorting.  ``span_rows`` (default: as saved) may differ: every
+        saved span is itself sorted, so re-slicing it into smaller spans
+        preserves the per-span sorted invariant.  A consolidated store
+        loads in the per-span layout; call :meth:`consolidate` again for
+        the stacked serving layout."""
+        with np.load(path) as z:
+            meta = z["spanned_meta"]
+            saved_rows, stride, n_songs, max_off = (int(x) for x in meta)
+            span_rows = span_rows or saved_rows
+            store = cls(span_rows, n_songs, max_off, max(stride, 1))
+            store.spans = []
+            i = 0
+            while f"s{i:05d}_hi" in z:
+                cols_np = [np.asarray(z[f"s{i:05d}_{n}"])
+                           for n in cls._COL_NAMES]
+                n = cols_np[0].shape[0]
+                for start in range(0, n, span_rows):
+                    m = min(span_rows, n - start)
+                    pad = span_rows - m
+                    cols = tuple(
+                        jnp.asarray(np.concatenate(
+                            [c[start:start + m],
+                             np.full(pad, SENTINEL, np.uint32)]))
+                        for c in cols_np)
+                    store.spans.append(DeviceIndex(
+                        cols, m, n_songs, max_off, store.stride))
+                i += 1
+            if not store.spans:
+                store.spans = [store._new_span()]
+            return store
+
+    @classmethod
+    def load_flat(cls, path: str) -> FingerprintIndex:
+        """Load :meth:`save` output into ONE sorted host index without
+        touching the device (for non-device-resident consumers)."""
+        with np.load(path) as z:
+            meta = z["spanned_meta"]
+            stride, n_songs, max_off = (int(x) for x in meta[1:])
+            parts = {n: [] for n in cls._COL_NAMES}
+            i = 0
+            while f"s{i:05d}_hi" in z:
+                for n in cls._COL_NAMES:
+                    parts[n].append(np.asarray(z[f"s{i:05d}_{n}"]))
+                i += 1
+        cat = {n: (np.concatenate(p) if p else np.zeros(0, np.uint32))
+               for n, p in parts.items()}
+        sid = (cat["pp"] // np.uint32(max(stride, 1))).astype(np.uint32)
+        off = (cat["pp"] & np.uint32(max(stride, 1) - 1)).astype(np.uint32)
+        order = np.lexsort((off, sid, cat["ex"], cat["lo"], cat["hi"]))
+        return FingerprintIndex(
+            cat["hi"][order], cat["lo"][order], cat["ex"][order],
+            sid[order], off[order], n_songs=n_songs, max_offset=max_off)
+
     def consolidate(self) -> None:
         """Stack the spans into (n_spans, span_rows) serving arrays.
 
@@ -702,3 +791,13 @@ class SpannedDeviceStore:
         return FingerprintIndex(*(a[order] for a in cat),
                                 n_songs=self.n_songs,
                                 max_offset=self.max_offset)
+
+
+def is_spanned_file(path: str) -> bool:
+    """True when ``path`` is a SpannedDeviceStore.save npz (vs the flat
+    ``FingerprintIndex.save`` format)."""
+    try:
+        with np.load(path) as z:
+            return "spanned_meta" in z
+    except Exception:
+        return False

@@ -332,3 +332,101 @@ def test_spanned_run_too_large_raises():
     cols = tuple(jnp.full(8192, SENTINEL, jnp.uint32) for _ in range(4))
     with pytest.raises(ValueError, match="exceeds span_rows"):
         store.append_run(cols, 8000, 1, 100)
+
+
+# --------------------------------------------------------------------- #
+# span-wise persistence: save/load without a global sort
+# --------------------------------------------------------------------- #
+
+def test_spanned_save_load_roundtrip(tmp_path):
+    """Span-wise save -> load is element-identical to the live store,
+    at the saved span_rows AND re-split to a smaller one."""
+    from shazam_tpu.index.devmerge import (SpannedDeviceStore,
+                                           is_spanned_file)
+    from shazam_tpu.index.store import build_index
+
+    hi, lo, ex, sid, off = _random_index(20_000, 12, 512, seed=3)
+    ix = build_index(
+        [(s, hi[sid == s], lo[sid == s], ex[sid == s], off[sid == s])
+         for s in range(12)], n_songs=12)
+    store = SpannedDeviceStore.from_host(ix, span_rows=8192)
+    path = str(tmp_path / "span.npz")
+    store.save(path)
+    assert is_spanned_file(path)
+    assert not is_spanned_file(str(tmp_path / "missing.npz"))
+
+    back = SpannedDeviceStore.load(path)
+    assert back.span_rows == 8192
+    assert back.n_valid == store.n_valid
+    assert back.stride == store.stride
+    _index_equal(back.to_host(), store.to_host())
+
+    # re-split into smaller spans: each saved span is sorted, so the
+    # slices keep the per-span invariant and the flat view is unchanged
+    resplit = SpannedDeviceStore.load(path, span_rows=4096)
+    assert resplit.span_rows == 4096
+    assert len(resplit.spans) > len(back.spans)
+    _index_equal(resplit.to_host(), store.to_host())
+
+    # load_flat: one sorted host index, no device arrays
+    _index_equal(SpannedDeviceStore.load_flat(path), store.to_host())
+
+
+def test_spanned_save_load_api_roundtrip(tmp_path):
+    """SIA.save_index on a spanned store writes the span-wise format;
+    load_index restores it into spanned AND flat SIAs, still growable
+    and queryable."""
+    from shazam_tpu.api import SIA
+    from shazam_tpu.index.devmerge import is_spanned_file
+
+    songs = _songs(5)
+    sia = SIA(device_span_rows=4096)
+    sia.ingest_arrays(songs[:4])
+    flat_before = sia.index   # forces the host sync
+
+    path = str(tmp_path / "ix.npz")
+    sia.save_index(path)
+    assert is_spanned_file(path)
+
+    fresh = SIA(device_span_rows=4096)
+    fresh.catalog = sia.catalog
+    fresh.load_index(path)
+    _index_equal(fresh.index, flat_before)
+    clip = songs[2][1][11025: 11025 + 2 * 44100]
+    assert fresh.recognize_samples([clip])["results"][0]["song_name"] == "s2"
+
+    # the loaded store keeps growing (append into the restored spans)
+    fresh.ingest_arrays(songs[4:])
+    clip4 = songs[4][1][11025: 11025 + 2 * 44100]
+    assert fresh.recognize_samples([clip4])["results"][0]["song_name"] == "s4"
+
+    # a non-spanned SIA consumes the same file via the host flatten
+    flat_sia = SIA()
+    flat_sia.catalog = sia.catalog
+    flat_sia.load_index(path)
+    _index_equal(flat_sia.index, flat_before)
+    assert flat_sia.recognize_samples([clip])["results"][0]["song_name"] == "s2"
+
+
+def test_consolidated_save_load(tmp_path):
+    """A consolidated (stacked) store saves span-wise and reloads in the
+    per-span layout, re-consolidatable."""
+    from shazam_tpu.index.devmerge import SpannedDeviceStore
+    from shazam_tpu.index.store import build_index
+
+    hi, lo, ex, sid, off = _random_index(12_000, 6, 512, seed=9)
+    ix = build_index(
+        [(s, hi[sid == s], lo[sid == s], ex[sid == s], off[sid == s])
+         for s in range(6)], n_songs=6)
+    store = SpannedDeviceStore.from_host(ix, span_rows=4096)
+    flat = store.to_host()
+    store.consolidate()
+    path = str(tmp_path / "cons.npz")
+    store.save(path)
+
+    back = SpannedDeviceStore.load(path)
+    assert not back.is_stacked
+    _index_equal(back.to_host(), flat)
+    back.consolidate()
+    assert back.is_stacked
+    _index_equal(back.to_host(), flat)
