@@ -145,6 +145,23 @@ def cmd_metadata(args):
     print(json.dumps({"imported": n}))
 
 
+def cmd_serve(args):
+    from .serve import RecognitionServer, warmup
+
+    sia = _open_sia(args, need_index=True)
+    if args.warmup:
+        print("warming serving programs...", flush=True)
+        warmup(sia, seconds=args.warmup)
+    server = RecognitionServer(
+        sia, host=args.host, port=args.port,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+    )
+    print(json.dumps({"serving": f"http://{args.host}:{server.port}",
+                      "songs": sia.catalog.counts()["n_songs"],
+                      "hashes": sia._live_n_hashes()}), flush=True)
+    server.serve_forever()
+
+
 def cmd_synth(args):
     from .audio.synth import synth_corpus
 
@@ -230,6 +247,25 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("metadata", help="bulk-import FMA-style metadata CSV")
     s.add_argument("csv")
     s.set_defaults(fn=cmd_metadata)
+
+    s = sub.add_parser(
+        "serve",
+        help="HTTP recognition daemon (micro-batched device dispatches)")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--max-batch", type=int, default=16,
+                   help="largest micro-batch per device dispatch")
+    s.add_argument("--max-wait-ms", type=float, default=10.0,
+                   help="how long the first request waits for companions")
+    s.add_argument("--warmup", type=float, default=5.0, metavar="SECONDS",
+                   help="pre-compile serving programs with clips this long "
+                        "(0 disables)")
+    s.add_argument("--device-resident", action="store_true",
+                   help="serve the index from device HBM")
+    s.add_argument("--span-rows", type=int, default=0,
+                   help="serve as bounded sorted spans (implies "
+                        "--device-resident; required past ~150M hashes)")
+    s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("synth", help="generate a deterministic WAV corpus")
     s.add_argument("path")

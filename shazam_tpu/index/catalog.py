@@ -28,7 +28,13 @@ class SongCatalog:
 
     def __init__(self, path: str = ":memory:"):
         self.path = path
-        self.conn = sqlite3.connect(path)
+        # threadsafety == 3 means the sqlite library serializes access
+        # itself, so the connection may cross threads (the HTTP serving
+        # daemon answers on a batcher thread while /stats reads from
+        # handler threads); on lesser builds keep the loud per-thread
+        # check instead of racing.
+        self.conn = sqlite3.connect(
+            path, check_same_thread=(sqlite3.threadsafety < 3))
         self.conn.execute(
             """CREATE TABLE IF NOT EXISTS songs (
                    song_id INTEGER PRIMARY KEY AUTOINCREMENT,

@@ -1,0 +1,263 @@
+"""HTTP serving daemon: micro-batched recognition, one device dispatch.
+
+The reference's serving story is interactive scripts — a mic capture
+loop (``recognizer.py:355-398``) and per-query DB round trips. A
+production TPU deployment wants the opposite shape: concurrent requests
+gathered into ONE vmapped device program (``match/batched.py``), so the
+chip sees a ``(B, Q)`` batch instead of B serial dispatches (measured:
+benchmarks/exp_qps.py, 310 queries/s/chip at the 95M-hash scale vs
+~90/s serial).
+
+This daemon is that shape over plain HTTP (stdlib only, no deps):
+
+- ``POST /recognize`` — body is a WAV file; replies with the same JSON
+  ``SIA.recognize_samples`` returns.  Mono requests park in a
+  micro-batching queue (``max_batch`` / ``max_wait_ms``) and whole
+  batches are answered from one ``recognize_batch`` call; multi-channel
+  requests run channel-unioned via ``recognize_samples``.
+- ``GET /stats`` — catalog counts + serving counters (requests,
+  batches, largest batch) for observability.
+- ``GET /healthz`` — liveness.
+
+Every SIA/device interaction happens on the single batcher thread —
+HTTP handler threads only decode audio and wait on an event — so the
+engine needs no locking and device programs never interleave.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import tempfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+class _Pending:
+    """One parked request: decoded channels + a completion event."""
+
+    __slots__ = ("channels", "topn", "event", "result", "error")
+
+    def __init__(self, channels: List[np.ndarray], topn: Optional[int]):
+        self.channels = channels
+        self.topn = topn
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[str] = None
+
+
+class MicroBatcher:
+    """Gather concurrent requests into one ``recognize_batch`` dispatch.
+
+    Wakes on the first queued request, then waits up to ``max_wait_ms``
+    (or until ``max_batch``) for companions — the classic serving
+    latency/throughput knob.  Mono clips with one ``topn`` share a
+    batch; anything else (multi-channel, mixed topn) is answered
+    individually on the same thread, so the engine is single-threaded
+    by construction.
+    """
+
+    def __init__(self, sia, max_batch: int = 16, max_wait_ms: float = 10.0):
+        self.sia = sia
+        self.max_batch = int(max_batch)
+        self.max_wait = float(max_wait_ms) / 1000.0
+        self.q: "queue.Queue[_Pending]" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
+                      "max_batch": 0, "errors": 0}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="sia-batcher")
+        self._thread.start()
+
+    def submit(self, p: _Pending) -> None:
+        self.q.put(p)
+
+    def close(self) -> None:
+        self._stop.set()
+        self.q.put(None)  # wake the loop
+        self._thread.join(timeout=5)
+
+    # ---- batcher thread -------------------------------------------------
+    def _collect(self, first: _Pending) -> List[_Pending]:
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                p = self.q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if p is None:
+                break
+            batch.append(p)
+        return batch
+
+    def _answer(self, batch: List[_Pending]) -> None:
+        # batchable: mono, all the same topn
+        mono = [p for p in batch if len(p.channels) == 1]
+        topns = {p.topn for p in mono}
+        if len(mono) > 1 and len(topns) == 1:
+            try:
+                outs = self.sia.recognize_batch(
+                    [p.channels[0] for p in mono], topn=mono[0].topn)
+                for p, out in zip(mono, outs):
+                    p.result = out
+            except Exception as e:  # noqa: BLE001 — reported per request
+                self.stats["errors"] += len(mono)
+                for p in mono:
+                    p.error = f"{type(e).__name__}: {e}"
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += len(mono)
+            self.stats["max_batch"] = max(self.stats["max_batch"], len(mono))
+            rest = [p for p in batch if len(p.channels) != 1]
+        else:
+            rest = batch
+        for p in rest:
+            try:
+                p.result = self.sia.recognize_samples(p.channels, topn=p.topn)
+            except Exception as e:  # noqa: BLE001
+                self.stats["errors"] += 1
+                p.error = f"{type(e).__name__}: {e}"
+        for p in batch:
+            self.stats["requests"] += 1
+            p.event.set()
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            first = self.q.get()
+            if first is None:
+                continue
+            self._answer(self._collect(first))
+
+
+def _make_handler(batcher: MicroBatcher, sia, timeout_s: float):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler API
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._json(200, {"ok": True})
+            elif path == "/stats":
+                counts = sia.catalog.counts()
+                self._json(200, {**counts, **batcher.stats,
+                                 "index_hashes": sia._live_n_hashes()})
+            else:
+                self._json(404, {"error": f"no route {path}"})
+
+        def do_POST(self):  # noqa: N802
+            parsed = urlparse(self.path)
+            if parsed.path != "/recognize":
+                self._json(404, {"error": f"no route {parsed.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length <= 0 or length > 256 << 20:
+                    self._json(400, {"error": "missing or oversized body"})
+                    return
+                raw = self.rfile.read(length)
+                qs = parse_qs(parsed.query)
+                topn = int(qs["topn"][0]) if "topn" in qs else None
+                channels = _decode_wav_bytes(raw)
+            except Exception as e:  # noqa: BLE001 — client error report
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            p = _Pending(channels, topn)
+            batcher.submit(p)
+            if not p.event.wait(timeout=timeout_s):
+                self._json(504, {"error": "recognition timed out"})
+                return
+            if p.error is not None:
+                self._json(500, {"error": p.error})
+            else:
+                self._json(200, p.result)
+
+    def _decode_wav_bytes(raw: bytes) -> List[np.ndarray]:
+        """Spool to a temp file and reuse the one decode path (native
+        loader / WAV parser / ffmpeg all behave exactly as in ingest)."""
+        from .audio.io import read
+
+        fd, tmp = tempfile.mkstemp(suffix=".wav")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(raw)
+            channels, fs, _sha = read(tmp)
+        finally:
+            os.unlink(tmp)
+        if fs != sia.config.sample_rate:
+            raise ValueError(
+                f"sample rate {fs} != config {sia.config.sample_rate}")
+        return channels
+
+    return Handler
+
+
+class RecognitionServer:
+    """Own the HTTP listener + micro-batcher around one SIA engine."""
+
+    def __init__(self, sia, host: str = "127.0.0.1", port: int = 8080,
+                 max_batch: int = 16, max_wait_ms: float = 10.0,
+                 request_timeout_s: float = 120.0):
+        self.sia = sia
+        self.batcher = MicroBatcher(sia, max_batch=max_batch,
+                                    max_wait_ms=max_wait_ms)
+        handler = _make_handler(self.batcher, sia, request_timeout_s)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd.daemon_threads = True
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def serve_forever(self) -> None:
+        try:
+            self.httpd.serve_forever()
+        finally:
+            self.close()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True,
+                             name="sia-http")
+        t.start()
+        return t
+
+    def close(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.close()
+
+
+def warmup(sia, seconds: float = 5.0, batch_sizes=(1, 4, 16)) -> None:
+    """Compile the serving programs before opening the listener.
+
+    One synthetic clip per batch size: first requests then hit cached
+    programs instead of paying the compile (minutes over the TPU
+    tunnel) inside a request's latency budget.
+    """
+    fs = sia.config.sample_rate
+    rng = np.random.default_rng(0)
+    clip = (rng.normal(0, 0.1, int(seconds * fs)) * 32767).astype(np.float32)
+    for b in batch_sizes:
+        if b == 1:
+            sia.recognize_samples([clip])
+        else:
+            sia.recognize_batch([clip] * b)

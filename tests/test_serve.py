@@ -1,0 +1,137 @@
+"""HTTP serving daemon (shazam_tpu/serve.py): micro-batched recognition.
+
+Contract: concurrent mono requests coalesce into ONE recognize_batch
+device dispatch with per-request results identical to recognize_samples;
+multi-channel requests take the channel-union path; errors are reported
+per request, never crossing the batch.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+import urllib.error
+import wave
+
+import numpy as np
+import pytest
+
+from shazam_tpu import SIA
+from shazam_tpu.audio.synth import synth_song
+from shazam_tpu.serve import RecognitionServer
+
+N_SONGS = 4
+DUR = 8.0
+FS = 44100
+
+
+def _wav_bytes(samples: np.ndarray, fs: int = FS) -> bytes:
+    arr = np.asarray(samples).astype(np.int16)
+    if arr.ndim == 1:
+        n_ch, frames = 1, arr
+    else:
+        n_ch, frames = arr.shape[0], arr.T.reshape(-1)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_ch)
+        wf.setsampwidth(2)
+        wf.setframerate(fs)
+        wf.writeframes(frames.tobytes())
+    return buf.getvalue()
+
+
+def _post(url: str, body: bytes, timeout: float = 300.0):
+    req = urllib.request.Request(url, data=body, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server():
+    sia = SIA()
+    sia.ingest_arrays(
+        [(f"s{i}", synth_song(i, duration_s=DUR, seed=31))
+         for i in range(N_SONGS)])
+    srv = RecognitionServer(sia, port=0, max_batch=8, max_wait_ms=400.0,
+                            request_timeout_s=600.0)
+    srv.start_background()
+    yield srv
+    srv.close()
+
+
+def _clip(sid: int, start_s: float = 1.0, secs: float = 5.0):
+    song = synth_song(sid, duration_s=DUR, seed=31)
+    a = int(start_s * FS)
+    return song[a: a + int(secs * FS)]
+
+
+def test_single_request(server):
+    url = f"http://127.0.0.1:{server.port}/recognize?topn=2"
+    code, out = _post(url, _wav_bytes(_clip(1)))
+    assert code == 200
+    assert out["results"][0]["song_name"] == "s1"
+    assert out["total_matches"] > 0
+
+
+def test_concurrent_requests_batch(server):
+    """4 concurrent posts coalesce (max_wait 400 ms) into >=1 shared
+    batch and every clip still gets its own correct top-1."""
+    url = f"http://127.0.0.1:{server.port}/recognize"
+    results = {}
+
+    def hit(sid):
+        code, out = _post(url, _wav_bytes(_clip(sid, start_s=1.5)))
+        results[sid] = (code, out)
+
+    threads = [threading.Thread(target=hit, args=(sid,))
+               for sid in range(N_SONGS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for sid, (code, out) in results.items():
+        assert code == 200
+        assert out["results"][0]["song_name"] == f"s{sid}", (sid, out)
+    assert server.batcher.stats["max_batch"] >= 2  # genuinely micro-batched
+
+
+def test_stereo_channel_union(server):
+    """2-channel requests take the recognize_samples channel-union path."""
+    clip = _clip(2)
+    stereo = np.stack([clip, clip])
+    url = f"http://127.0.0.1:{server.port}/recognize"
+    code, out = _post(url, _wav_bytes(stereo))
+    assert code == 200
+    assert out["results"][0]["song_name"] == "s2"
+
+
+def test_stats_and_health(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/healthz", timeout=30) as r:
+        assert json.loads(r.read())["ok"]
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["n_songs"] == N_SONGS
+    assert stats["requests"] >= 1
+    assert stats["index_hashes"] > 0
+
+
+def test_bad_requests(server):
+    url = f"http://127.0.0.1:{server.port}/recognize"
+    code, out = _post(url, b"not a wav file")
+    assert code == 400 and "error" in out
+
+    # wrong sample rate fails loudly, and doesn't poison the server
+    code, out = _post(url, _wav_bytes(_clip(0), fs=22050))
+    assert code == 400 and "error" in out
+
+    code, out = _post(f"http://127.0.0.1:{server.port}/nope", b"x")
+    assert code == 404
+
+    code, out = _post(url, _wav_bytes(_clip(3)))
+    assert code == 200 and out["results"][0]["song_name"] == "s3"
