@@ -127,8 +127,19 @@ class MicroBatcher:
                 self.stats["errors"] += 1
                 p.error = f"{type(e).__name__}: {e}"
         for p in batch:
+            if p.result is not None and p.result.get("results"):
+                p.result["metadata"] = self._metadata_for(
+                    p.result["results"][0]["song_name"])
             self.stats["requests"] += 1
             p.event.set()
+
+    def _metadata_for(self, song_name):
+        """Top-match metadata, the reference one-shot flow's last step
+        (``recognizer.py:397``); None when the catalog has none."""
+        try:
+            return self.sia.get_metadata(int(song_name))
+        except (TypeError, ValueError):
+            return None
 
     def _loop(self) -> None:
         while not self._stop.is_set():

@@ -74,6 +74,9 @@ def test_single_request(server):
     assert code == 200
     assert out["results"][0]["song_name"] == "s1"
     assert out["total_matches"] > 0
+    # reference one-shot flow ends with a metadata fetch for the top
+    # match (recognizer.py:397); synthetic names carry none
+    assert "metadata" in out and out["metadata"] is None
 
 
 def test_concurrent_requests_batch(server):
