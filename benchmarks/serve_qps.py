@@ -1,0 +1,134 @@
+"""End-to-end HTTP serving benchmark: QPS + latency through serve.py.
+
+benchmarks/exp_qps.py measures the device-side batched matcher in
+isolation; this drives the WHOLE production surface — HTTP listener,
+WAV decode, micro-batching queue, recognize_batch dispatch, JSON
+response — with concurrent closed-loop clients, the number a deployment
+actually sees.  The reference's equivalent end-to-end figure is
+0.34-1.4 s per query (BASELINE.md; one mic clip at a time over a DB
+socket).
+
+Env knobs:
+  SERVE_SONGS   catalog size to synthesize (default 32)
+  SERVE_DUR     seconds per catalog song (default 30)
+  SERVE_CLIP    query clip seconds (default 5)
+  SERVE_CLIENTS concurrent closed-loop clients (default 16)
+  SERVE_REQS    requests per client (default 8)
+  SERVE_MAX_BATCH / SERVE_WAIT_MS   batcher knobs (default 16 / 10)
+
+Latency here includes host RTT to the TPU tunnel; on-chip cost is the
+exp_qps number.  Accuracy is asserted (every clip must top-1 its song).
+"""
+
+import io
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+import wave
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SONGS = int(os.environ.get("SERVE_SONGS", 32))
+DUR = float(os.environ.get("SERVE_DUR", 30.0))
+CLIP = float(os.environ.get("SERVE_CLIP", 5.0))
+CLIENTS = int(os.environ.get("SERVE_CLIENTS", 16))
+REQS = int(os.environ.get("SERVE_REQS", 8))
+MAX_BATCH = int(os.environ.get("SERVE_MAX_BATCH", 16))
+WAIT_MS = float(os.environ.get("SERVE_WAIT_MS", 10.0))
+FS = 44100
+
+
+def _wav_bytes(samples):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(FS)
+        wf.writeframes(np.asarray(samples).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def main():
+    from shazam_tpu import SIA
+    from shazam_tpu.audio.synth import synth_song
+    from shazam_tpu.serve import RecognitionServer, warmup
+
+    print(f"ingesting {SONGS} x {DUR:.0f}s ...", flush=True)
+    sia = SIA()
+    sia.ingest_arrays(
+        [(f"track{i:06d}", synth_song(i, duration_s=DUR, seed=77))
+         for i in range(SONGS)])
+
+    print("warming serving programs ...", flush=True)
+    warmup(sia, seconds=CLIP, max_batch=MAX_BATCH)
+
+    srv = RecognitionServer(sia, port=0, max_batch=MAX_BATCH,
+                            max_wait_ms=WAIT_MS, request_timeout_s=600.0)
+    srv.start_background()
+    url = f"http://127.0.0.1:{srv.port}/recognize?topn=1"
+
+    rng = np.random.default_rng(5)
+    bodies, want = [], []
+    for i in range(CLIENTS * REQS):
+        sid = int(rng.integers(0, SONGS))
+        start = int(rng.integers(0, int((DUR - CLIP) * FS)))
+        song = synth_song(sid, duration_s=DUR, seed=77)
+        bodies.append(_wav_bytes(song[start: start + int(CLIP * FS)]))
+        want.append(f"track{sid:06d}")
+
+    lat, wrong = [], []
+    lock = threading.Lock()
+
+    def client(cid):
+        for r in range(REQS):
+            k = cid * REQS + r
+            t0 = time.time()
+            req = urllib.request.Request(url, data=bodies[k], method="POST")
+            with urllib.request.urlopen(req, timeout=600) as resp:
+                out = json.loads(resp.read())
+            dt = time.time() - t0
+            top = out["results"][0]["song_name"] if out["results"] else None
+            with lock:
+                lat.append(dt)
+                if top != want[k]:
+                    wrong.append((k, want[k], top))
+
+    t0 = time.time()
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(CLIENTS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    srv.close()
+
+    lat = np.array(sorted(lat))
+    n = len(lat)
+    stats = srv.batcher.stats
+    mean_batch = (stats["batched_requests"] / stats["batches"]
+                  if stats["batches"] else 1.0)
+    print(json.dumps({
+        "requests": n,
+        "wrong": len(wrong),
+        "qps": round(n / wall, 1),
+        "latency_p50_ms": round(float(lat[n // 2]) * 1e3, 1),
+        "latency_p95_ms": round(float(lat[int(n * 0.95)]) * 1e3, 1),
+        "mean_batch": round(mean_batch, 2),
+        "batches": stats["batches"],
+        "clients": CLIENTS,
+        "max_batch": MAX_BATCH,
+        "wait_ms": WAIT_MS,
+    }))
+    if wrong:
+        print("WRONG:", wrong[:10])
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

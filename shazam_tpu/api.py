@@ -1294,19 +1294,32 @@ class SIA:
         self,
         clips: Sequence[np.ndarray],
         topn: Optional[int] = None,
+        pad_to_pow2: bool = False,
     ) -> List[Dict]:
         """Recognize many mono clips in one device program (serving path).
 
         All clips are fingerprinted as one fused batch and matched with a
         vmapped query batch — one compile, one dispatch, per-clip results
         identical to ``recognize_samples`` on each clip alone.
+
+        ``pad_to_pow2`` rounds the batch axis up to a power of two with
+        empty dummy clips: every program shape is static in clip count,
+        so a serving deployment with varying micro-batch sizes compiles
+        O(log max_batch) programs instead of one per size (each remote
+        TPU compile costs minutes here) — the dummies cost one masked
+        lane of compute and produce no output rows.
         """
         from .match.batched import match_queries_batched
 
         t0 = time.time()
-        n_clips = len(clips)
-        if n_clips == 0:
+        n_real = len(clips)
+        if n_real == 0:
             return []
+        n_clips = n_real
+        if pad_to_pow2:
+            n_clips = 1
+            while n_clips < n_real:
+                n_clips <<= 1
         blen = max(_bucket_len(len(c)) for c in clips)
         batch = np.zeros((n_clips, blen), np.float32)
         n_valid = np.zeros(n_clips, np.int32)
@@ -1376,14 +1389,14 @@ class SIA:
         retried: Dict[int, Tuple] = {}
         if self._match_tiers()[-1] > self.config.match_capacity:
             clamp = (np.asarray(span_maxes) if span_maxes is not None
-                     else np.asarray(raw.total_rows))
+                     else np.asarray(raw.total_rows))[:n_real]
             for i in np.nonzero(clamp > self.config.match_capacity)[0]:
                 retried[int(i)] = self._match_prepared(
                     queries[i], len(clips[i]), topn=topn)
         query_time = time.time() - t0
 
         out = []
-        for i in range(n_clips):
+        for i in range(n_real):
             t0 = time.time()
             if i in retried:
                 one, cap_i = retried[i]
@@ -1411,14 +1424,14 @@ class SIA:
                 # clips are fingerprinted/matched in ONE device program,
                 # so per-clip stage times are the measured batch times
                 # amortized; the batch totals are reported alongside
-                "fingerprint_time": fingerprint_time / n_clips,
-                "query_time": query_time / n_clips,
+                "fingerprint_time": fingerprint_time / n_real,
+                "query_time": query_time / n_real,
                 "align_time": align_time,
-                "total_time": (fingerprint_time + query_time) / n_clips
+                "total_time": (fingerprint_time + query_time) / n_real
                 + align_time,
                 "batch_fingerprint_time": fingerprint_time,
                 "batch_query_time": query_time,
-                "batch_size": n_clips,
+                "batch_size": n_real,
             })
         return out
 

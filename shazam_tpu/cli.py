@@ -151,7 +151,7 @@ def cmd_serve(args):
     sia = _open_sia(args, need_index=True)
     if args.warmup:
         print("warming serving programs...", flush=True)
-        warmup(sia, seconds=args.warmup)
+        warmup(sia, seconds=args.warmup, max_batch=args.max_batch)
     server = RecognitionServer(
         sia, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,

@@ -106,8 +106,12 @@ class MicroBatcher:
         topns = {p.topn for p in mono}
         if len(mono) > 1 and len(topns) == 1:
             try:
+                # pad_to_pow2: varying micro-batch sizes must not each
+                # compile a fresh device program (minutes per remote
+                # TPU compile) — O(log max_batch) shapes total
                 outs = self.sia.recognize_batch(
-                    [p.channels[0] for p in mono], topn=mono[0].topn)
+                    [p.channels[0] for p in mono], topn=mono[0].topn,
+                    pad_to_pow2=True)
                 for p, out in zip(mono, outs):
                     p.result = out
             except Exception as e:  # noqa: BLE001 — reported per request
@@ -257,18 +261,20 @@ class RecognitionServer:
         self.batcher.close()
 
 
-def warmup(sia, seconds: float = 5.0, batch_sizes=(1, 4, 16)) -> None:
+def warmup(sia, seconds: float = 5.0, max_batch: int = 16) -> None:
     """Compile the serving programs before opening the listener.
 
-    One synthetic clip per batch size: first requests then hit cached
-    programs instead of paying the compile (minutes over the TPU
-    tunnel) inside a request's latency budget.
+    One synthetic clip per power-of-two batch size (the only sizes the
+    batcher dispatches, via ``pad_to_pow2``) plus the single-query
+    path: first requests then hit cached programs instead of paying the
+    compile (minutes over the TPU tunnel) inside a request's latency
+    budget.
     """
     fs = sia.config.sample_rate
     rng = np.random.default_rng(0)
     clip = (rng.normal(0, 0.1, int(seconds * fs)) * 32767).astype(np.float32)
-    for b in batch_sizes:
-        if b == 1:
-            sia.recognize_samples([clip])
-        else:
-            sia.recognize_batch([clip] * b)
+    sia.recognize_samples([clip])
+    b = 2
+    while b <= max_batch:
+        sia.recognize_batch([clip] * b, pad_to_pow2=True)
+        b <<= 1

@@ -44,6 +44,25 @@ def test_batched_empty():
     assert sia.recognize_batch([]) == []
 
 
+def test_batched_pad_to_pow2(engine):
+    """Padding the clip axis to a power of two (serving compile
+    stability) must not change any real clip's result, and must emit
+    exactly len(clips) outputs."""
+    clips = []
+    for sid in range(3):
+        song = synth_song(sid, duration_s=DUR, seed=11)
+        start = int((1.0 + sid) * 44100)
+        clips.append(song[start : start + 5 * 44100])
+
+    plain = engine.recognize_batch(clips, topn=3)
+    padded = engine.recognize_batch(clips, topn=3, pad_to_pow2=True)
+    assert len(padded) == 3
+    for a, b in zip(plain, padded):
+        assert a["results"] == b["results"]
+        assert a["total_matches"] == b["total_matches"]
+        assert b["batch_size"] == 3
+
+
 @pytest.mark.parametrize("span_rows", [0, 4096])
 def test_batched_overflow_escalates(tmp_path, span_rows):
     """A clip whose expansion clamps the base tier must re-run alone
