@@ -430,3 +430,18 @@ def test_consolidated_save_load(tmp_path):
     back.consolidate()
     assert back.is_stacked
     _index_equal(back.to_host(), flat)
+
+
+def test_empty_spanned_save_load(tmp_path):
+    """An empty spanned store round-trips (no span entries in the file)
+    and stays usable for ingest after load."""
+    from shazam_tpu.index.devmerge import SpannedDeviceStore
+
+    store = SpannedDeviceStore(span_rows=4096)
+    path = str(tmp_path / "empty.npz")
+    store.save(path)
+    back = SpannedDeviceStore.load(path)
+    assert back.n_valid == 0
+    assert back.to_host().n_hashes == 0
+    flat = SpannedDeviceStore.load_flat(path)
+    assert flat.n_hashes == 0
