@@ -149,6 +149,8 @@ def cmd_serve(args):
     from .serve import RecognitionServer, warmup
 
     sia = _open_sia(args, need_index=True)
+    if args.consolidate:
+        sia.consolidate_index()
     if args.warmup:
         print("warming serving programs...", flush=True)
         warmup(sia, seconds=args.warmup, max_batch=args.max_batch)
@@ -265,6 +267,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--span-rows", type=int, default=0,
                    help="serve as bounded sorted spans (implies "
                         "--device-resident; required past ~150M hashes)")
+    s.add_argument("--consolidate", action="store_true",
+                   help="stack spanned stores into the vmapped serving "
+                        "layout (faster queries; the store becomes "
+                        "read-only)")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("synth", help="generate a deterministic WAV corpus")

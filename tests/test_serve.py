@@ -138,3 +138,25 @@ def test_bad_requests(server):
 
     code, out = _post(url, _wav_bytes(_clip(3)))
     assert code == 200 and out["results"][0]["song_name"] == "s3"
+
+
+def test_serve_spanned_consolidated(tmp_path):
+    """The daemon serves a consolidated spanned store (the production
+    layout for beyond-one-sort catalogs)."""
+    sia = SIA(device_span_rows=4096)
+    sia.ingest_arrays(
+        [(f"s{i}", synth_song(i, duration_s=DUR, seed=31))
+         for i in range(2)])
+    sia.consolidate_index()
+    assert sia._dev_store.is_stacked
+
+    srv = RecognitionServer(sia, port=0, max_batch=4, max_wait_ms=50.0,
+                            request_timeout_s=600.0)
+    srv.start_background()
+    try:
+        code, out = _post(
+            f"http://127.0.0.1:{srv.port}/recognize", _wav_bytes(_clip(1)))
+        assert code == 200
+        assert out["results"][0]["song_name"] == "s1"
+    finally:
+        srv.close()
