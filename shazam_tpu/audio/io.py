@@ -90,8 +90,48 @@ def probe(path: str) -> Optional[Tuple[int, int, int]]:
         return None
 
 
+def _read_float_wav(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int, int]:
+    """IEEE-float WAV fallback: stdlib ``wave`` rejects fmt tag 3, so
+    parse the RIFF chunks directly (the native loader handles these too;
+    this keeps the pure-Python path at parity when it isn't built)."""
+    with open(path, "rb") as fh:
+        riff = fh.read()
+    if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+        raise ValueError(f"{path}: not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(riff):
+        cid = riff[pos: pos + 4]
+        size = struct.unpack_from("<I", riff, pos + 4)[0]
+        body = riff[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    tag, n_channels, fs, _br, _ba, bits = fmt
+    if tag != 3 or bits != 32:
+        raise ValueError(
+            f"{path}: unsupported WAV format tag {tag} / {bits} bits")
+    f = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4")
+    if limit is not None:
+        f = f[: int(limit * fs) * n_channels]
+    out = np.clip(f * 32768.0, -32768, 32767).astype(np.int16)
+    return out, fs, n_channels
+
+
 def _read_wav(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int, int]:
     """Decode a PCM/float WAV into an interleaved int16 array + sample rate."""
+    try:
+        return _read_pcm_wav(path, limit)
+    except wave.Error as e:
+        if "unknown format: 3" in str(e):
+            return _read_float_wav(path, limit)
+        raise
+
+
+def _read_pcm_wav(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int, int]:
     with wave.open(path, "rb") as wf:
         n_channels = wf.getnchannels()
         fs = wf.getframerate()
