@@ -87,6 +87,28 @@ def probe(path: str) -> Optional[Tuple[int, int, int]]:
         with wave.open(path, "rb") as wf:
             return wf.getnchannels(), wf.getframerate(), wf.getnframes()
     except Exception:
+        pass
+    try:
+        # IEEE-float WAVs (stdlib wave rejects fmt tag 3): header scan
+        with open(path, "rb") as fh:
+            riff = fh.read(1 << 16)
+        if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            return None
+        pos, fmt, data_size = 12, None, None
+        while pos + 8 <= len(riff):
+            cid = riff[pos: pos + 4]
+            size = struct.unpack_from("<I", riff, pos + 4)[0]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", riff, pos + 8)
+            elif cid == b"data":
+                data_size = size
+                break  # need no bytes past the data header
+            pos += 8 + size + (size & 1)
+        if fmt is None or data_size is None or fmt[0] != 3 or fmt[5] != 32:
+            return None
+        n_ch, fs = fmt[1], fmt[2]
+        return n_ch, fs, data_size // (4 * n_ch)
+    except Exception:
         return None
 
 

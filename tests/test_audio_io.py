@@ -103,3 +103,17 @@ def test_limit_respected_float(tmp_path):
     import shazam_tpu.audio.io as io_mod
     data, fs, n_ch = io_mod._read_float_wav(p, limit=1e-3)
     assert len(data) == int(1e-3 * 44100)
+
+
+def test_probe_float_wav(tmp_path, monkeypatch):
+    """probe() must size float WAVs header-only (ingest batch planning)
+    even without the native loader."""
+    from shazam_tpu import native
+    from shazam_tpu.audio.io import probe
+
+    payload, sw, tag = _encode(X, "f32")
+    p = str(tmp_path / "probe.wav")
+    _wav_raw(p, payload, 44100, 1, sw, tag)
+    monkeypatch.setattr(native, "wav_info", lambda *a, **k: None,
+                        raising=False)
+    assert probe(p) == (1, 44100, len(X))
