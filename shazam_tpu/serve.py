@@ -153,7 +153,8 @@ class MicroBatcher:
             self._answer(self._collect(first))
 
 
-def _make_handler(batcher: MicroBatcher, sia, timeout_s: float):
+def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
+                  max_clip_seconds: float = 60.0):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -221,6 +222,12 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float):
         if fs != sia.config.sample_rate:
             raise ValueError(
                 f"sample rate {fs} != config {sia.config.sample_rate}")
+        if len(channels[0]) > max_clip_seconds * fs:
+            # every new length bucket compiles a fresh device program
+            # (minutes over the TPU tunnel) — cap what one request can
+            # force; warmup covers the buckets below the cap
+            raise ValueError(
+                f"clip exceeds max_clip_seconds={max_clip_seconds:g}")
         return channels
 
     return Handler
@@ -231,11 +238,13 @@ class RecognitionServer:
 
     def __init__(self, sia, host: str = "127.0.0.1", port: int = 8080,
                  max_batch: int = 16, max_wait_ms: float = 10.0,
-                 request_timeout_s: float = 120.0):
+                 request_timeout_s: float = 120.0,
+                 max_clip_seconds: float = 60.0):
         self.sia = sia
         self.batcher = MicroBatcher(sia, max_batch=max_batch,
                                     max_wait_ms=max_wait_ms)
-        handler = _make_handler(self.batcher, sia, request_timeout_s)
+        handler = _make_handler(self.batcher, sia, request_timeout_s,
+                                max_clip_seconds)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
 

@@ -136,6 +136,12 @@ def test_bad_requests(server):
     code, out = _post(f"http://127.0.0.1:{server.port}/nope", b"x")
     assert code == 404
 
+    # over-length clips are rejected before any device work (each new
+    # length bucket would compile a fresh program)
+    long_clip = np.tile(_clip(0), 20)  # 100 s > 60 s cap
+    code, out = _post(url, _wav_bytes(long_clip))
+    assert code == 400 and "max_clip_seconds" in out["error"]
+
     code, out = _post(url, _wav_bytes(_clip(3)))
     assert code == 200 and out["results"][0]["song_name"] == "s3"
 
