@@ -126,3 +126,69 @@ class ShardedCatalog:
             "n_hashes": self.index.n_hashes,
             "delta_range": self._delta_range_for(1024),
         }
+
+
+class ShardedRecognizer:
+    """SIA-shaped recognition over a ``ShardedCatalog``.
+
+    The duck type ``serve.RecognitionServer`` consumes (``recognize_
+    samples`` / ``recognize_batch`` / ``get_metadata`` / ``config`` /
+    ``catalog``), so the HTTP daemon can front a mesh-sharded catalog:
+    fingerprinting runs the standard single-device pipeline (an internal
+    index-less ``SIA`` supplies the fused path + exact fallback), and
+    every match already spans the mesh — per-query parallelism is ACROSS
+    shards, so ``recognize_batch`` is a loop rather than a vmap (the
+    chips are busy either way).
+    """
+
+    def __init__(self, cat: ShardedCatalog):
+        from ..api import SIA  # lazy: api is a higher layer
+
+        self.cat = cat
+        self.config = cat.config
+        self.catalog = cat.catalog
+        self._fp = SIA(config=cat.config)  # fingerprint-only engine
+
+    # ---- the serve.RecognitionServer engine surface --------------------
+    def _live_n_hashes(self) -> int:
+        return self.cat.index.n_hashes
+
+    def get_metadata(self, track_id: int):
+        return self.catalog.get_metadata(track_id) if self.catalog else None
+
+    def recognize_samples(self, channels, topn: Optional[int] = None,
+                          early_exit: bool = False) -> Dict:
+        import time
+
+        from ..match.prepare import prepare_query
+
+        t0 = time.time()
+        channels = [np.asarray(ch) for ch in channels if len(ch)]
+        if not channels:
+            return {
+                "results": [], "total_matches": 0, "overflowed": False,
+                "input_hashes": 0, "fingerprint_time": 0.0,
+                "query_time": 0.0, "align_time": 0.0, "total_time": 0.0,
+            }
+        fps = [self._fp._fingerprint_channel(ch) for ch in channels]
+        q = prepare_query(fps)
+        jax.block_until_ready(fps[-1].hi)
+        fingerprint_time = time.time() - t0
+
+        t0 = time.time()
+        matched = self.cat.match(q, topn=topn)  # align included
+        query_time = time.time() - t0
+        return {
+            "results": matched.results,
+            "total_matches": matched.total_matches,
+            "overflowed": matched.overflowed,
+            "input_hashes": q.n_pairs,
+            "fingerprint_time": fingerprint_time,
+            "query_time": query_time,
+            "align_time": 0.0,
+            "total_time": fingerprint_time + query_time,
+        }
+
+    def recognize_batch(self, clips, topn: Optional[int] = None,
+                        pad_to_pow2: bool = False):
+        return [self.recognize_samples([c], topn=topn) for c in clips]

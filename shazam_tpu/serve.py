@@ -174,7 +174,8 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
             if path == "/healthz":
                 self._json(200, {"ok": True})
             elif path == "/stats":
-                counts = sia.catalog.counts()
+                catalog = getattr(sia, "catalog", None)
+                counts = catalog.counts() if catalog is not None else {}
                 self._json(200, {**counts, **batcher.stats,
                                  "index_hashes": sia._live_n_hashes()})
             else:

@@ -48,3 +48,46 @@ def test_sharded_catalog_serves(engine, dense_limit):
     assert top["offset"] == ref["offset"]
     assert top["hashes_matched_in_input"] == ref["hashes_matched_in_input"]
     assert matched.total_matches == single["total_matches"]
+
+
+def test_sharded_recognizer_serves_http(engine):
+    """ShardedRecognizer is a drop-in serve engine: clips posted over
+    HTTP match across the mesh with SIA-identical results."""
+    import json
+    import urllib.request
+
+    from shazam_tpu.parallel.mesh import make_mesh
+    from shazam_tpu.parallel.serving import ShardedCatalog, ShardedRecognizer
+    from shazam_tpu.serve import RecognitionServer
+    from tests.test_serve import _wav_bytes
+
+    mesh = make_mesh(8)
+    sc = ShardedCatalog(engine.index, mesh=mesh, catalog=engine.catalog,
+                        config=engine.config)
+    rec = ShardedRecognizer(sc)
+    song = synth_song(2, duration_s=DUR, seed=31)
+    clip = song[int(1.5 * 44100): int(6.5 * 44100)]
+
+    direct = rec.recognize_samples([clip], topn=3)
+    single = engine.recognize_samples([clip], topn=3)
+    assert (direct["results"][0]["song_name"]
+            == single["results"][0]["song_name"])
+    assert direct["total_matches"] == single["total_matches"]
+
+    srv = RecognitionServer(rec, port=0, max_batch=4, max_wait_ms=50.0,
+                            request_timeout_s=600.0)
+    srv.start_background()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/recognize?topn=3",
+            data=_wav_bytes(clip), method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        assert (out["results"][0]["song_name"]
+                == single["results"][0]["song_name"])
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["index_hashes"] == engine.index.n_hashes
+    finally:
+        srv.close()
