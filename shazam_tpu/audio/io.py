@@ -89,27 +89,41 @@ def probe(path: str) -> Optional[Tuple[int, int, int]]:
     except Exception:
         pass
     try:
-        # IEEE-float WAVs (stdlib wave rejects fmt tag 3): header scan
+        # IEEE-float WAVs (stdlib wave rejects fmt tag 3): header-only
+        # scan — 1 MB covers any sane metadata before the data chunk
         with open(path, "rb") as fh:
-            riff = fh.read(1 << 16)
-        if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            scan = _riff_scan(fh.read(1 << 20))
+        if scan is None or scan[0][0] != 3 or scan[0][5] != 32:
             return None
-        pos, fmt, data_size = 12, None, None
-        while pos + 8 <= len(riff):
-            cid = riff[pos: pos + 4]
-            size = struct.unpack_from("<I", riff, pos + 4)[0]
-            if cid == b"fmt ":
-                fmt = struct.unpack_from("<HHIIHH", riff, pos + 8)
-            elif cid == b"data":
-                data_size = size
-                break  # need no bytes past the data header
-            pos += 8 + size + (size & 1)
-        if fmt is None or data_size is None or fmt[0] != 3 or fmt[5] != 32:
-            return None
-        n_ch, fs = fmt[1], fmt[2]
+        (_, n_ch, fs, _br, _ba, _bits), _off, data_size = scan
         return n_ch, fs, data_size // (4 * n_ch)
     except Exception:
         return None
+
+
+def _riff_scan(blob: bytes):
+    """(fmt, data_offset, data_size) from RIFF/WAVE bytes, or None.
+
+    ``fmt`` = (tag, n_channels, fs, byte_rate, block_align, bits).
+    ``blob`` may be a truncated prefix as long as it reaches the data
+    chunk HEADER — the body needn't be present (header-only ``probe``).
+    The ONE chunk walk shared by probe and decode: float-WAV handling
+    must not drift between two hand-rolled parsers.
+    """
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, fmt = 12, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos: pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        if cid == b"fmt " and pos + 8 + 16 <= len(blob):
+            fmt = struct.unpack_from("<HHIIHH", blob, pos + 8)
+        elif cid == b"data":
+            if fmt is None:
+                return None
+            return fmt, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return None
 
 
 def _read_float_wav(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int, int]:
@@ -118,24 +132,15 @@ def _read_float_wav(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int,
     this keeps the pure-Python path at parity when it isn't built)."""
     with open(path, "rb") as fh:
         riff = fh.read()
-    if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
-        raise ValueError(f"{path}: not a RIFF/WAVE file")
-    pos, fmt, data = 12, None, None
-    while pos + 8 <= len(riff):
-        cid = riff[pos: pos + 4]
-        size = struct.unpack_from("<I", riff, pos + 4)[0]
-        body = riff[pos + 8: pos + 8 + size]
-        if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
-        elif cid == b"data":
-            data = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt is None or data is None:
-        raise ValueError(f"{path}: missing fmt/data chunk")
+    scan = _riff_scan(riff)
+    if scan is None:
+        raise ValueError(f"{path}: not a RIFF/WAVE file with fmt+data")
+    fmt, off, size = scan
     tag, n_channels, fs, _br, _ba, bits = fmt
     if tag != 3 or bits != 32:
         raise ValueError(
             f"{path}: unsupported WAV format tag {tag} / {bits} bits")
+    data = riff[off: off + size]
     f = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4")
     if limit is not None:
         f = f[: int(limit * fs) * n_channels]

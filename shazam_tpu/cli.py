@@ -153,10 +153,15 @@ def cmd_serve(args):
         sia.consolidate_index()
     if args.warmup:
         print("warming serving programs...", flush=True)
-        warmup(sia, seconds=args.warmup, max_batch=args.max_batch)
+        extra = [float(s) for s in args.warm_lengths.split(",") if s] \
+            if args.warm_lengths else []
+        warmup(sia, seconds=args.warmup, max_batch=args.max_batch,
+               clip_lengths=extra)
     server = RecognitionServer(
         sia, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        request_timeout_s=args.request_timeout,
+        max_clip_seconds=args.max_clip_seconds,
     )
     print(json.dumps({"serving": f"http://{args.host}:{server.port}",
                       "songs": sia.catalog.counts()["n_songs"],
@@ -262,6 +267,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--warmup", type=float, default=5.0, metavar="SECONDS",
                    help="pre-compile serving programs with clips this long "
                         "(0 disables)")
+    s.add_argument("--warm-lengths", default="", metavar="S1,S2,...",
+                   help="additional clip durations to pre-compile (each "
+                        "distinct length bucket is a distinct program)")
+    s.add_argument("--request-timeout", type=float, default=600.0,
+                   help="seconds a request waits for its result (cover a "
+                        "cold remote compile: minutes on the TPU tunnel)")
+    s.add_argument("--max-clip-seconds", type=float, default=60.0,
+                   help="reject clips longer than this before any device "
+                        "work (each new length bucket compiles a program)")
     s.add_argument("--device-resident", action="store_true",
                    help="serve the index from device HBM")
     s.add_argument("--span-rows", type=int, default=0,

@@ -22,19 +22,41 @@ from __future__ import annotations
 import sqlite3
 from typing import Dict, List, Optional
 
+_SERIALIZED: Optional[bool] = None
+
+
+def _sqlite_serialized() -> bool:
+    """True when the linked SQLite was built THREADSAFE=1 (serialized)."""
+    global _SERIALIZED
+    if _SERIALIZED is None:
+        try:
+            probe = sqlite3.connect(":memory:")
+            row = probe.execute(
+                "SELECT compile_options FROM pragma_compile_options"
+                " WHERE compile_options LIKE 'THREADSAFE=%'"
+            ).fetchone()
+            probe.close()
+            _SERIALIZED = bool(row) and row[0] == "THREADSAFE=1"
+        except Exception:
+            _SERIALIZED = False  # unknown build: keep the loud check
+    return _SERIALIZED
+
 
 class SongCatalog:
     """sqlite3-backed songs/metadata catalog with reference semantics."""
 
     def __init__(self, path: str = ":memory:"):
         self.path = path
-        # threadsafety == 3 means the sqlite library serializes access
-        # itself, so the connection may cross threads (the HTTP serving
-        # daemon answers on a batcher thread while /stats reads from
-        # handler threads); on lesser builds keep the loud per-thread
-        # check instead of racing.
+        # A serialized SQLite build (THREADSAFE=1, the default) locks
+        # around every connection use, so the connection may cross
+        # threads (the HTTP serving daemon answers on a batcher thread
+        # while /stats reads from handler threads).  Probe the actual
+        # compile option: sqlite3.threadsafety is hardcoded to 1 on
+        # Python <= 3.10 regardless of the library build, so gating on
+        # it would break serving there.  Non-serialized builds keep the
+        # loud per-thread check instead of racing.
         self.conn = sqlite3.connect(
-            path, check_same_thread=(sqlite3.threadsafety < 3))
+            path, check_same_thread=not _sqlite_serialized())
         self.conn.execute(
             """CREATE TABLE IF NOT EXISTS songs (
                    song_id INTEGER PRIMARY KEY AUTOINCREMENT,

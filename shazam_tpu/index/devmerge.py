@@ -163,6 +163,31 @@ def _capacity(n: int) -> int:
     return c
 
 
+_DOWNLOAD_CHUNK = 1 << 24  # rows (64 MB) per device->host transfer
+
+
+def _download_prefix(col, n_valid: int) -> np.ndarray:
+    """Fetch a column's valid prefix in bounded transfers.
+
+    The axon tunnel occasionally faults on multi-hundred-MB single
+    transfers (seen at 256 MB in benchmarks/devmerge_scale.py); one
+    jitted dynamic_slice per column shape keeps every transfer at
+    64 MB with O(log) compiled programs.
+    """
+    n = int(n_valid)
+    chunk = _DOWNLOAD_CHUNK
+    if n <= chunk:
+        return np.asarray(col[:n] if n < col.shape[0] else col)
+    parts = []
+    start = 0
+    while start < n:
+        s = min(start, n - chunk)   # last chunk backs up to cover n
+        part = np.asarray(_fetch_chunk(col, jnp.int32(s), chunk))
+        parts.append(part[start - s:])
+        start = s + chunk
+    return np.concatenate(parts)[:n]
+
+
 def _stride_for(max_offset: int, n_songs: int) -> int:
     """Packing stride, same rule as ``FingerprintIndex.offset_stride``."""
     stride = 1
@@ -341,28 +366,8 @@ class DeviceIndex:
             self.cols = lax.sort(self.cols, num_keys=len(self.cols))
             self._unsorted = False
 
-    _DOWNLOAD_CHUNK = 1 << 24  # rows (64 MB) per device->host transfer
-
     def _download(self, col) -> np.ndarray:
-        """Fetch the valid prefix of a column in bounded transfers.
-
-        The axon tunnel occasionally faults on multi-hundred-MB single
-        transfers (seen at 256 MB in benchmarks/devmerge_scale.py); one
-        jitted dynamic_slice per column shape keeps every transfer at
-        64 MB with O(log) compiled programs.
-        """
-        n = self.n_valid
-        chunk = self._DOWNLOAD_CHUNK
-        if n <= chunk:
-            return np.asarray(col[:n] if n < col.shape[0] else col)
-        parts = []
-        start = 0
-        while start < n:
-            s = min(start, n - chunk)   # last chunk backs up to cover n
-            part = np.asarray(_fetch_chunk(col, jnp.int32(s), chunk))
-            parts.append(part[start - s:])
-            start = s + chunk
-        return np.concatenate(parts)[:n]
+        return _download_prefix(col, self.n_valid)
 
     # ---- consumption --------------------------------------------------
     def query_cols(self) -> Tuple:
@@ -643,10 +648,8 @@ class SpannedDeviceStore:
             [self.span_rows, self.stride, self.n_songs, self.max_offset],
             np.int64)}
         for i, (cols, nv) in enumerate(self._live_span_views()):
-            tmp = DeviceIndex(cols, nv, self.n_songs, self.max_offset,
-                              self.stride)
             for name, col in zip(self._COL_NAMES, cols):
-                payload[f"s{i:05d}_{name}"] = tmp._download(col)
+                payload[f"s{i:05d}_{name}"] = _download_prefix(col, nv)
         np.savez(path, **payload)
 
     @classmethod

@@ -100,6 +100,16 @@ class MicroBatcher:
             batch.append(p)
         return batch
 
+    def _finish(self, p: _Pending) -> None:
+        """Attach metadata and release the waiter — called per request
+        the moment its result exists, so batched answers never wait on
+        slower requests from the same collection round."""
+        if p.result is not None and p.result.get("results"):
+            p.result["metadata"] = self._metadata_for(
+                p.result["results"][0]["song_name"])
+        self.stats["requests"] += 1
+        p.event.set()
+
     def _answer(self, batch: List[_Pending]) -> None:
         # batchable: mono, all the same topn
         mono = [p for p in batch if len(p.channels) == 1]
@@ -121,6 +131,8 @@ class MicroBatcher:
             self.stats["batches"] += 1
             self.stats["batched_requests"] += len(mono)
             self.stats["max_batch"] = max(self.stats["max_batch"], len(mono))
+            for p in mono:
+                self._finish(p)
             rest = [p for p in batch if len(p.channels) != 1]
         else:
             rest = batch
@@ -130,19 +142,16 @@ class MicroBatcher:
             except Exception as e:  # noqa: BLE001
                 self.stats["errors"] += 1
                 p.error = f"{type(e).__name__}: {e}"
-        for p in batch:
-            if p.result is not None and p.result.get("results"):
-                p.result["metadata"] = self._metadata_for(
-                    p.result["results"][0]["song_name"])
-            self.stats["requests"] += 1
-            p.event.set()
+            self._finish(p)
 
     def _metadata_for(self, song_name):
         """Top-match metadata, the reference one-shot flow's last step
-        (``recognizer.py:397``); None when the catalog has none."""
+        (``recognizer.py:397``); None when the catalog has none or the
+        lookup fails (a transient sqlite error must not kill the
+        batcher or withhold an already-computed match)."""
         try:
             return self.sia.get_metadata(int(song_name))
-        except (TypeError, ValueError):
+        except Exception:  # noqa: BLE001 — metadata is best-effort
             return None
 
     def _loop(self) -> None:
@@ -150,7 +159,18 @@ class MicroBatcher:
             first = self.q.get()
             if first is None:
                 continue
-            self._answer(self._collect(first))
+            batch = self._collect(first)
+            try:
+                self._answer(batch)
+            except Exception as e:  # noqa: BLE001 — the batcher thread
+                # must survive anything: a dead consumer turns every
+                # future request into a silent timeout
+                for p in batch:
+                    if not p.event.is_set():
+                        self.stats["errors"] += 1
+                        p.error = f"{type(e).__name__}: {e}"
+                        self.stats["requests"] += 1
+                        p.event.set()
 
 
 def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
@@ -226,7 +246,9 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
         if len(channels[0]) > max_clip_seconds * fs:
             # every new length bucket compiles a fresh device program
             # (minutes over the TPU tunnel) — cap what one request can
-            # force; warmup covers the buckets below the cap
+            # force, and warm the durations you actually accept
+            # (warmup(clip_lengths=...)); set the cap to your clip
+            # policy so a stray upload can't stall the batcher
             raise ValueError(
                 f"clip exceeds max_clip_seconds={max_clip_seconds:g}")
         return channels
@@ -271,20 +293,36 @@ class RecognitionServer:
         self.batcher.close()
 
 
-def warmup(sia, seconds: float = 5.0, max_batch: int = 16) -> None:
+def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
+           clip_lengths=()) -> None:
     """Compile the serving programs before opening the listener.
 
-    One synthetic clip per power-of-two batch size (the only sizes the
-    batcher dispatches, via ``pad_to_pow2``) plus the single-query
-    path: first requests then hit cached programs instead of paying the
-    compile (minutes over the TPU tunnel) inside a request's latency
-    budget.
+    One clip per power-of-two batch size up to the pow2 CEILING of
+    ``max_batch`` (the batcher pads every micro-batch to the next power
+    of two, so a max_batch of 12 still dispatches shape 16), plus the
+    single-query path: first requests then hit cached programs instead
+    of paying the compile (minutes over the TPU tunnel) inside a
+    request's latency budget.
+
+    The warm clip is a synthetic SONG (dense constellation), so the
+    query-pair count lands in the bucket real music uses — noise would
+    warm a smaller pair bucket and real requests would still compile.
+    ``clip_lengths`` warms additional clip durations: each distinct
+    length bucket a deployment accepts is a distinct program, so warm
+    every duration your clients send (or set ``max_clip_seconds`` to
+    your policy and warm just that).
     """
+    from .audio.synth import synth_song
+
     fs = sia.config.sample_rate
-    rng = np.random.default_rng(0)
-    clip = (rng.normal(0, 0.1, int(seconds * fs)) * 32767).astype(np.float32)
-    sia.recognize_samples([clip])
-    b = 2
-    while b <= max_batch:
-        sia.recognize_batch([clip] * b, pad_to_pow2=True)
-        b <<= 1
+    pow2_cap = 1
+    while pow2_cap < max_batch:
+        pow2_cap <<= 1
+    for secs in (seconds, *clip_lengths):
+        clip = synth_song(0, duration_s=secs + 1.0, seed=123)[: int(secs * fs)]
+        clip = clip.astype(np.float32)
+        sia.recognize_samples([clip])
+        b = 2
+        while b <= pow2_cap:
+            sia.recognize_batch([clip] * min(b, max_batch), pad_to_pow2=True)
+            b <<= 1
