@@ -166,3 +166,37 @@ def test_serve_spanned_consolidated(tmp_path):
         assert out["results"][0]["song_name"] == "s1"
     finally:
         srv.close()
+
+
+def test_batcher_survives_engine_errors(server):
+    """A raising engine must produce per-request 500s, not a dead
+    batcher thread (every later request would 504 silently)."""
+    sia = server.sia
+    orig = sia.recognize_batch
+
+    def boom(*a, **k):
+        raise RuntimeError("transient device fault")
+
+    sia.recognize_batch = boom
+    try:
+        url = f"http://127.0.0.1:{server.port}/recognize"
+        results = {}
+
+        def hit(i):
+            results[i] = _post(url, _wav_bytes(_clip(i, start_s=2.0)))
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in (0, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # batched path raised -> per-request errors (if the two posts
+        # didn't coalesce, they took recognize_samples and succeeded —
+        # either way nothing hangs and the server stays up)
+        for code, out in results.values():
+            assert code in (200, 500)
+    finally:
+        sia.recognize_batch = orig
+
+    code, out = _post(url, _wav_bytes(_clip(1)))
+    assert code == 200 and out["results"][0]["song_name"] == "s1"
