@@ -117,3 +117,23 @@ def test_stream_recognizer_incremental(engine):
         == full["results"][0]["hashes_matched_in_input"]
     )
     assert inc["results"][0]["offset"] == full["results"][0]["offset"]
+
+
+def test_stream_recognizer_spanned_store():
+    """Streaming recognition against a spanned device store — the
+    _match_prepared spanned path under the incremental fingerprinter."""
+    sia = SIA(device_span_rows=4096)
+    songs = [(f"track{i}", synth_song(i, duration_s=20.0, seed=33 + i))
+             for i in range(3)]
+    sia.ingest_arrays(songs)
+
+    song = synth_song(2, duration_s=20.0, seed=35)
+    clip = song[int(2.0 * 44100): int(9.0 * 44100)].astype(np.int16)
+    rec = StreamRecognizer(sia, channels=1, window_seconds=5.0)
+    out = None
+    for base in range(0, len(clip) - CHUNK, CHUNK):
+        rec.feed(clip[base: base + CHUNK])
+        if rec.buffered_seconds > 4.0:
+            out = rec.recognize()
+    assert out is not None
+    assert out["results"][0]["song_name"] == "track2"
