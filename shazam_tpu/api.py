@@ -341,13 +341,7 @@ class SIA:
         def fp_of(rows_dev, nv, cap, fn=None):
             return (fn or batch_fn)(
                 rows_dev, jnp.asarray(np.asarray(nv, np.int32)),
-                fs=self.config.sample_rate, wsize=self.config.window_size,
-                hop=self.config.hop, amp_min=self.config.amp_min,
-                radius=self.config.peak_neighborhood_size,
-                fan_value=self.config.fan_value,
-                min_dt=self.config.min_hash_time_delta,
-                max_dt=self.config.max_hash_time_delta,
-                peak_capacity=cap,
+                **self._fp_kwargs(peak_capacity=cap),
             )
 
         fp = fp_of(samples, n_valid_samples, peak_cap)
@@ -616,13 +610,7 @@ class SIA:
                     one = jax.device_get(fingerprint_samples(
                         jnp.asarray(batch_np[row], dtype=np.float32),
                         jnp.int32(int(_n)),
-                        fs=fs_cfg, wsize=self.config.window_size,
-                        hop=self.config.hop, amp_min=self.config.amp_min,
-                        radius=self.config.peak_neighborhood_size,
-                        fan_value=self.config.fan_value,
-                        min_dt=self.config.min_hash_time_delta,
-                        max_dt=self.config.max_hash_time_delta,
-                        peak_capacity=2 * peak_cap,
+                        **self._fp_kwargs(peak_capacity=2 * peak_cap),
                     ))
                     stats["fallbacks"] = stats.get("fallbacks", 0) + 1
                     if int(one.n_peaks) > 2 * peak_cap:
@@ -650,13 +638,7 @@ class SIA:
                     batch_dev = batch_dev.astype(jnp.float32)
                 fp_dev = batch_fn(
                     batch_dev, jnp.asarray(n_valid),
-                    fs=fs_cfg, wsize=self.config.window_size,
-                    hop=self.config.hop, amp_min=self.config.amp_min,
-                    radius=self.config.peak_neighborhood_size,
-                    fan_value=self.config.fan_value,
-                    min_dt=self.config.min_hash_time_delta,
-                    max_dt=self.config.max_hash_time_delta,
-                    peak_capacity=peak_cap,
+                    **self._fp_kwargs(peak_capacity=peak_cap),
                 )  # async dispatch: host decodes on while this runs
                 if inflight is not None:
                     collect(inflight)
@@ -679,13 +661,7 @@ class SIA:
                 n_valid[i] = len(ch)
             fp_dev = batch_fn(
                 jnp.asarray(batch_np), jnp.asarray(n_valid),
-                fs=fs_cfg, wsize=self.config.window_size,
-                hop=self.config.hop, amp_min=self.config.amp_min,
-                radius=self.config.peak_neighborhood_size,
-                fan_value=self.config.fan_value,
-                min_dt=self.config.min_hash_time_delta,
-                max_dt=self.config.max_hash_time_delta,
-                peak_capacity=peak_cap,
+                **self._fp_kwargs(peak_capacity=peak_cap),
             )
             pending_channels += len(channels)
             stats["peak_pending_channels"] = max(
@@ -779,15 +755,7 @@ class SIA:
                     batch_dev = batch_dev.astype(jnp.float32)
                 fp = batch_fn(
                     batch_dev, jnp.asarray(n_valid),
-                    fs=self.config.sample_rate,
-                    wsize=self.config.window_size,
-                    hop=self.config.hop,
-                    amp_min=self.config.amp_min,
-                    radius=self.config.peak_neighborhood_size,
-                    fan_value=self.config.fan_value,
-                    min_dt=self.config.min_hash_time_delta,
-                    max_dt=self.config.max_hash_time_delta,
-                    peak_capacity=peak_cap,
+                    **self._fp_kwargs(peak_capacity=peak_cap),
                 )
                 fp = jax.device_get(fp)
                 for row, ci in enumerate(ids):
@@ -801,15 +769,7 @@ class SIA:
                         pad2[: len(ch)] = ch
                         one = jax.device_get(fingerprint_samples(
                             jnp.asarray(pad2), jnp.int32(len(ch)),
-                            fs=self.config.sample_rate,
-                            wsize=self.config.window_size,
-                            hop=self.config.hop,
-                            amp_min=self.config.amp_min,
-                            radius=self.config.peak_neighborhood_size,
-                            fan_value=self.config.fan_value,
-                            min_dt=self.config.min_hash_time_delta,
-                            max_dt=self.config.max_hash_time_delta,
-                            peak_capacity=2 * peak_cap,
+                            **self._fp_kwargs(peak_capacity=2 * peak_cap),
                         ))
                         stats["fallbacks"] = stats.get("fallbacks", 0) + 1
                         if int(one.n_peaks) > 2 * peak_cap:
@@ -901,6 +861,20 @@ class SIA:
         self._span_heads = out
         return tuple(h for _, h in out)
 
+    def _fp_kwargs(self, peak_capacity: Optional[int] = None) -> Dict:
+        """The fingerprint kwargs every path shares, single-sourced: a
+        new config knob must not silently diverge between the many
+        ingest/recognize call sites (they all spell the same ten)."""
+        c = self.config
+        return dict(
+            fs=c.sample_rate, wsize=c.window_size, hop=c.hop,
+            amp_min=c.amp_min, radius=c.peak_neighborhood_size,
+            fan_value=c.fan_value, min_dt=c.min_hash_time_delta,
+            max_dt=c.max_hash_time_delta,
+            peak_capacity=(c.peak_capacity if peak_capacity is None
+                           else peak_capacity),
+        )
+
     def _q_frames_for(self, n_samples: int) -> int:
         """Smallest power-of-two frame window covering a query's offsets.
 
@@ -929,38 +903,35 @@ class SIA:
             fp = fingerprint_batch_fused(
                 jnp.asarray(padded)[None, :],
                 jnp.asarray([len(samples)], np.int32),
-                fs=self.config.sample_rate,
-                wsize=self.config.window_size,
-                hop=self.config.hop,
-                amp_min=self.config.amp_min,
-                radius=self.config.peak_neighborhood_size,
-                fan_value=self.config.fan_value,
-                min_dt=self.config.min_hash_time_delta,
-                max_dt=self.config.max_hash_time_delta,
-                peak_capacity=self.config.peak_capacity,
+                **self._fp_kwargs(),
             )
             fp = Fingerprints(*(a[0] for a in fp))
             if int(fp.n_peaks) <= self.config.peak_capacity:
                 return fp
             # plateau/capacity overflow: fall through to the exact path
-        return fingerprint_samples(
-            jnp.asarray(padded), jnp.int32(len(samples)),
-            fs=self.config.sample_rate,
-            wsize=self.config.window_size,
-            hop=self.config.hop,
-            amp_min=self.config.amp_min,
-            radius=self.config.peak_neighborhood_size,
-            fan_value=self.config.fan_value,
-            min_dt=self.config.min_hash_time_delta,
-            max_dt=self.config.max_hash_time_delta,
-            peak_capacity=self.config.peak_capacity,
-        )
+        # Exact XLA path with escalating capacity: a long clip (full-length
+        # track through recognize_file) legitimately exceeds peak_capacity,
+        # and every query path terminates here — truncating would silently
+        # drop the clip tail's hashes (the reference handles any clip
+        # length, ``recognizer.py:289-338``). n_peaks reports the true
+        # count even when clamped, so one retry usually fits.
+        cap = self.config.peak_capacity
+        while True:
+            fp = fingerprint_samples(
+                jnp.asarray(padded), jnp.int32(len(samples)),
+                **self._fp_kwargs(peak_capacity=cap),
+            )
+            if int(fp.n_peaks) <= cap or cap >= (1 << 22):
+                return fp
+            while cap < int(fp.n_peaks) and cap < (1 << 22):
+                cap *= 2
 
     def recognize_samples(
         self,
         channels: Sequence[np.ndarray],
         topn: Optional[int] = None,
         early_exit: bool = False,
+        q_pad_to: Optional[int] = None,
     ) -> Dict:
         """Recognize already-decoded audio channels.
 
@@ -969,6 +940,11 @@ class SIA:
 
         early_exit=True enables the apriori batched matcher with the
         reference's 2x-leader stop rule (``recognizer_apriori.py:303``).
+
+        q_pad_to raises the query-pair padding bucket (never lowers it):
+        the match program's shape is the pow2 pair bucket, so a serving
+        warmup uses this to precompile buckets real clips will hit
+        (``serve.warmup``) — results are identical at any padding.
         """
         t0 = time.time()
         channels = [np.asarray(ch) for ch in channels if len(ch)]
@@ -982,6 +958,8 @@ class SIA:
             }
         fps = [self._fingerprint_channel(ch) for ch in channels]
         q = prepare_query(fps)
+        if q_pad_to is not None and q_pad_to > len(q.hi):
+            q = prepare_query(fps, pad_to=q_pad_to)
         jax.block_until_ready(fps[-1].hi)
         fingerprint_time = time.time() - t0
 
@@ -1186,15 +1164,7 @@ class SIA:
             jnp.asarray(padded)[None, :],
             jnp.asarray([len(samples)], np.int32),
             dev,
-            fs=self.config.sample_rate,
-            wsize=self.config.window_size,
-            hop=self.config.hop,
-            amp_min=self.config.amp_min,
-            radius=self.config.peak_neighborhood_size,
-            fan_value=self.config.fan_value,
-            min_dt=self.config.min_hash_time_delta,
-            max_dt=self.config.max_hash_time_delta,
-            peak_capacity=self.config.peak_capacity,
+            **self._fp_kwargs(),
             n_songs=max(self._live_n_songs(), 1),
             delta_min=delta_min,
             delta_range=delta_range,
@@ -1243,15 +1213,7 @@ class SIA:
                 jnp.asarray(padded)[None, :],
                 jnp.asarray([len(samples)], np.int32),
                 dev,
-                fs=self.config.sample_rate,
-                wsize=self.config.window_size,
-                hop=self.config.hop,
-                amp_min=self.config.amp_min,
-                radius=self.config.peak_neighborhood_size,
-                fan_value=self.config.fan_value,
-                min_dt=self.config.min_hash_time_delta,
-                max_dt=self.config.max_hash_time_delta,
-                peak_capacity=self.config.peak_capacity,
+                **self._fp_kwargs(),
                 n_songs=max(self._live_n_songs(), 1),
                 delta_min=delta_min,
                 delta_range=delta_range,
@@ -1295,6 +1257,7 @@ class SIA:
         clips: Sequence[np.ndarray],
         topn: Optional[int] = None,
         pad_to_pow2: bool = False,
+        q_pad_to: Optional[int] = None,
     ) -> List[Dict]:
         """Recognize many mono clips in one device program (serving path).
 
@@ -1333,19 +1296,31 @@ class SIA:
         )
         fp = batch_fn(
             jnp.asarray(batch), jnp.asarray(n_valid),
-            fs=self.config.sample_rate, wsize=self.config.window_size,
-            hop=self.config.hop, amp_min=self.config.amp_min,
-            radius=self.config.peak_neighborhood_size,
-            fan_value=self.config.fan_value,
-            min_dt=self.config.min_hash_time_delta,
-            max_dt=self.config.max_hash_time_delta,
-            peak_capacity=self.config.peak_capacity,
+            **self._fp_kwargs(),
         )
         fp = jax.device_get(fp)
+        # Per-clip peak overflow: a flagged fused row is unusable (not
+        # truncated — see _ingest_stream), and the exact batch path
+        # truncates at capacity; either way the clip must re-run alone
+        # through recognize_samples' escalating fallback or its result
+        # would silently diverge from the single-clip contract. Its batch
+        # lanes are replaced with an empty query so the garbage neither
+        # votes nor inflates the q_cap compile bucket.
+        peak_over = {
+            i for i in range(n_real)
+            if int(fp.n_peaks[i]) > self.config.peak_capacity
+        }
         queries = [
-            prepare_query([_batch_fingerprints(fp, i)]) for i in range(n_clips)
+            prepare_query([]) if i in peak_over
+            else prepare_query([_batch_fingerprints(fp, i)])
+            for i in range(n_clips)
         ]
         q_cap = max(len(q.hi) for q in queries)
+        if q_pad_to is not None:
+            # warmup knob: precompile a larger pair bucket (see
+            # recognize_samples) — padding lanes are invalid, results
+            # identical
+            q_cap = max(q_cap, q_pad_to)
         stack = {
             name: np.stack([
                 np.pad(getattr(q, name), (0, q_cap - len(q.hi)))
@@ -1397,6 +1372,11 @@ class SIA:
 
         out = []
         for i in range(n_real):
+            if i in peak_over:
+                # full single-clip re-run (escalating peak capacity);
+                # same result schema, honest per-clip stage times
+                out.append(self.recognize_samples([clips[i]], topn=topn))
+                continue
             t0 = time.time()
             if i in retried:
                 one, cap_i = retried[i]

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import fnmatch
 import hashlib
+import io as _io
 import os
 import shutil
 import struct
@@ -126,12 +127,17 @@ def _riff_scan(blob: bytes):
     return None
 
 
-def _read_float_wav(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int, int]:
+def _read_float_wav(src, limit: Optional[float]) -> Tuple[np.ndarray, int, int]:
     """IEEE-float WAV fallback: stdlib ``wave`` rejects fmt tag 3, so
     parse the RIFF chunks directly (the native loader handles these too;
-    this keeps the pure-Python path at parity when it isn't built)."""
-    with open(path, "rb") as fh:
-        riff = fh.read()
+    this keeps the pure-Python path at parity when it isn't built).
+    ``src`` is a path or the raw RIFF bytes."""
+    if isinstance(src, bytes):
+        path, riff = "<bytes>", src
+    else:
+        path = src
+        with open(src, "rb") as fh:
+            riff = fh.read()
     scan = _riff_scan(riff)
     if scan is None:
         raise ValueError(f"{path}: not a RIFF/WAVE file with fmt+data")
@@ -148,18 +154,20 @@ def _read_float_wav(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int,
     return out, fs, n_channels
 
 
-def _read_wav(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int, int]:
-    """Decode a PCM/float WAV into an interleaved int16 array + sample rate."""
+def _read_wav(src, limit: Optional[float]) -> Tuple[np.ndarray, int, int]:
+    """Decode a PCM/float WAV (path or raw bytes) into an interleaved
+    int16 array + sample rate."""
     try:
-        return _read_pcm_wav(path, limit)
+        return _read_pcm_wav(src, limit)
     except wave.Error as e:
         if "unknown format: 3" in str(e):
-            return _read_float_wav(path, limit)
+            return _read_float_wav(src, limit)
         raise
 
 
-def _read_pcm_wav(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int, int]:
-    with wave.open(path, "rb") as wf:
+def _read_pcm_wav(src, limit: Optional[float]) -> Tuple[np.ndarray, int, int]:
+    is_bytes = isinstance(src, bytes)
+    with wave.open(_io.BytesIO(src) if is_bytes else src, "rb") as wf:
         n_channels = wf.getnchannels()
         fs = wf.getframerate()
         sampwidth = wf.getsampwidth()
@@ -175,11 +183,15 @@ def _read_pcm_wav(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int, i
         data = data.astype(np.int16)
     elif sampwidth == 4:
         # Could be int32 PCM or float32; wave module doesn't expose the
-        # format tag, so sniff: IEEE float WAVs have fmt tag 3 in the header.
-        with open(path, "rb") as fh:
-            header = fh.read(64)
-        fmt_off = header.find(b"fmt ")
-        fmt_tag = struct.unpack_from("<H", header, fmt_off + 8)[0] if fmt_off >= 0 else 1
+        # format tag, so walk the RIFF chunks (the ONE shared parser —
+        # a raw header sniff misreads files with JUNK/LIST before fmt).
+        if is_bytes:
+            head = src[: 1 << 20]
+        else:
+            with open(src, "rb") as fh:
+                head = fh.read(1 << 20)
+        scan = _riff_scan(head)
+        fmt_tag = scan[0][0] if scan is not None else 1
         if fmt_tag == 3:
             f = np.frombuffer(raw, dtype="<f4")
             data = np.clip(f * 32768.0, -32768, 32767).astype(np.int16)
@@ -195,7 +207,9 @@ def _read_pcm_wav(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int, i
         val = (val << 8) >> 16  # sign-extend then keep top 16 bits
         data = val.astype(np.int16)
     else:
-        raise ValueError(f"unsupported WAV sample width {sampwidth} in {path}")
+        src_name = "<bytes>" if is_bytes else src
+        raise ValueError(
+            f"unsupported WAV sample width {sampwidth} in {src_name}")
 
     return data.reshape(-1)[: n_frames * n_channels], fs, n_channels
 
@@ -214,7 +228,7 @@ def _read_via_ffmpeg(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int
     # parse "Audio: ..., 44100 Hz, stereo|mono|5.1|N channels" from stderr;
     # the decode below forces -ac n_channels so a misparse can garble the
     # de-interleave — fail loudly on layouts we can't name
-    fs, n_channels = 44100, None
+    fs, n_channels = None, None
     for line in probe.stderr.splitlines():
         if "Audio:" in line:
             for part in line.split(","):
@@ -232,10 +246,12 @@ def _read_via_ffmpeg(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int
                     main, lfe = part.split(".", 1)
                     n_channels = int(main) + int(lfe)
             break
-    if n_channels is None:
+    if n_channels is None or fs is None:
+        # a defaulted sample rate would pass recognize_file's fs guard
+        # and pitch-shift every hash — silent accuracy collapse
         raise ValueError(
-            f"cannot determine channel layout of {path!r} from ffmpeg probe; "
-            "transcode to WAV first"
+            f"cannot determine sample rate / channel layout of {path!r} "
+            "from ffmpeg probe; transcode to WAV first"
         )
     cmd = [_FFMPEG, "-v", "quiet", "-i", path]
     if limit is not None:
@@ -279,6 +295,22 @@ def read(path: str, limit: Optional[float] = None):
         data, fs, n_channels = _read_via_ffmpeg(path, limit)
     channels = [np.ascontiguousarray(data[c::n_channels]) for c in range(n_channels)]
     return channels, fs, unique_file_hash(path)
+
+
+def read_wav_bytes(blob: bytes, limit: Optional[float] = None):
+    """Decode an in-memory WAV payload: ``(channels, fs)``.
+
+    The serving hot path (``serve.py``): same decode semantics as
+    ``read()`` on a ``.wav`` file, minus the disk spool and the file
+    SHA-1 recognition discards anyway.  Non-RIFF payloads raise — spool
+    those to a file and use ``read()`` (ffmpeg needs a path)."""
+    if blob[:4] != b"RIFF":
+        raise ValueError("payload is not RIFF/WAVE; transcode to WAV")
+    data, fs, n_channels = _read_wav(blob, limit)
+    channels = [
+        np.ascontiguousarray(data[c::n_channels]) for c in range(n_channels)
+    ]
+    return channels, fs
 
 
 def write_wav(path: str, samples: np.ndarray, fs: int = 44100) -> None:

@@ -280,7 +280,14 @@ def distributed_ingest_arrays(
                    for d in local.catalog.get_songs()}
     remap = np.zeros(max(sid_of_name.values(), default=0) + 1, np.uint32)
     for s in owned:
-        remap[sid_of_name[song_names[s]]] = s
+        sid = sid_of_name.get(song_names[s])
+        if sid is None:
+            # byte-identical duplicate: ingest_arrays dedups by sample
+            # SHA-1 (the reference skips duplicate files the same way,
+            # ``__init__.py:344-349``), so this name owns no rows —
+            # queries resolve to the first copy instead of crashing here
+            continue
+        remap[sid] = s
     gsid = remap[ix.song_id] if ix.n_hashes else ix.song_id
 
     # ---- agree on global meta (one tiny DCN allgather at ingest) ----

@@ -229,17 +229,22 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
                 self._json(200, p.result)
 
     def _decode_wav_bytes(raw: bytes) -> List[np.ndarray]:
-        """Spool to a temp file and reuse the one decode path (native
-        loader / WAV parser / ffmpeg all behave exactly as in ingest)."""
-        from .audio.io import read
+        """Decode the request body in memory (WAV: the same parser
+        ingest uses, no disk spool, no discarded file SHA-1 — two full
+        passes saved per request); non-RIFF payloads spool to a temp
+        file for the ffmpeg path."""
+        from .audio.io import read, read_wav_bytes
 
-        fd, tmp = tempfile.mkstemp(suffix=".wav")
-        try:
-            with os.fdopen(fd, "wb") as fh:
-                fh.write(raw)
-            channels, fs, _sha = read(tmp)
-        finally:
-            os.unlink(tmp)
+        if raw[:4] == b"RIFF":
+            channels, fs = read_wav_bytes(raw)
+        else:
+            fd, tmp = tempfile.mkstemp(suffix=".bin")
+            try:
+                with os.fdopen(fd, "wb") as fh:
+                    fh.write(raw)
+                channels, fs, _sha = read(tmp)
+            finally:
+                os.unlink(tmp)
         if fs != sia.config.sample_rate:
             raise ValueError(
                 f"sample rate {fs} != config {sia.config.sample_rate}")
@@ -294,7 +299,7 @@ class RecognitionServer:
 
 
 def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
-           clip_lengths=()) -> None:
+           clip_lengths=(), pair_buckets="auto") -> None:
     """Compile the serving programs before opening the listener.
 
     One clip per power-of-two batch size up to the pow2 CEILING of
@@ -304,13 +309,19 @@ def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
     of paying the compile (minutes over the TPU tunnel) inside a
     request's latency budget.
 
-    The warm clip is a synthetic SONG (dense constellation), so the
-    query-pair count lands in the bucket real music uses — noise would
-    warm a smaller pair bucket and real requests would still compile.
+    The warm clip is a synthetic SONG (dense constellation), so its
+    query-pair count lands in the pow2 bucket typical music of that
+    length uses.  But the match program's shape is the PAIR bucket, not
+    the clip length: a sparse real clip (quiet audio, < 1024 pairs) or
+    a denser-than-synthetic one lands in a neighboring bucket and would
+    compile inside a live request.  ``pair_buckets`` closes that axis —
+    "auto" warms 1024 (the floor every sparse clip hits) and 2x the
+    largest warm clip's natural bucket; pass an explicit tuple of pow2
+    bucket sizes to match a measured clip population, or ``()`` to skip.
     ``clip_lengths`` warms additional clip durations: each distinct
-    length bucket a deployment accepts is a distinct program, so warm
-    every duration your clients send (or set ``max_clip_seconds`` to
-    your policy and warm just that).
+    length bucket a deployment accepts is a distinct fingerprint
+    program, so warm every duration your clients send (or set
+    ``max_clip_seconds`` to your policy and warm just that).
     """
     from .audio.synth import synth_song
 
@@ -318,11 +329,29 @@ def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
     pow2_cap = 1
     while pow2_cap < max_batch:
         pow2_cap <<= 1
+
+    def warm(clip, q_pad_to=None):
+        sia.recognize_samples([clip], q_pad_to=q_pad_to)
+        b = 2
+        while b <= pow2_cap:
+            sia.recognize_batch([clip] * min(b, max_batch),
+                                pad_to_pow2=True, q_pad_to=q_pad_to)
+            b <<= 1
+
+    naturals = set()
     for secs in (seconds, *clip_lengths):
         clip = synth_song(0, duration_s=secs + 1.0, seed=123)[: int(secs * fs)]
         clip = clip.astype(np.float32)
-        sia.recognize_samples([clip])
-        b = 2
-        while b <= pow2_cap:
-            sia.recognize_batch([clip] * min(b, max_batch), pad_to_pow2=True)
-            b <<= 1
+        n_pairs = sia.recognize_samples([clip])["input_hashes"]
+        nat = 1024
+        while nat < n_pairs:
+            nat <<= 1
+        naturals.add(nat)
+        warm(clip)
+    if pair_buckets == "auto":
+        pair_buckets = (1024, 2 * max(naturals))
+    # a silent clip yields zero pairs, so q_pad_to alone picks the
+    # bucket — one fingerprint shape (already warm) covers any bucket
+    silent = np.zeros(int(seconds * fs), np.float32)
+    for qb in sorted(set(pair_buckets) - naturals):
+        warm(silent, q_pad_to=qb)

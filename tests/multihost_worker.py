@@ -31,18 +31,22 @@ def _ingest_mode(tmpdir: str) -> None:
 
     def load(s: int) -> np.ndarray:
         loads.append(s)
-        return synth_song(s, duration_s=dur)
+        # song 6 is a byte-identical duplicate of song 4, in a LATER
+        # ingest chunk (chunk_songs=2): the local SHA-1 resume dedup
+        # skips it and the id remap must tolerate the missing name
+        # (regression: KeyError after all fingerprinting was done)
+        return synth_song(4 if s == 6 else s, duration_s=dur)
 
     mesh = global_mesh()
     cat, local = distributed_ingest_arrays(names, load, mesh=mesh,
-                                           batch_size=4)
+                                           batch_size=4, chunk_songs=2)
     # this process fingerprinted ONLY its own shards' songs
     mine = set(cat._my_shard_ids())
     assert set(loads) == {s for s in range(n_songs)
                           if s % cat.n_shards in mine}, (loads, mine)
     assert len(loads) < n_songs
     assert {d["song_name"] for d in local.catalog.get_songs()} == {
-        names[s] for s in loads
+        names[s] for s in loads if s != 6
     }
 
     # a clip from song 5 must win the spanned query on every process
