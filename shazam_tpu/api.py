@@ -269,6 +269,47 @@ class SIA:
             verbose=verbose,
         )
 
+    def ingest_channels(
+        self,
+        name: str,
+        channels: Sequence[np.ndarray],
+        batch_size: int = 8,
+        song_peak_capacity: Optional[int] = None,
+    ) -> Dict:
+        """Ingest ONE song from decoded channels (per-channel fingerprints
+        hash-set unioned, like ``ingest_files``; reference
+        ``recognizer.py:377-382``). Dedup key = SHA-1 of the channel bytes.
+
+        This is the online-ingest primitive behind the serving daemon's
+        ``POST /ingest``: the reference's deployments inserted songs into
+        the DB while recognizers queried it (``__init__.py:325-405``);
+        here the index grows through the same merge path batch ingest
+        uses.  NB with the host-resident index every growth step changes
+        the match program's shape (a recompile — minutes over the TPU
+        tunnel); a serving deployment that ingests online should build
+        with ``device_resident=True`` and ``device_reserve_hashes`` so
+        the device capacity (and program shapes) stay fixed across
+        merges.  ``name`` is treated like a file basename (extension
+        stripped).
+        """
+        import hashlib
+
+        chans = [np.asarray(c) for c in channels if len(c)]
+        if not chans:
+            raise ValueError("no non-empty channels to ingest")
+        h = hashlib.sha1()
+        for c in chans:
+            h.update(c.tobytes())
+        sha = h.hexdigest().upper()
+        if sha in self.catalog.fingerprinted_file_hashes():
+            return {"files": 1, "skipped": 1, "ingested": 0, "hashes": 0,
+                    "overflowed": [], "merges": 0}
+        return self._ingest_pending(
+            [(name, sha, chans)], n_inputs=1, skipped=0,
+            batch_size=batch_size, song_peak_capacity=song_peak_capacity,
+            verbose=False,
+        )
+
     def ingest_device_batch(
         self,
         names: Sequence[str],
@@ -1494,6 +1535,11 @@ class SIA:
 
         if is_spanned_file(path):
             if self._is_spanned:
+                # rows go straight to device; the host-side catalog
+                # reconcile below would force a full download — skipped
+                # (span saves and catalog commits happen together in
+                # save_index-driven flows, so the window is the same
+                # one process run the flat path has)
                 self._dev_store = SpannedDeviceStore.load(
                     path, span_rows=self.device_span_rows)
                 self._host_stale = True
@@ -1501,6 +1547,30 @@ class SIA:
                 return
             self.index = SpannedDeviceStore.load_flat(path)
             self._device_index = None
+            self._reconcile_catalog()
             return
         self.index = FingerprintIndex.load(path)
         self._device_index = None
+        self._reconcile_catalog()
+
+    def _reconcile_catalog(self) -> None:
+        """Restore the durability invariant after loading an index.
+
+        The reference's hash rows and fingerprinted flag live in one
+        durable DB, so flag => rows (``__init__.py:386,424``).  Here the
+        flag commits to sqlite immediately but index rows persist only
+        on ``save_index`` — a crash (or a serving daemon that ingested
+        online without ``--persist``) leaves songs marked fingerprinted
+        with zero rows, which the SHA-1 resume dedup would then skip
+        FOREVER while recognition can't match them.  Purge such songs at
+        load so they simply re-ingest — the same recovery shape as the
+        unfingerprinted purge at open.
+        """
+        if self.index is None or self.index.n_hashes == 0:
+            ids_present = set()
+        else:
+            ids_present = set(np.unique(self.index.song_id).tolist())
+        missing = [d["song_id"] for d in self.catalog.get_songs()
+                   if d["song_id"] not in ids_present]
+        if missing:
+            self.catalog.delete_songs(missing)

@@ -162,6 +162,8 @@ def cmd_serve(args):
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         request_timeout_s=args.request_timeout,
         max_clip_seconds=args.max_clip_seconds,
+        max_ingest_seconds=args.max_ingest_seconds,
+        persist_path=(args.db + ".npz") if args.persist else None,
     )
     print(json.dumps({"serving": f"http://{args.host}:{server.port}",
                       "songs": sia.catalog.counts()["n_songs"],
@@ -276,6 +278,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-clip-seconds", type=float, default=60.0,
                    help="reject clips longer than this before any device "
                         "work (each new length bucket compiles a program)")
+    s.add_argument("--max-ingest-seconds", type=float, default=600.0,
+                   help="reject POST /ingest songs longer than this")
+    s.add_argument("--persist", action="store_true",
+                   help="save the index after every online ingest (full "
+                        "rewrite per song; without it, rows ingested via "
+                        "POST /ingest live only in this process and the "
+                        "next load purges their catalog entries)")
     s.add_argument("--device-resident", action="store_true",
                    help="serve the index from device HBM")
     s.add_argument("--span-rows", type=int, default=0,

@@ -15,8 +15,15 @@ This daemon is that shape over plain HTTP (stdlib only, no deps):
   micro-batching queue (``max_batch`` / ``max_wait_ms``) and whole
   batches are answered from one ``recognize_batch`` call; multi-channel
   requests run channel-unioned via ``recognize_samples``.
+- ``POST /ingest?name=<song>`` — body is a WAV file; fingerprints it
+  and grows the live index (the reference ingested into the shared DB
+  while recognizers queried it).  Runs on the batcher thread between
+  recognition batches; see ``SIA.ingest_channels`` for the
+  program-shape caveat (use a device-resident index with reserved
+  capacity so online growth doesn't recompile the match program).
 - ``GET /stats`` — catalog counts + serving counters (requests,
-  batches, largest batch) for observability.
+  batches, largest batch, ingests) and rolling queue->response
+  latency quantiles for observability.
 - ``GET /healthz`` — liveness.
 
 Every SIA/device interaction happens on the single batcher thread —
@@ -32,6 +39,7 @@ import queue
 import tempfile
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
 from urllib.parse import parse_qs, urlparse
@@ -40,16 +48,25 @@ import numpy as np
 
 
 class _Pending:
-    """One parked request: decoded channels + a completion event."""
+    """One parked request: decoded channels + a completion event.
 
-    __slots__ = ("channels", "topn", "event", "result", "error")
+    ``kind`` is "recognize" or "ingest" (``name`` set for the latter);
+    ``t0`` stamps post-decode submit time for the /stats latency track.
+    """
 
-    def __init__(self, channels: List[np.ndarray], topn: Optional[int]):
+    __slots__ = ("channels", "topn", "event", "result", "error", "kind",
+                 "name", "t0")
+
+    def __init__(self, channels: List[np.ndarray], topn: Optional[int],
+                 kind: str = "recognize", name: Optional[str] = None):
         self.channels = channels
         self.topn = topn
+        self.kind = kind
+        self.name = name
         self.event = threading.Event()
         self.result = None
         self.error: Optional[str] = None
+        self.t0 = time.monotonic()
 
 
 class MicroBatcher:
@@ -63,13 +80,17 @@ class MicroBatcher:
     by construction.
     """
 
-    def __init__(self, sia, max_batch: int = 16, max_wait_ms: float = 10.0):
+    def __init__(self, sia, max_batch: int = 16, max_wait_ms: float = 10.0,
+                 persist_path: Optional[str] = None):
         self.sia = sia
+        self.persist_path = persist_path
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1000.0
         self.q: "queue.Queue[_Pending]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
-                      "max_batch": 0, "errors": 0}
+                      "max_batch": 0, "errors": 0, "ingests": 0}
+        # rolling queue->response latencies (seconds); /stats summarizes
+        self._lat: deque = deque(maxlen=4096)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="sia-batcher")
@@ -108,9 +129,44 @@ class MicroBatcher:
             p.result["metadata"] = self._metadata_for(
                 p.result["results"][0]["song_name"])
         self.stats["requests"] += 1
+        self._lat.append(time.monotonic() - p.t0)
         p.event.set()
 
+    def latency_summary(self) -> Dict:
+        """count/mean/p50/p99 of recent queue->response latencies (ms)."""
+        lats = sorted(self._lat)
+        if not lats:
+            return {"count": 0}
+        n = len(lats)
+        return {
+            "count": n,
+            "mean_ms": round(1000 * sum(lats) / n, 2),
+            "p50_ms": round(1000 * lats[n // 2], 2),
+            "p99_ms": round(1000 * lats[min(n - 1, (99 * n) // 100)], 2),
+        }
+
     def _answer(self, batch: List[_Pending]) -> None:
+        # ingest requests run individually on this same thread (the
+        # engine is single-threaded by construction; ingest mutates it)
+        ingests = [p for p in batch if p.kind == "ingest"]
+        batch = [p for p in batch if p.kind != "ingest"]
+        for p in ingests:
+            try:
+                p.result = self.sia.ingest_channels(p.name, p.channels)
+                self.stats["ingests"] += 1
+                if self.persist_path and p.result.get("ingested"):
+                    # durability: without this, a daemon crash leaves the
+                    # song's fingerprinted flag in sqlite but its rows
+                    # nowhere (load_index reconciles by purging, so the
+                    # song would need re-ingesting). Full index rewrite
+                    # per song — size the flag to your catalog.
+                    self.sia.save_index(self.persist_path)
+            except Exception as e:  # noqa: BLE001 — reported per request
+                self.stats["errors"] += 1
+                p.error = f"{type(e).__name__}: {e}"
+            self._finish(p)
+        if not batch:
+            return
         # batchable: mono, all the same topn
         mono = [p for p in batch if len(p.channels) == 1]
         topns = {p.topn for p in mono}
@@ -174,7 +230,8 @@ class MicroBatcher:
 
 
 def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
-                  max_clip_seconds: float = 60.0):
+                  max_clip_seconds: float = 60.0,
+                  max_ingest_seconds: float = 600.0):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -197,38 +254,54 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
                 catalog = getattr(sia, "catalog", None)
                 counts = catalog.counts() if catalog is not None else {}
                 self._json(200, {**counts, **batcher.stats,
+                                 "latency": batcher.latency_summary(),
                                  "index_hashes": sia._live_n_hashes()})
             else:
                 self._json(404, {"error": f"no route {path}"})
 
         def do_POST(self):  # noqa: N802
             parsed = urlparse(self.path)
-            if parsed.path != "/recognize":
+            if parsed.path not in ("/recognize", "/ingest"):
                 self._json(404, {"error": f"no route {parsed.path}"})
                 return
+            ingest = parsed.path == "/ingest"
             try:
+                qs = parse_qs(parsed.query)
                 length = int(self.headers.get("Content-Length", 0))
                 if length <= 0 or length > 256 << 20:
                     self._json(400, {"error": "missing or oversized body"})
                     return
+                # drain the body BEFORE any validation reply: responding
+                # with unread bytes on the socket breaks keep-alive (the
+                # client sees a broken pipe instead of the 400)
                 raw = self.rfile.read(length)
-                qs = parse_qs(parsed.query)
+                name = None
+                if ingest:
+                    if "name" not in qs or not qs["name"][0]:
+                        self._json(400, {"error": "ingest requires ?name="})
+                        return
+                    name = qs["name"][0]
                 topn = int(qs["topn"][0]) if "topn" in qs else None
-                channels = _decode_wav_bytes(raw)
+                channels = _decode_wav_bytes(
+                    raw,
+                    max_s=max_ingest_seconds if ingest else max_clip_seconds,
+                )
             except Exception as e:  # noqa: BLE001 — client error report
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
-            p = _Pending(channels, topn)
+            p = _Pending(channels, topn,
+                         kind="ingest" if ingest else "recognize", name=name)
             batcher.submit(p)
             if not p.event.wait(timeout=timeout_s):
-                self._json(504, {"error": "recognition timed out"})
+                self._json(504, {"error": "request timed out"})
                 return
             if p.error is not None:
                 self._json(500, {"error": p.error})
             else:
                 self._json(200, p.result)
 
-    def _decode_wav_bytes(raw: bytes) -> List[np.ndarray]:
+    def _decode_wav_bytes(raw: bytes,
+                          max_s: float = max_clip_seconds) -> List[np.ndarray]:
         """Decode the request body in memory (WAV: the same parser
         ingest uses, no disk spool, no discarded file SHA-1 — two full
         passes saved per request); non-RIFF payloads spool to a temp
@@ -248,14 +321,13 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
         if fs != sia.config.sample_rate:
             raise ValueError(
                 f"sample rate {fs} != config {sia.config.sample_rate}")
-        if len(channels[0]) > max_clip_seconds * fs:
+        if len(channels[0]) > max_s * fs:
             # every new length bucket compiles a fresh device program
             # (minutes over the TPU tunnel) — cap what one request can
             # force, and warm the durations you actually accept
             # (warmup(clip_lengths=...)); set the cap to your clip
             # policy so a stray upload can't stall the batcher
-            raise ValueError(
-                f"clip exceeds max_clip_seconds={max_clip_seconds:g}")
+            raise ValueError(f"audio exceeds the {max_s:g} s request cap")
         return channels
 
     return Handler
@@ -267,12 +339,15 @@ class RecognitionServer:
     def __init__(self, sia, host: str = "127.0.0.1", port: int = 8080,
                  max_batch: int = 16, max_wait_ms: float = 10.0,
                  request_timeout_s: float = 120.0,
-                 max_clip_seconds: float = 60.0):
+                 max_clip_seconds: float = 60.0,
+                 max_ingest_seconds: float = 600.0,
+                 persist_path: Optional[str] = None):
         self.sia = sia
         self.batcher = MicroBatcher(sia, max_batch=max_batch,
-                                    max_wait_ms=max_wait_ms)
+                                    max_wait_ms=max_wait_ms,
+                                    persist_path=persist_path)
         handler = _make_handler(self.batcher, sia, request_timeout_s,
-                                max_clip_seconds)
+                                max_clip_seconds, max_ingest_seconds)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
 

@@ -174,3 +174,30 @@ def test_ffmpeg_probe_requires_sample_rate(monkeypatch, tmp_path):
     monkeypatch.setattr(aio.subprocess, "run", lambda *a, **k: _Probe())
     with pytest.raises(ValueError, match="sample rate"):
         aio._read_via_ffmpeg("x.mp3", None)
+
+
+def test_load_index_reconciles_orphaned_catalog_rows(tmp_path):
+    """Durability invariant: a catalog row marked fingerprinted whose
+    rows never made it into the saved index (crash / unpersisted online
+    ingest) is purged at load so the song can re-ingest — otherwise the
+    SHA-1 resume dedup skips it forever while recognition can't match."""
+    db = str(tmp_path / "cat")
+    song_a = np.asarray(synth_song(0, duration_s=6.0, seed=31), np.float32)
+    song_b = np.asarray(synth_song(1, duration_s=6.0, seed=31), np.float32)
+
+    sia = SIA(catalog_path=db + ".sqlite")
+    sia.ingest_arrays([("a", song_a)])
+    sia.save_index(db + ".npz")
+    # online ingest that never persists, then the process "crashes"
+    sia.ingest_channels("b", [song_b])
+    assert {d["song_name"] for d in sia.catalog.get_songs()} == {"a", "b"}
+
+    sia2 = SIA(catalog_path=db + ".sqlite")
+    sia2.load_index(db + ".npz")
+    assert {d["song_name"] for d in sia2.catalog.get_songs()} == {"a"}
+    # b re-ingests cleanly (the stale flag no longer blocks the SHA dedup)
+    st = sia2.ingest_channels("b", [song_b])
+    assert st["ingested"] == 1
+    clip = song_b[: int(4 * FS)]
+    out = sia2.recognize_samples([clip])
+    assert out["results"][0]["song_name"] == "b"

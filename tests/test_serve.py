@@ -140,7 +140,7 @@ def test_bad_requests(server):
     # length bucket would compile a fresh program)
     long_clip = np.tile(_clip(0), 20)  # 100 s > 60 s cap
     code, out = _post(url, _wav_bytes(long_clip))
-    assert code == 400 and "max_clip_seconds" in out["error"]
+    assert code == 400 and "request cap" in out["error"]
 
     code, out = _post(url, _wav_bytes(_clip(3)))
     assert code == 200 and out["results"][0]["song_name"] == "s3"
@@ -200,3 +200,72 @@ def test_batcher_survives_engine_errors(server):
 
     code, out = _post(url, _wav_bytes(_clip(1)))
     assert code == 200 and out["results"][0]["song_name"] == "s1"
+
+
+def test_online_ingest_then_recognize(server):
+    """POST /ingest grows the live index between recognition batches:
+    the new song is immediately recognizable, and byte-identical
+    re-uploads dedup by sample SHA-1 (reference resume semantics)."""
+    base = f"http://127.0.0.1:{server.port}"
+    new_song = synth_song(77, duration_s=DUR, seed=31)
+    body = _wav_bytes(new_song)
+    code, out = _post(f"{base}/ingest?name=newtrack", body)
+    assert code == 200, out
+    assert out["ingested"] == 1 and out["hashes"] > 100
+
+    code, again = _post(f"{base}/ingest?name=newtrack_copy", body)
+    assert code == 200
+    assert again["skipped"] == 1 and again["ingested"] == 0
+
+    clip = np.asarray(new_song)[int(1.5 * FS): int(6.5 * FS)]
+    code, rec = _post(f"{base}/recognize", _wav_bytes(clip))
+    assert code == 200
+    assert rec["results"][0]["song_name"] == "newtrack"
+
+    # old songs still recognized against the grown index
+    code, rec = _post(f"{base}/recognize", _wav_bytes(_clip(0)))
+    assert code == 200 and rec["results"][0]["song_name"] == "s0"
+
+
+def test_ingest_requires_name(server):
+    code, out = _post(f"http://127.0.0.1:{server.port}/ingest",
+                      _wav_bytes(_clip(0)))
+    assert code == 400 and "name" in out["error"]
+
+
+def test_stats_latency_summary(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/stats", timeout=30) as r:
+        s = json.loads(r.read())
+    assert s["ingests"] >= 1          # the online-ingest test above
+    lat = s["latency"]
+    assert lat["count"] >= 1
+    assert lat["p50_ms"] > 0 and lat["p99_ms"] >= lat["p50_ms"]
+
+
+def test_persisted_online_ingest_survives_restart(tmp_path):
+    """--persist semantics: POST /ingest saves the index, so a fresh
+    process recognizes the song; without it load_index purges the
+    orphaned catalog row (tested in test_review_fixes)."""
+    db = str(tmp_path / "cat")
+    sia = SIA(catalog_path=db + ".sqlite")
+    sia.ingest_arrays([("base", synth_song(0, duration_s=DUR, seed=5))])
+    sia.save_index(db + ".npz")
+    srv = RecognitionServer(sia, port=0, max_batch=4,
+                            persist_path=db + ".npz")
+    srv.start_background()
+    try:
+        song = synth_song(9, duration_s=DUR, seed=5)
+        code, out = _post(f"http://127.0.0.1:{srv.port}/ingest?name=live",
+                          _wav_bytes(song))
+        assert code == 200 and out["ingested"] == 1
+    finally:
+        srv.close()
+
+    sia2 = SIA(catalog_path=db + ".sqlite")
+    sia2.load_index(db + ".npz")
+    assert {d["song_name"] for d in sia2.catalog.get_songs()} == \
+        {"base", "live"}
+    clip = np.asarray(song)[int(1.0 * FS): int(6.0 * FS)]
+    out = sia2.recognize_samples([clip])
+    assert out["results"][0]["song_name"] == "live"
