@@ -21,6 +21,9 @@ This daemon is that shape over plain HTTP (stdlib only, no deps):
   recognition batches; see ``SIA.ingest_channels`` for the
   program-shape caveat (use a device-resident index with reserved
   capacity so online growth doesn't recompile the match program).
+- ``POST /delete?songs=<ids-or-names>`` — remove songs from the live
+  catalog and index (the reference's DELETE_SONGS admin queries,
+  ``fingerprints_queries.sql``).
 - ``GET /stats`` — catalog counts + serving counters (requests,
   batches, largest batch, ingests) and rolling queue->response
   latency quantiles for observability.
@@ -146,20 +149,33 @@ class MicroBatcher:
         }
 
     def _answer(self, batch: List[_Pending]) -> None:
-        # ingest requests run individually on this same thread (the
-        # engine is single-threaded by construction; ingest mutates it)
-        ingests = [p for p in batch if p.kind == "ingest"]
-        batch = [p for p in batch if p.kind != "ingest"]
-        for p in ingests:
+        # catalog mutations (ingest/delete) run individually on this
+        # same thread (the engine is single-threaded by construction)
+        admin = [p for p in batch if p.kind in ("ingest", "delete")]
+        batch = [p for p in batch if p.kind not in ("ingest", "delete")]
+        for p in admin:
             try:
-                p.result = self.sia.ingest_channels(p.name, p.channels)
-                self.stats["ingests"] += 1
-                if self.persist_path and p.result.get("ingested"):
+                if not hasattr(self.sia, "ingest_channels"):
+                    raise RuntimeError(
+                        "this engine does not support online catalog "
+                        "mutation (e.g. a sharded recognizer facade)")
+                if p.kind == "ingest":
+                    p.result = self.sia.ingest_channels(p.name, p.channels)
+                    self.stats["ingests"] += 1
+                    changed = bool(p.result.get("ingested"))
+                else:
+                    ids = self._resolve_song_ids(p.name)
+                    removed = self.sia.delete_songs(ids)
+                    p.result = {"deleted_songs": len(ids),
+                                "removed_rows": removed}
+                    self.stats["deletes"] = self.stats.get("deletes", 0) + 1
+                    changed = bool(ids)
+                if self.persist_path and changed:
                     # durability: without this, a daemon crash leaves the
                     # song's fingerprinted flag in sqlite but its rows
                     # nowhere (load_index reconciles by purging, so the
                     # song would need re-ingesting). Full index rewrite
-                    # per song — size the flag to your catalog.
+                    # per mutation — size the flag to your catalog.
                     self.sia.save_index(self.persist_path)
             except Exception as e:  # noqa: BLE001 — reported per request
                 self.stats["errors"] += 1
@@ -199,6 +215,25 @@ class MicroBatcher:
                 self.stats["errors"] += 1
                 p.error = f"{type(e).__name__}: {e}"
             self._finish(p)
+
+    def _resolve_song_ids(self, spec: str) -> List[int]:
+        """Delete spec -> song ids: comma-separated ids and/or names."""
+        ids = []
+        by_name = None
+        for tok in spec.split(","):
+            tok = tok.strip()
+            if not tok:
+                continue
+            if tok.isdigit():
+                ids.append(int(tok))
+                continue
+            if by_name is None:
+                by_name = {d["song_name"]: d["song_id"]
+                           for d in self.sia.catalog.get_songs()}
+            if tok not in by_name:
+                raise ValueError(f"unknown song name {tok!r}")
+            ids.append(by_name[tok])
+        return ids
 
     def _metadata_for(self, song_name):
         """Top-match metadata, the reference one-shot flow's last step
@@ -261,6 +296,9 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
 
         def do_POST(self):  # noqa: N802
             parsed = urlparse(self.path)
+            if parsed.path == "/delete":
+                self._do_delete(parsed)
+                return
             if parsed.path not in ("/recognize", "/ingest"):
                 self._json(404, {"error": f"no route {parsed.path}"})
                 return
@@ -291,6 +329,24 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
                 return
             p = _Pending(channels, topn,
                          kind="ingest" if ingest else "recognize", name=name)
+            self._await(p)
+
+        def _do_delete(self, parsed) -> None:
+            """POST /delete?songs=<id-or-name>,... — the reference's
+            DELETE_SONGS admin workflow (``mysql_database.py:136-138``,
+            ``fingerprints_queries.sql``) against the live catalog."""
+            qs = parse_qs(parsed.query)
+            # drain any body so keep-alive connections stay usable
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            if 0 < length <= 1 << 20:
+                self.rfile.read(length)
+            if "songs" not in qs or not qs["songs"][0]:
+                self._json(400, {"error": "delete requires ?songs=ids,names"})
+                return
+            p = _Pending([], None, kind="delete", name=qs["songs"][0])
+            self._await(p)
+
+        def _await(self, p: _Pending) -> None:
             batcher.submit(p)
             if not p.event.wait(timeout=timeout_s):
                 self._json(504, {"error": "request timed out"})

@@ -269,3 +269,30 @@ def test_persisted_online_ingest_survives_restart(tmp_path):
     clip = np.asarray(song)[int(1.0 * FS): int(6.0 * FS)]
     out = sia2.recognize_samples([clip])
     assert out["results"][0]["song_name"] == "live"
+
+
+def test_online_delete(server):
+    """POST /delete removes a song from the live catalog+index (the
+    reference's DELETE_SONGS admin workflow, run against the daemon)."""
+    base = f"http://127.0.0.1:{server.port}"
+    song = synth_song(55, duration_s=DUR, seed=31)
+    code, out = _post(f"{base}/ingest?name=doomed", _wav_bytes(song))
+    assert code == 200 and out["ingested"] == 1
+
+    clip = np.asarray(song)[int(1.0 * FS): int(6.0 * FS)]
+    code, rec = _post(f"{base}/recognize", _wav_bytes(clip))
+    assert rec["results"][0]["song_name"] == "doomed"
+
+    code, out = _post(f"{base}/delete?songs=doomed", b"")
+    assert code == 200, out
+    assert out["deleted_songs"] == 1 and out["removed_rows"] > 100
+
+    code, rec = _post(f"{base}/recognize", _wav_bytes(clip))
+    assert code == 200
+    assert all(r["song_name"] != "doomed" for r in rec["results"])
+
+    code, out = _post(f"{base}/delete?songs=nosuchsong", b"")
+    assert code == 500 and "unknown song" in out["error"]
+
+    code, out = _post(f"{base}/delete", b"")
+    assert code == 400
