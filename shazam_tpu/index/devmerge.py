@@ -53,7 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .store import FingerprintIndex
+from .store import FingerprintIndex, offset_stride_for
 
 SENTINEL = np.uint32(0xFFFFFFFF)
 MIN_CAPACITY = 1 << 16
@@ -189,13 +189,9 @@ def _download_prefix(col, n_valid: int) -> np.ndarray:
 
 
 def _stride_for(max_offset: int, n_songs: int) -> int:
-    """Packing stride, same rule as ``FingerprintIndex.offset_stride``."""
-    stride = 1
-    while stride <= max_offset:
-        stride <<= 1
-    if max(n_songs, 1) * stride <= (1 << 32):
-        return stride
-    return 0
+    """Packing stride — delegates to the single-sourced rule so the
+    device layout can never drift from ``FingerprintIndex.offset_stride``."""
+    return offset_stride_for(max_offset, n_songs)
 
 
 class DeviceIndex:
@@ -728,6 +724,27 @@ class SpannedDeviceStore:
         self.finalize()
         live = [s for s in self.spans if s.n_valid > 0] or [self.spans[-1]]
         stacked = []
+        try:
+            self._consolidate_columns(live, stacked)
+        except BaseException:
+            # restore any released source columns from their stacked
+            # copies (stacked row i IS span i's column, sentinel-padded)
+            # so a fault during a LATER column still leaves the per-span
+            # layout whole, as the contract above promises — without
+            # this, spans hold None for columns 0..c-1 and every later
+            # operation crashes on them
+            for c_done, big in enumerate(stacked):
+                for i, s in enumerate(live):
+                    if s.cols[c_done] is None:
+                        cols = list(s.cols)
+                        cols[c_done] = big[i]
+                        s.cols = tuple(cols)
+            raise
+        self._stacked = tuple(stacked)
+        self._stacked_valids = [s.n_valid for s in live]
+        self.spans = []
+
+    def _consolidate_columns(self, live, stacked) -> None:
         for c in range(len(live[0].cols)):
             # allocate the (S, span_rows) column FIRST: if HBM cannot fit
             # it (resident catalog + one stacked column ~= 1.25x the
@@ -753,9 +770,6 @@ class SpannedDeviceStore:
                 cols[c] = None                # release the source
                 s.cols = tuple(cols)
             stacked.append(big)
-        self._stacked = tuple(stacked)
-        self._stacked_valids = [s.n_valid for s in live]
-        self.spans = []
 
     def query_cols(self):
         """Per-span column tuples, or the stacked 4-tuple once

@@ -30,6 +30,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def offset_stride_for(max_offset: int, n_songs: int) -> int:
+    """THE packing rule for (song_id, offset) -> one uint32 payload:
+    power-of-two stride above ``max_offset``; 0 = unpackable (would
+    overflow 32 bits).  Single-sourced — host and device index layouts
+    must always agree on it or payloads decode with the wrong divisor.
+    """
+    stride = 1
+    while stride <= max_offset:
+        stride <<= 1
+    if max(n_songs, 1) * stride <= (1 << 32):
+        return stride
+    return 0
+
+
 @dataclasses.dataclass
 class FingerprintIndex:
     """Sorted fingerprint store (numpy on host; `.device()` puts it in HBM)."""
@@ -61,12 +75,7 @@ class FingerprintIndex:
         is too large to pack (song_id * stride would overflow 32 bits) and
         the two-array layout is used instead.
         """
-        stride = 1
-        while stride <= self.max_offset:
-            stride <<= 1
-        if max(self.n_songs, 1) * stride <= (1 << 32):
-            return stride
-        return 0
+        return offset_stride_for(self.max_offset, self.n_songs)
 
     def device_arrays(self):
         """(key_hi, key_lo, key_ex, payload...) device arrays, >= 1 entry.

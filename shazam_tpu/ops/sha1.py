@@ -142,16 +142,17 @@ def sha1_triples(f1: jnp.ndarray, f2: jnp.ndarray, dt: jnp.ndarray):
         w = list(w)
         for j in range(16):
             t = blk * 16 + j  # traced scalar; w indices below are static
-            if True:
-                # schedule: for t < 16 (blk 0) w[j] is the message word
-                # itself; the update below would corrupt it, so gate on blk
-                wt_sched = _rotl(
-                    w[(j + 13) % 16] ^ w[(j + 8) % 16]
-                    ^ w[(j + 2) % 16] ^ w[j],
-                    1,
-                )
-                wt = jnp.where(blk == 0, w[j], wt_sched)
-                w[j] = wt
+            # schedule: for t < 16 (blk 0) w[j] is the message word
+            # itself and the recurrence would corrupt it — the
+            # jnp.where select keeps the original word on block 0
+            # (data select, not control flow: blk is traced)
+            wt_sched = _rotl(
+                w[(j + 13) % 16] ^ w[(j + 8) % 16]
+                ^ w[(j + 2) % 16] ^ w[j],
+                1,
+            )
+            wt = jnp.where(blk == 0, w[j], wt_sched)
+            w[j] = wt
             # regime select without control flow (a lax.switch per round
             # costs ~20x the round's VPU work in branch overhead)
             regime = t // 20

@@ -445,3 +445,78 @@ def test_empty_spanned_save_load(tmp_path):
     assert back.to_host().n_hashes == 0
     flat = SpannedDeviceStore.load_flat(path)
     assert flat.n_hashes == 0
+
+
+def test_consolidate_rollback_on_midway_fault(monkeypatch):
+    """A fault while stacking a LATER column must leave the per-span
+    layout whole (the docstring contract): released source columns are
+    restored from their stacked copies, queries keep working, and a
+    retry consolidates cleanly."""
+    from shazam_tpu import index as _index_pkg
+    from shazam_tpu.api import SIA
+    from shazam_tpu.index import devmerge
+
+    songs = _songs(8)
+    sia = SIA(device_span_rows=4096)
+    for i in range(0, len(songs), 2):
+        chunk = songs[i:i + 2]
+        batch, nv = _pad_batch([s for _n, s in chunk])
+        sia.ingest_device_batch([n for n, _s in chunk], batch, nv,
+                                per_song_hash_capacity=4096,
+                                defer_sort=True)
+    clip = songs[2][1][11025: 11025 + 2 * 44100]
+    before = sia.recognize_samples([clip])
+    assert before["results"][0]["song_name"] == "s2"
+
+    store = sia._ensure_dev_store()
+    n_live = len([s for s in store.spans if s.n_valid > 0])
+    assert n_live >= 2
+
+    # fail after the FIRST column fully stacked (its sources released)
+    real = devmerge._stack_row
+    calls = {"n": 0}
+
+    def flaky(big, row, i):
+        calls["n"] += 1
+        if calls["n"] > n_live:
+            raise RuntimeError("injected tunnel fault")
+        return real(big, row, i)
+
+    monkeypatch.setattr(devmerge, "_stack_row", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        store.consolidate()
+    monkeypatch.setattr(devmerge, "_stack_row", real)
+
+    # per-span layout whole: no None columns, not stacked, queries work
+    assert not store.is_stacked
+    for s in store.spans:
+        assert all(c is not None for c in s.cols)
+    sia._device_index = None  # drop any cached handles
+    mid = sia.recognize_samples([clip])
+    assert mid["results"][0]["song_name"] == "s2"
+    assert mid["results"] == before["results"]
+
+    # retry succeeds and still matches
+    store.consolidate()
+    assert store.is_stacked
+    sia._device_index = None
+    after = sia.recognize_samples([clip])
+    assert after["results"] == before["results"]
+
+
+def test_spanned_single_dispatch_vote_key_guard():
+    """recognize_on_device_spanned raises on int32 vote-key overflow like
+    every other matcher entry point (silent wrap = wrong songs)."""
+    import jax.numpy as jnp
+    from shazam_tpu.match.ondevice import recognize_on_device_spanned
+
+    dummy = jnp.zeros(1, jnp.uint32)
+    with pytest.raises(ValueError, match="int32 vote key"):
+        recognize_on_device_spanned(
+            jnp.zeros((1, 1 << 18), jnp.float32), jnp.asarray([100], jnp.int32),
+            ((dummy, dummy, dummy, dummy),),
+            fs=44100, wsize=4096, hop=2048, amp_min=10.0, radius=10,
+            fan_value=5, min_dt=0, max_dt=200,
+            n_songs=1 << 20, delta_min=-1024, delta_range=4608,
+            offset_stride=0,
+        )
