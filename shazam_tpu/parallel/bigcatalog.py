@@ -21,6 +21,7 @@ is the part it never had.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Tuple
 
 import jax
@@ -31,6 +32,32 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..index.store import FingerprintIndex
 from ..match.lookup import match_local, RawMatch
+
+
+def pack_shard_rows(hi, lo, ex, sid, off, *, rows_per: int, stride: int,
+                    n_local_songs: int):
+    """One shard's sorted, padded column tuple — THE payload encoding
+    every by-song sharding builder must agree on (key pads are
+    0xFFFFFFFF sentinels; payload is packed ``sid * stride + off`` with
+    an out-of-range pad, or split sid/off columns when unpackable).
+    Shared by ``shard_index_by_song`` and the multihost distributed
+    ingest so the encoding can never drift between them.
+    """
+    order = np.lexsort((ex, lo, hi))
+    hi, lo, ex, sid, off = (a[order] for a in (hi, lo, ex, sid, off))
+
+    def pad(a, fill):
+        out = np.full(rows_per, fill, np.uint32)
+        out[: len(a)] = a
+        return out
+
+    keys = (pad(hi, 0xFFFFFFFF), pad(lo, 0xFFFFFFFF), pad(ex, 0xFFFFFFFF))
+    if stride:
+        packed = sid.astype(np.uint32) * np.uint32(stride) \
+            + off.astype(np.uint32)
+        return keys + (pad(packed, np.uint32(
+            min(n_local_songs * stride, 2 ** 32 - 1))),)
+    return keys + (pad(sid.astype(np.uint32), n_local_songs), pad(off, 0))
 
 
 def shard_index_by_song(index: FingerprintIndex, n_shards: int):
@@ -55,23 +82,11 @@ def shard_index_by_song(index: FingerprintIndex, n_shards: int):
     arrays = []
     for d in range(n_shards):
         sel = shard_of == d
-        hi, lo, ex = index.key_hi[sel], index.key_lo[sel], index.key_ex[sel]
-        sid, off = local_sid[sel].astype(np.uint32), index.offset[sel]
-        order = np.lexsort((ex, lo, hi))
-        hi, lo, ex, sid, off = (a[order] for a in (hi, lo, ex, sid, off))
-
-        def pad(a, fill):
-            out = np.full(rows_per, fill, np.uint32)
-            out[: len(a)] = a
-            return out
-
-        keys = (pad(hi, 0xFFFFFFFF), pad(lo, 0xFFFFFFFF), pad(ex, 0xFFFFFFFF))
-        if stride:
-            packed = sid * np.uint32(stride) + off.astype(np.uint32)
-            arrays.append(keys + (pad(packed, np.uint32(
-                min(n_local_songs * stride, 2 ** 32 - 1))),))
-        else:
-            arrays.append(keys + (pad(sid, n_local_songs), pad(off, 0)))
+        arrays.append(pack_shard_rows(
+            index.key_hi[sel], index.key_lo[sel], index.key_ex[sel],
+            local_sid[sel], index.offset[sel],
+            rows_per=rows_per, stride=stride, n_local_songs=n_local_songs,
+        ))
 
     stacked = tuple(
         np.stack([arrays[d][i] for d in range(n_shards)])
@@ -80,25 +95,18 @@ def shard_index_by_song(index: FingerprintIndex, n_shards: int):
     return stacked, n_local_songs, stride
 
 
-def sharded_match_by_song(
-    mesh: Mesh,
-    stacked_index,            # from shard_index_by_song
-    n_local_songs: int,
-    offset_stride: int,
-    q_hi, q_lo, q_ex, q_t, q_valid, q_first,
-    *,
-    delta_min: int,
-    delta_range: int,
-    match_capacity: int = 65536,
-    topn: int = 2,
-    sharded_head=None,        # (n_shards, 2^bits + 1) per-shard bucket CDFs
-) -> RawMatch:
-    """Exact global top-N over a song-sharded catalog (replicated queries)."""
+@functools.lru_cache(maxsize=128)
+def _match_by_song_program(
+    mesh: Mesh, n_idx: int, with_head: bool, *,
+    n_local_songs: int, offset_stride: int, delta_min: int,
+    delta_range: int, match_capacity: int, topn: int,
+):
+    """Jitted by-song match program, built ONCE per static config (a
+    per-call closure would retrace — and recompile through the TPU
+    tunnel, minutes each — on every query; see sharded._match_query_program)."""
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    n_idx = len(stacked_index)
     cand = max(topn, 2)
-    with_head = sharded_head is not None
 
     def local_fn(*args):
         idx = tuple(a[0] for a in args[:n_idx])
@@ -156,8 +164,31 @@ def sharded_match_by_song(
         out_specs=RawMatch(rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
-    extra = (sharded_head,) if with_head else ()
-    return jax.jit(fn)(
+    return jax.jit(fn)
+
+
+def sharded_match_by_song(
+    mesh: Mesh,
+    stacked_index,            # from shard_index_by_song
+    n_local_songs: int,
+    offset_stride: int,
+    q_hi, q_lo, q_ex, q_t, q_valid, q_first,
+    *,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 65536,
+    topn: int = 2,
+    sharded_head=None,        # (n_shards, 2^bits + 1) per-shard bucket CDFs
+) -> RawMatch:
+    """Exact global top-N over a song-sharded catalog (replicated queries)."""
+    fn = _match_by_song_program(
+        mesh, len(stacked_index), sharded_head is not None,
+        n_local_songs=n_local_songs, offset_stride=offset_stride,
+        delta_min=delta_min, delta_range=delta_range,
+        match_capacity=match_capacity, topn=topn,
+    )
+    extra = (sharded_head,) if sharded_head is not None else ()
+    return fn(
         *(jnp.asarray(a) for a in stacked_index), *extra,
         q_hi, q_lo, q_ex, q_t, q_valid, q_first,
     )

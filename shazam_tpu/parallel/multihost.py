@@ -30,7 +30,8 @@ from ..index.store import FingerprintIndex
 from ..match.align import align_results, MatchResult
 from ..match.prepare import QueryPairs
 from ..index.search import build_head, stacked_head_bits
-from .bigcatalog import shard_index_by_song, sharded_match_by_song
+from .bigcatalog import (pack_shard_rows, shard_index_by_song,
+                         sharded_match_by_song)
 
 
 def init_multihost(
@@ -201,11 +202,23 @@ class SpannedCatalog:
         )
 
     def match(self, q: QueryPairs, *, topn: int = 2,
-              match_capacity: int = 65536, q_frames: int = 1024,
+              match_capacity: int = 65536, q_frames: Optional[int] = None,
               catalog=None, config=None) -> MatchResult:
-        """Match prepared query pairs across every process's shards."""
+        """Match prepared query pairs across every process's shards.
+
+        ``q_frames`` defaults to the smallest power-of-two window
+        covering the query's max frame offset (>= 1024): a fixed window
+        silently drops votes with deltas below its floor on long clips
+        (the reference handles any clip length, ``recognizer.py:289-338``).
+        Pass it explicitly only to pin a compile shape.
+        """
         from ..config import DEFAULT_CONFIG
 
+        if q_frames is None:
+            max_t = int(np.max(q.t[: q.n_pairs])) if q.n_pairs else 0
+            q_frames = 1024
+            while q_frames <= max_t:
+                q_frames *= 2
         delta_min = -q_frames
         delta_range = self.max_offset + 2 * q_frames
         args = tuple(
@@ -222,8 +235,11 @@ class SpannedCatalog:
         import jax
 
         raw = jax.device_get(raw)
+        # judge overflow against the capacity actually used, not the
+        # config default (the repo invariant: overflow is never silent)
         return align_results(raw, q.n_pairs, catalog=catalog,
-                             config=config or DEFAULT_CONFIG)
+                             config=config or DEFAULT_CONFIG,
+                             match_capacity=match_capacity)
 
 
 def distributed_ingest_arrays(
@@ -312,24 +328,11 @@ def distributed_ingest_arrays(
     per_shard = []
     for d in sorted(mine):
         sel = shard_of == d
-        hi, lo, ex = ix.key_hi[sel], ix.key_lo[sel], ix.key_ex[sel]
-        sid, off = local_sid[sel], ix.offset[sel]
-        order = np.lexsort((ex, lo, hi))
-        hi, lo, ex, sid, off = (a[order] for a in (hi, lo, ex, sid, off))
-
-        def pad(a, fill):
-            out = np.full(rows_per, fill, np.uint32)
-            out[: len(a)] = a
-            return out
-
-        keys = (pad(hi, 0xFFFFFFFF), pad(lo, 0xFFFFFFFF),
-                pad(ex, 0xFFFFFFFF))
-        if stride:
-            packed = sid * np.uint32(stride) + off.astype(np.uint32)
-            per_shard.append(keys + (pad(packed, np.uint32(
-                min(n_local_songs * stride, 2 ** 32 - 1))),))
-        else:
-            per_shard.append(keys + (pad(sid, n_local_songs), pad(off, 0)))
+        per_shard.append(pack_shard_rows(
+            ix.key_hi[sel], ix.key_lo[sel], ix.key_ex[sel],
+            local_sid[sel], ix.offset[sel],
+            rows_per=rows_per, stride=stride, n_local_songs=n_local_songs,
+        ))
 
     local_stacked = tuple(
         np.stack([per_shard[i][c] for i in range(len(per_shard))])

@@ -58,19 +58,49 @@ def sequence_parallel_fingerprint(
     ``fingerprint_samples`` on a single device exactly (same XLA ops, same
     frames — verified in tests/test_sequence_parallel.py).
     """
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
     n = samples.shape[0]
+    n_dev = mesh.devices.size
     if n % (n_dev * hop):
         raise ValueError("padded length must divide n_devices * hop")
+    chunk = n // n_dev
+    halo_r = radius * hop + (wsize - hop)
+    if chunk < halo_r:
+        # a shorter chunk would silently truncate the exchanged halos,
+        # breaking the promised bit-exactness at shard boundaries — the
+        # clip is too short for this mesh; run it single-device instead
+        raise ValueError(
+            f"per-device chunk {chunk} < halo {halo_r} samples: input too "
+            f"short for {n_dev}-way sequence parallelism (needs >= "
+            f"{n_dev * halo_r} padded samples); use fingerprint_samples"
+        )
+    fn = _seq_fingerprint_program(
+        mesh, n, fs=fs, wsize=wsize, hop=hop, amp_min=amp_min,
+        radius=radius, fan_value=fan_value, min_dt=min_dt, max_dt=max_dt,
+        peak_capacity=peak_capacity,
+    )
+    return fn(samples, jnp.asarray(n_valid_samples, jnp.int32))
+
+
+@functools.lru_cache(maxsize=64)
+def _seq_fingerprint_program(
+    mesh: Mesh, n: int, *, fs: int, wsize: int, hop: int, amp_min: float,
+    radius: int, fan_value: int, min_dt: int, max_dt: int,
+    peak_capacity: int,
+):
+    """Jitted sequence-parallel program, built ONCE per static config
+    (a per-call closure retraced — and recompiled through the TPU
+    tunnel — on every song; see sharded._match_query_program).
+    ``n_valid`` is an argument, not a baked closure constant, so one
+    program serves every song of the same padded length."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
     chunk = n // n_dev
     frames_per_dev = chunk // hop
     halo = radius * hop                     # left halo samples
     halo_r = radius * hop + (wsize - hop)   # right halo incl window tail
     cap_shard = -(-peak_capacity // n_dev)
-    n_valid = jnp.asarray(n_valid_samples, jnp.int32)
 
-    def local_fn(x):
+    def local_fn(x, n_valid):
         x = x.reshape(-1)  # (chunk,)
         d = lax.axis_index(axis)
 
@@ -171,8 +201,8 @@ def sequence_parallel_fingerprint(
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(axis),),
+        in_specs=(P(axis), rep),
         out_specs=Fingerprints(rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
-    return jax.jit(fn)(samples)
+    return jax.jit(fn)

@@ -42,6 +42,7 @@ class ShardedCatalog:
         config: FingerprintConfig = DEFAULT_CONFIG,
         catalog=None,
         dense_limit_bytes: int = 64 << 20,
+        max_q_frames: int = 4096,
     ):
         self.mesh = mesh or make_mesh()
         self.config = config
@@ -56,24 +57,44 @@ class ShardedCatalog:
         # 12K songs. Past `dense_limit_bytes` the by-song regime (local
         # voting over n_songs/n_dev songs + one tiny all_gather) is
         # strictly cheaper, long before its 1M-song design point.
-        dense_bytes = max(index.n_songs, 1) * self._delta_range_for(1024) * 4
+        # Budget at max_q_frames, not the 1024 floor: match() escalates
+        # q_frames per query (clips up to ~190 s at the 4096 default),
+        # and the regime must hold the budget for the LONGEST accepted
+        # clip, not just the shortest.
+        self.max_q_frames = max_q_frames
+        dense_bytes = (max(index.n_songs, 1)
+                       * self._delta_range_for(max_q_frames) * 4)
         self.regime = "key_range" if dense_bytes <= dense_limit_bytes else "by_song"
+
+        # place shards ON the mesh: a bare jnp.asarray would park the
+        # full (n_shards, rows) stack in device 0's HBM (OOM at the
+        # catalog sizes this regime exists for) and re-transfer it into
+        # the shard_map on every query
+        axis = self.mesh.axis_names[0]
+        row_sharding = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(axis, None))
+
+        def place(a):
+            return jax.device_put(jnp.asarray(a), row_sharding)
+
         if self.regime == "key_range":
             self._shards = tuple(
-                jnp.asarray(a) for a in shard_index_arrays(index, n_dev)
+                place(a) for a in shard_index_arrays(index, n_dev)
             )
             self._stride = index.offset_stride
         else:
             stacked, self._n_local, self._stride = shard_index_by_song(
                 index, n_dev
             )
-            self._shards = tuple(jnp.asarray(a) for a in stacked)
+            self._shards = tuple(place(a) for a in stacked)
         # per-shard bucket-CDF heads: exact search windows regardless of
         # the key distribution (hot hash runs defeat interpolation)
         bits = stacked_head_bits(self._shards[0].shape[1])
         if bits is not None:
-            self._head = jax.vmap(
-                lambda h: build_head(h, bits=bits))(self._shards[0])
+            self._head = jax.device_put(
+                jax.vmap(lambda h: build_head(h, bits=bits))(self._shards[0]),
+                row_sharding,
+            )
         else:
             self._head = None
 
@@ -91,32 +112,55 @@ class ShardedCatalog:
         return frames
 
     def match(self, q: QueryPairs, topn: Optional[int] = None) -> MatchResult:
-        """Match prepared query pairs; returns reference-shaped results."""
+        """Match prepared query pairs; returns reference-shaped results.
+
+        Match capacity escalates x4 up to ``config.match_capacity_max``
+        when a tier overflows (hyper-common hashes own 10K-70K rows at
+        reference scale and EVERY row must vote — same policy as the
+        single-device ``SIA._match_prepared``); the jitted program per
+        tier is cached, so steady-state queries stay one dispatch.
+        """
         args = tuple(
             jnp.asarray(a) for a in (q.hi, q.lo, q.ex, q.t, q.valid, q.first)
         )
         topn = topn or self.config.topn
         q_frames = self._q_frames_for(q)
+        if q_frames > self.max_q_frames:
+            raise ValueError(
+                f"query needs q_frames={q_frames} > max_q_frames="
+                f"{self.max_q_frames}: the dense-histogram HBM budget was "
+                "sized at construction — raise max_q_frames there")
         delta_min = -q_frames
         delta_range = self._delta_range_for(q_frames)
+
+        cap = self.config.match_capacity
+        while True:
+            raw = self._match_once(args, topn, delta_min, delta_range, cap)
+            total = int(raw.total_rows)
+            if total <= cap or cap >= self.config.match_capacity_max:
+                break
+            while cap < total and cap < self.config.match_capacity_max:
+                cap *= 4
+            cap = min(cap, self.config.match_capacity_max)
+        return align_results(raw, q.n_pairs, catalog=self.catalog,
+                             config=self.config, match_capacity=cap)
+
+    def _match_once(self, args, topn, delta_min, delta_range, cap) -> "RawMatch":
         if self.regime == "key_range":
-            raw = sharded_match_query(
+            return sharded_match_query(
                 self.mesh, self._shards, *args,
                 n_songs=max(self.index.n_songs, 1),
                 delta_min=delta_min, delta_range=delta_range,
-                match_capacity=self.config.match_capacity,
+                match_capacity=cap,
                 topn=topn, offset_stride=self._stride,
                 sharded_head=self._head,
             )
-        else:
-            raw = sharded_match_by_song(
-                self.mesh, self._shards, self._n_local, self._stride, *args,
-                delta_min=delta_min, delta_range=delta_range,
-                match_capacity=self.config.match_capacity, topn=topn,
-                sharded_head=self._head,
-            )
-        return align_results(raw, q.n_pairs, catalog=self.catalog,
-                             config=self.config)
+        return sharded_match_by_song(
+            self.mesh, self._shards, self._n_local, self._stride, *args,
+            delta_min=delta_min, delta_range=delta_range,
+            match_capacity=cap, topn=topn,
+            sharded_head=self._head,
+        )
 
     def stats(self) -> Dict:
         return {
@@ -157,7 +201,8 @@ class ShardedRecognizer:
         return self.catalog.get_metadata(track_id) if self.catalog else None
 
     def recognize_samples(self, channels, topn: Optional[int] = None,
-                          early_exit: bool = False) -> Dict:
+                          early_exit: bool = False,
+                          q_pad_to: Optional[int] = None) -> Dict:
         import time
 
         from ..match.prepare import prepare_query
@@ -172,6 +217,10 @@ class ShardedRecognizer:
             }
         fps = [self._fp._fingerprint_channel(ch) for ch in channels]
         q = prepare_query(fps)
+        if q_pad_to is not None and q_pad_to > len(q.hi):
+            # serve.warmup's pair-bucket knob (the match program's shape
+            # is the pow2 pair bucket) — results identical at any padding
+            q = prepare_query(fps, pad_to=q_pad_to)
         jax.block_until_ready(fps[-1].hi)
         fingerprint_time = time.time() - t0
 
@@ -190,5 +239,7 @@ class ShardedRecognizer:
         }
 
     def recognize_batch(self, clips, topn: Optional[int] = None,
-                        pad_to_pow2: bool = False):
-        return [self.recognize_samples([c], topn=topn) for c in clips]
+                        pad_to_pow2: bool = False,
+                        q_pad_to: Optional[int] = None):
+        return [self.recognize_samples([c], topn=topn, q_pad_to=q_pad_to)
+                for c in clips]

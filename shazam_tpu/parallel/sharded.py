@@ -23,6 +23,8 @@ DB server reached over TCP; thread-pooled SELECT batches in
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -32,24 +34,21 @@ from ..match.lookup import match_local, rank_votes, RawMatch
 from ..ops.fingerprint import fingerprint_batch
 
 
-def sharded_match_query(
-    mesh: Mesh,
-    sharded_index,          # 4 or 5 arrays shaped (n_shards, rows_per_shard)
-    q_hi, q_lo, q_ex, q_t, q_valid, q_first,
-    *,
-    n_songs: int,
-    delta_min: int,
-    delta_range: int,
-    match_capacity: int = 65536,
-    topn: int = 2,
-    offset_stride: int = 0,
-    sharded_head=None,        # (n_shards, 2^bits + 1) per-shard bucket CDFs
-) -> RawMatch:
-    """Match a replicated query against a key-range-sharded index."""
+@functools.lru_cache(maxsize=128)
+def _match_query_program(
+    mesh: Mesh, n_index_arrays: int, with_head: bool, *,
+    n_songs: int, delta_min: int, delta_range: int, per_shard_cap: int,
+    match_capacity: int, topn: int, offset_stride: int,
+):
+    """Build the jitted key-range match program ONCE per static config.
+
+    The jit cache keys on the wrapped function's identity: rebuilding the
+    shard_map closure per call (the old shape of this module) retraced —
+    and on the TPU tunnel recompiled, minutes per program — EVERY query.
+    The lru_cache pins one jitted callable per (mesh, shapes-independent
+    statics); jit then caches per query/index shape as usual.
+    """
     axis = mesh.axis_names[0]
-    per_shard_cap = max(match_capacity // mesh.devices.size, 1024)
-    n_index_arrays = len(sharded_index)
-    with_head = sharded_head is not None
 
     def local_fn(*args):
         idx = args[:n_index_arrays]
@@ -86,10 +85,32 @@ def sharded_match_query(
         out_specs=RawMatch(rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
-    extra = (sharded_head,) if with_head else ()
-    return jax.jit(fn)(
-        *sharded_index, *extra, q_hi, q_lo, q_ex, q_t, q_valid, q_first
+    return jax.jit(fn)
+
+
+def sharded_match_query(
+    mesh: Mesh,
+    sharded_index,          # 4 or 5 arrays shaped (n_shards, rows_per_shard)
+    q_hi, q_lo, q_ex, q_t, q_valid, q_first,
+    *,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 65536,
+    topn: int = 2,
+    offset_stride: int = 0,
+    sharded_head=None,        # (n_shards, 2^bits + 1) per-shard bucket CDFs
+) -> RawMatch:
+    """Match a replicated query against a key-range-sharded index."""
+    per_shard_cap = max(match_capacity // mesh.devices.size, 1024)
+    fn = _match_query_program(
+        mesh, len(sharded_index), sharded_head is not None,
+        n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+        per_shard_cap=per_shard_cap, match_capacity=match_capacity,
+        topn=topn, offset_stride=offset_stride,
     )
+    extra = (sharded_head,) if sharded_head is not None else ()
+    return fn(*sharded_index, *extra, q_hi, q_lo, q_ex, q_t, q_valid, q_first)
 
 
 def sharded_ingest_step(

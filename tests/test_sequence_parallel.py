@@ -66,3 +66,18 @@ def test_sequence_parallel_peak_overflow_detected(mesh):
     )
     assert int(ref.n_peaks) > cap  # the signal really is dense
     assert int(seq.n_peaks) > cap  # ...and the sharded path says so
+
+
+def test_sequence_parallel_short_input_raises(mesh):
+    """Chunks shorter than the exchanged halo would silently truncate
+    it, breaking the bit-exactness promise — must raise instead."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from shazam_tpu.parallel.sequence import sequence_parallel_fingerprint
+
+    n_dev = mesh.devices.size
+    n = n_dev * 2048 * 9  # chunk = 18432 < halo_r = 22528 at defaults
+    samples = jnp.zeros(n, jnp.float32)
+    with pytest.raises(ValueError, match="too short"):
+        sequence_parallel_fingerprint(mesh, samples, np.int32(n))

@@ -91,3 +91,86 @@ def test_sharded_recognizer_serves_http(engine):
         assert stats["index_hashes"] == engine.index.n_hashes
     finally:
         srv.close()
+
+
+def test_match_program_cached_across_queries(engine):
+    """Repeated match() calls must reuse one jitted program — the old
+    per-call shard_map closure retraced (and on the TPU tunnel
+    recompiled, minutes each) EVERY query, making multi-chip serving
+    unusable."""
+    from shazam_tpu.parallel import bigcatalog, sharded
+    from shazam_tpu.parallel.mesh import make_mesh
+    from shazam_tpu.parallel.serving import ShardedCatalog
+
+    mesh = make_mesh(8)
+    song = synth_song(1, duration_s=DUR, seed=31)
+    clips = [song[int(s * 44100): int((s + 4) * 44100)] for s in (1.0, 2.0)]
+    for dense_limit, mod, cache in (
+            (1 << 30, sharded, sharded._match_query_program),
+            (1, bigcatalog, bigcatalog._match_by_song_program)):
+        sc = ShardedCatalog(engine.index, mesh=mesh, catalog=engine.catalog,
+                            dense_limit_bytes=dense_limit)
+        cache.cache_clear()
+        for clip in clips:
+            q = prepare_query([engine._fingerprint_channel(clip)])
+            out = sc.match(q)
+            assert out.results
+        info = cache.cache_info()
+        assert info.misses == 1 and info.hits >= 1, info
+
+
+def test_sharded_match_capacity_escalation(engine):
+    """A hyper-hot hash whose rows exceed the per-shard expansion cap
+    must escalate (every row votes — reference parity), not return
+    truncated counts."""
+    from shazam_tpu.index.store import FingerprintIndex
+    from shazam_tpu.match.lookup import match_query
+    from shazam_tpu.parallel.mesh import make_mesh
+    from shazam_tpu.parallel.serving import ShardedCatalog
+
+    rng = np.random.default_rng(3)
+    n, hot = 60_000, 20_000  # hot rows > per-shard cap 65536/8 = 8192
+    hi = rng.integers(0, 2**32, n, dtype=np.uint32)
+    lo = rng.integers(0, 2**32, n, dtype=np.uint32)
+    ex = rng.integers(0, 2**16, n, dtype=np.uint32)
+    sid = rng.integers(0, 50, n, dtype=np.uint32)
+    off = rng.integers(0, 2000, n, dtype=np.uint32)
+    hi[:hot] = 0x7777; lo[:hot] = 0x8888; ex[:hot] = 0x99
+    sid[:hot] = 7; off[:hot] = 300  # every hot row votes (song 7, one delta)
+    order = np.lexsort((ex, lo, hi))
+    index = FingerprintIndex(hi[order], lo[order], ex[order], sid[order],
+                             off[order], n_songs=50, max_offset=2000)
+
+    q_pairs = 1024
+    q_hi = rng.integers(0, 2**32, q_pairs, dtype=np.uint32)
+    q_lo = rng.integers(0, 2**32, q_pairs, dtype=np.uint32)
+    q_ex = rng.integers(0, 2**16, q_pairs, dtype=np.uint32)
+    q_hi[0], q_lo[0], q_ex[0] = 0x7777, 0x8888, 0x99
+    q_t = np.full(q_pairs, 100, np.uint32)
+    from shazam_tpu.match.prepare import QueryPairs
+    q = QueryPairs(q_hi, q_lo, q_ex, q_t, np.ones(q_pairs, bool),
+                   np.ones(q_pairs, bool), q_pairs)
+
+    mesh = make_mesh(8)
+    sc = ShardedCatalog(index, mesh=mesh, dense_limit_bytes=1 << 30)
+    out = sc.match(q, topn=2)
+    assert not out.overflowed
+    top = out.results[0]
+    assert top["song_id"] == 7
+    # every hot row voted: (song 7, delta 300-100) holds all 20K votes
+    assert top["hashes_matched_in_input"] >= hot
+
+
+def test_sharded_recognizer_warmup(engine):
+    """serve.warmup() drives the full engine surface incl. q_pad_to —
+    the duck type RecognitionServer consumes (regression: TypeError on
+    the CLI serve path before the listener ever opened)."""
+    from shazam_tpu.parallel.mesh import make_mesh
+    from shazam_tpu.parallel.serving import ShardedCatalog, ShardedRecognizer
+    from shazam_tpu.serve import warmup
+
+    mesh = make_mesh(8)
+    sc = ShardedCatalog(engine.index, mesh=mesh, catalog=engine.catalog,
+                        config=engine.config)
+    rec = ShardedRecognizer(sc)
+    warmup(rec, seconds=2.0, max_batch=2)
