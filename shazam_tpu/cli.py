@@ -168,7 +168,9 @@ def cmd_serve(args):
     print(json.dumps({"serving": f"http://{args.host}:{server.port}",
                       "songs": sia.catalog.counts()["n_songs"],
                       "hashes": sia._live_n_hashes()}), flush=True)
+    server.install_signal_handlers()  # SIGTERM/SIGINT -> graceful stop
     server.serve_forever()
+    print(json.dumps({"stopped": True, **server.batcher.stats}), flush=True)
 
 
 def cmd_synth(args):

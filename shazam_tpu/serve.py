@@ -27,6 +27,11 @@ This daemon is that shape over plain HTTP (stdlib only, no deps):
 - ``GET /stats`` — catalog counts + serving counters (requests,
   batches, largest batch, ingests) and rolling queue->response
   latency quantiles for observability.
+- ``GET /metrics`` — the same counters in Prometheus text exposition
+  format for scrape-based monitoring.
+- ``POST /save`` — snapshot the live index/catalog to disk on demand
+  (the per-mutation ``--persist`` flag's explicit sibling; runs on the
+  batcher thread so it never interleaves with a device program).
 - ``GET /healthz`` — liveness.
 
 Every SIA/device interaction happens on the single batcher thread —
@@ -151,10 +156,20 @@ class MicroBatcher:
     def _answer(self, batch: List[_Pending]) -> None:
         # catalog mutations (ingest/delete) run individually on this
         # same thread (the engine is single-threaded by construction)
-        admin = [p for p in batch if p.kind in ("ingest", "delete")]
-        batch = [p for p in batch if p.kind not in ("ingest", "delete")]
+        admin = [p for p in batch if p.kind in ("ingest", "delete", "save")]
+        batch = [p for p in batch if p.kind not in ("ingest", "delete", "save")]
         for p in admin:
             try:
+                if p.kind == "save":
+                    path = p.name or self.persist_path
+                    if not path:
+                        raise ValueError(
+                            "no save path: pass ?path= or start with --persist")
+                    self.sia.save_index(path)
+                    p.result = {"saved": path}
+                    self.stats["saves"] = self.stats.get("saves", 0) + 1
+                    self._finish(p)
+                    continue
                 if not hasattr(self.sia, "ingest_channels"):
                     raise RuntimeError(
                         "this engine does not support online catalog "
@@ -291,6 +306,14 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
                 self._json(200, {**counts, **batcher.stats,
                                  "latency": batcher.latency_summary(),
                                  "index_hashes": sia._live_n_hashes()})
+            elif path == "/metrics":
+                body = _prometheus_metrics().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": f"no route {path}"})
 
@@ -298,6 +321,14 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
             parsed = urlparse(self.path)
             if parsed.path == "/delete":
                 self._do_delete(parsed)
+                return
+            if parsed.path == "/save":
+                qs = parse_qs(parsed.query)
+                length = int(self.headers.get("Content-Length", 0) or 0)
+                if 0 < length <= 1 << 20:  # drain for keep-alive
+                    self.rfile.read(length)
+                self._await(_Pending([], None, kind="save",
+                                     name=qs.get("path", [None])[0]))
                 return
             if parsed.path not in ("/recognize", "/ingest"):
                 self._json(404, {"error": f"no route {parsed.path}"})
@@ -386,6 +417,47 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
             raise ValueError(f"audio exceeds the {max_s:g} s request cap")
         return channels
 
+    def _prometheus_metrics() -> str:
+        """Serving counters in Prometheus text exposition format (the
+        scrape-based twin of /stats; stdlib-only like the rest of the
+        daemon)."""
+        counters = {
+            "requests": "recognition/admin requests answered",
+            "batched_requests": "requests answered from a shared batch",
+            "batches": "micro-batched device dispatches",
+            "errors": "requests answered with an error",
+            "ingests": "online ingests applied",
+            "deletes": "online deletions applied",
+            "saves": "on-demand index snapshots",
+        }
+        lines = []
+        for key, help_text in counters.items():
+            lines.append(f"# HELP sia_{key}_total {help_text}")
+            lines.append(f"# TYPE sia_{key}_total counter")
+            lines.append(f"sia_{key}_total {batcher.stats.get(key, 0)}")
+        lines.append("# HELP sia_max_batch largest micro-batch so far")
+        lines.append("# TYPE sia_max_batch gauge")
+        lines.append(f"sia_max_batch {batcher.stats.get('max_batch', 0)}")
+        catalog = getattr(sia, "catalog", None)
+        if catalog is not None:
+            for k, v in catalog.counts().items():
+                lines.append(f"# TYPE sia_catalog_{k} gauge")
+                lines.append(f"sia_catalog_{k} {v}")
+        lines.append("# TYPE sia_index_hashes gauge")
+        lines.append(f"sia_index_hashes {sia._live_n_hashes()}")
+        lat = batcher.latency_summary()
+        lines.append("# HELP sia_request_latency_milliseconds "
+                     "queue->response latency over the rolling window")
+        lines.append("# TYPE sia_request_latency_milliseconds summary")
+        for q in ("p50", "p99"):
+            if f"{q}_ms" in lat:
+                lines.append(
+                    "sia_request_latency_milliseconds"
+                    f'{{quantile="0.{q[1:]}"}} {lat[f"{q}_ms"]}')
+        lines.append("sia_request_latency_milliseconds_count "
+                     f"{lat.get('count', 0)}")
+        return "\n".join(lines) + "\n"
+
     return Handler
 
 
@@ -416,6 +488,25 @@ class RecognitionServer:
             self.httpd.serve_forever()
         finally:
             self.close()
+
+    def install_signal_handlers(self, sigs=None) -> None:
+        """SIGTERM/SIGINT -> graceful stop: stop accepting, let in-flight
+        requests finish, return from ``serve_forever`` (whose cleanup
+        drains the batcher).  ``httpd.shutdown()`` deadlocks if called
+        from the thread running ``serve_forever``, and a signal handler
+        runs exactly there — so the handler hands the shutdown to a
+        helper thread."""
+        import signal
+
+        if sigs is None:
+            sigs = (signal.SIGTERM, signal.SIGINT)
+
+        def _handle(signum, frame):
+            threading.Thread(target=self.httpd.shutdown, daemon=True,
+                             name="sia-shutdown").start()
+
+        for s in sigs:
+            signal.signal(s, _handle)
 
     def start_background(self) -> threading.Thread:
         t = threading.Thread(target=self.httpd.serve_forever, daemon=True,

@@ -271,6 +271,64 @@ def test_persisted_online_ingest_survives_restart(tmp_path):
     assert out["results"][0]["song_name"] == "live"
 
 
+def test_metrics_endpoint(server):
+    """GET /metrics exposes the /stats counters in Prometheus text
+    exposition format and agrees with /stats."""
+    base = f"http://127.0.0.1:{server.port}"
+    with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    values = {line.split()[0]: line.split()[1]
+              for line in text.splitlines() if not line.startswith("#")}
+    assert int(values["sia_requests_total"]) >= stats["requests"] - 1
+    assert int(values["sia_catalog_n_songs"]) == stats["n_songs"]
+    assert int(values["sia_index_hashes"]) > 0
+    assert 'sia_request_latency_milliseconds{quantile="0.50"}' in text
+    assert int(values["sia_request_latency_milliseconds_count"]) >= 1
+
+
+def test_save_endpoint(server, tmp_path):
+    """POST /save snapshots the live index on demand (runs on the
+    batcher thread); without a path and without --persist it reports
+    the misconfiguration instead of writing nowhere."""
+    import os
+
+    base = f"http://127.0.0.1:{server.port}"
+    path = str(tmp_path / "snap.npz")
+    code, out = _post(f"{base}/save?path={path}", b"")
+    assert code == 200 and out["saved"] == path
+    assert os.path.getsize(path) > 0
+
+    code, out = _post(f"{base}/save", b"")
+    assert code == 500 and "no save path" in out["error"]
+
+
+def test_graceful_signal_shutdown():
+    """SIGTERM stops the listener without killing in-flight state: the
+    serve loop returns, and close() drains the batcher cleanly."""
+    import os
+    import signal
+
+    sia = SIA()
+    sia.ingest_arrays([("x", synth_song(0, duration_s=DUR, seed=31))])
+    srv = RecognitionServer(sia, port=0, max_batch=4)
+    t = srv.start_background()
+    old = signal.getsignal(signal.SIGTERM)
+    try:
+        srv.install_signal_handlers(sigs=(signal.SIGTERM,))
+        code, out = _post(
+            f"http://127.0.0.1:{srv.port}/recognize", _wav_bytes(_clip(0)))
+        assert code == 200
+        os.kill(os.getpid(), signal.SIGTERM)
+        t.join(timeout=30)
+        assert not t.is_alive()
+    finally:
+        signal.signal(signal.SIGTERM, old)
+        srv.close()
+
+
 def test_online_delete(server):
     """POST /delete removes a song from the live catalog+index (the
     reference's DELETE_SONGS admin workflow, run against the daemon)."""
