@@ -168,8 +168,46 @@ def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
     return per_query, int(out.total_rows)
 
 
+def _backend_reachable(timeout_s=240, attempts=2, pause_s=60):
+    """True if the default backend answers a trivial device program.
+
+    The axon TPU worker can be down for hours at a stretch; jax.devices()
+    then hangs for minutes inside an RPC that no in-process timeout can
+    interrupt. Probe in a subprocess (which inherits the same
+    sitecustomize platform pin) so a dead worker costs a bounded wait
+    instead of hanging the whole bench.
+    """
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((8, 8)); print('BACKEND_OK', float(x.sum()))")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            if "BACKEND_OK" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(pause_s)
+    return False
+
+
 def main():
     import jax
+
+    tpu_unavailable = False
+    if not _backend_reachable():
+        # Record an honest CPU number (flagged) rather than nothing.
+        tpu_unavailable = True
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     import jax.numpy as jnp
 
     try:
@@ -194,6 +232,8 @@ def main():
             "query_matched_rows": q_rows,
         },
     }
+    if tpu_unavailable:
+        result["extras"]["tpu_unavailable_fell_back_to_cpu"] = True
     print(json.dumps(result))
 
 
