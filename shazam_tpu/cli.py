@@ -164,6 +164,7 @@ def cmd_serve(args):
         max_clip_seconds=args.max_clip_seconds,
         max_ingest_seconds=args.max_ingest_seconds,
         persist_path=(args.db + ".npz") if args.persist else None,
+        max_streams=args.max_streams, stream_ttl_s=args.stream_ttl,
     )
     print(json.dumps({"serving": f"http://{args.host}:{server.port}",
                       "songs": sia.catalog.counts()["n_songs"],
@@ -282,6 +283,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "work (each new length bucket compiles a program)")
     s.add_argument("--max-ingest-seconds", type=float, default=600.0,
                    help="reject POST /ingest songs longer than this")
+    s.add_argument("--max-streams", type=int, default=8,
+                   help="concurrent /stream sessions (each holds a "
+                        "window of incremental fingerprint state)")
+    s.add_argument("--stream-ttl", type=float, default=300.0,
+                   help="seconds of inactivity before a /stream session "
+                        "is evicted")
     s.add_argument("--persist", action="store_true",
                    help="save the index after every online ingest (full "
                         "rewrite per song; without it, rows ingested via "

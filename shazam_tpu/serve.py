@@ -32,6 +32,12 @@ This daemon is that shape over plain HTTP (stdlib only, no deps):
 - ``POST /save`` — snapshot the live index/catalog to disk on demand
   (the per-mutation ``--persist`` flag's explicit sibling; runs on the
   batcher thread so it never interleaves with a device program).
+- ``POST /stream/open|feed|recognize|close`` — continuous-listening
+  sessions over HTTP: raw int16 PCM chunks feed an incremental
+  ``StreamRecognizer`` (device work proportional to NEW audio — the
+  reference's capture loop refingerprints the whole window,
+  ``recognizer.py:355-382``), so a client can stream a mic and poll
+  matches mid-stream. Sessions are capped and idle-evicted.
 - ``GET /healthz`` — liveness.
 
 Every SIA/device interaction happens on the single batcher thread —
@@ -63,14 +69,16 @@ class _Pending:
     """
 
     __slots__ = ("channels", "topn", "event", "result", "error", "kind",
-                 "name", "t0")
+                 "name", "extra", "t0")
 
     def __init__(self, channels: List[np.ndarray], topn: Optional[int],
-                 kind: str = "recognize", name: Optional[str] = None):
+                 kind: str = "recognize", name: Optional[str] = None,
+                 extra: Optional[Dict] = None):
         self.channels = channels
         self.topn = topn
         self.kind = kind
         self.name = name
+        self.extra = extra
         self.event = threading.Event()
         self.result = None
         self.error: Optional[str] = None
@@ -89,11 +97,17 @@ class MicroBatcher:
     """
 
     def __init__(self, sia, max_batch: int = 16, max_wait_ms: float = 10.0,
-                 persist_path: Optional[str] = None):
+                 persist_path: Optional[str] = None, max_streams: int = 8,
+                 stream_ttl_s: float = 300.0):
         self.sia = sia
         self.persist_path = persist_path
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1000.0
+        self.max_streams = int(max_streams)
+        self.stream_ttl = float(stream_ttl_s)
+        # session id -> [StreamRecognizer, last-touch monotonic]; only
+        # the batcher thread reads or writes it
+        self._streams: Dict[str, list] = {}
         self.q: "queue.Queue[_Pending]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
                       "max_batch": 0, "errors": 0, "ingests": 0}
@@ -156,8 +170,8 @@ class MicroBatcher:
     def _answer(self, batch: List[_Pending]) -> None:
         # catalog mutations (ingest/delete) run individually on this
         # same thread (the engine is single-threaded by construction)
-        admin = [p for p in batch if p.kind in ("ingest", "delete", "save")]
-        batch = [p for p in batch if p.kind not in ("ingest", "delete", "save")]
+        admin = [p for p in batch if p.kind != "recognize"]
+        batch = [p for p in batch if p.kind == "recognize"]
         for p in admin:
             try:
                 if p.kind == "save":
@@ -168,6 +182,10 @@ class MicroBatcher:
                     self.sia.save_index(path)
                     p.result = {"saved": path}
                     self.stats["saves"] = self.stats.get("saves", 0) + 1
+                    self._finish(p)
+                    continue
+                if p.kind.startswith("stream_"):
+                    p.result = self._stream_op(p)
                     self._finish(p)
                     continue
                 if not hasattr(self.sia, "ingest_channels"):
@@ -250,6 +268,52 @@ class MicroBatcher:
             ids.append(by_name[tok])
         return ids
 
+    def _stream_op(self, p: _Pending) -> Dict:
+        """Streaming-session ops — batcher-thread only, so sessions need
+        no locking and their device programs never interleave with a
+        recognition batch."""
+        now = time.monotonic()
+        for sid in [s for s, (_, last) in self._streams.items()
+                    if now - last > self.stream_ttl]:
+            del self._streams[sid]  # idle eviction
+        if p.kind == "stream_open":
+            if len(self._streams) >= self.max_streams:
+                raise RuntimeError(
+                    f"too many open streams (max {self.max_streams}); "
+                    "close one or raise --max-streams")
+            from .stream import StreamRecognizer
+
+            opts = p.extra or {}
+            sr = StreamRecognizer(
+                self.sia, channels=int(opts.get("channels", 1)),
+                window_seconds=float(opts.get("window", 15.0)),
+                engine=opts.get("engine", "host"))
+            sid = os.urandom(8).hex()
+            self._streams[sid] = [sr, now]
+            self.stats["streams"] = self.stats.get("streams", 0) + 1
+            return {"session": sid, "channels": sr.channels,
+                    "window_seconds": sr.window_seconds}
+        entry = self._streams.get(p.name)
+        if entry is None:
+            raise ValueError(f"unknown or expired stream session {p.name!r}")
+        entry[1] = now
+        sr = entry[0]
+        if p.kind == "stream_close":
+            del self._streams[p.name]
+            return {"closed": True}
+        if p.kind == "stream_feed":
+            chunk = p.channels[0]
+            if len(chunk) % sr.channels:
+                raise ValueError(
+                    f"chunk length {len(chunk)} is not a multiple of the "
+                    f"session's {sr.channels} interleaved channels")
+            sr.feed(chunk)
+            out = {"buffered_seconds": round(sr.buffered_seconds, 3)}
+            if (p.extra or {}).get("recognize"):
+                out.update(sr.recognize(topn=p.topn))
+            return out
+        return sr.recognize(topn=p.topn)  # stream_recognize
+
     def _metadata_for(self, song_name):
         """Top-match metadata, the reference one-shot flow's last step
         (``recognizer.py:397``); None when the catalog has none or the
@@ -330,6 +394,9 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
                 self._await(_Pending([], None, kind="save",
                                      name=qs.get("path", [None])[0]))
                 return
+            if parsed.path.startswith("/stream/"):
+                self._do_stream(parsed)
+                return
             if parsed.path not in ("/recognize", "/ingest"):
                 self._json(404, {"error": f"no route {parsed.path}"})
                 return
@@ -360,6 +427,57 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
                 return
             p = _Pending(channels, topn,
                          kind="ingest" if ingest else "recognize", name=name)
+            self._await(p)
+
+        def _do_stream(self, parsed) -> None:
+            """POST /stream/<open|feed|recognize|close> — continuous
+            listening over HTTP.  ``feed`` bodies are raw interleaved
+            little-endian int16 PCM (no per-chunk WAV headers;
+            ``?recognize=1`` also matches the updated window in the
+            same round trip); the other ops take no body."""
+            op = parsed.path[len("/stream/"):]
+            qs = parse_qs(parsed.query)
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            raw = b""
+            if length > 0:
+                if length > 64 << 20:
+                    self.rfile.read(min(length, 64 << 20))
+                    self._json(400, {"error": "oversized stream chunk"})
+                    return
+                raw = self.rfile.read(length)
+            if op == "open":
+                try:
+                    extra = {
+                        "channels": int(qs.get("channels", ["1"])[0]),
+                        "window": float(qs.get("window", ["15"])[0]),
+                        "engine": qs.get("engine", ["host"])[0],
+                    }
+                except ValueError as e:
+                    self._json(400, {"error": f"bad stream params: {e}"})
+                    return
+                self._await(_Pending([], None, kind="stream_open",
+                                     extra=extra))
+                return
+            if op not in ("feed", "recognize", "close"):
+                self._json(404, {"error": f"no stream op {op!r}"})
+                return
+            if "session" not in qs or not qs["session"][0]:
+                self._json(400, {"error": f"stream {op} requires ?session="})
+                return
+            topn = int(qs["topn"][0]) if "topn" in qs else None
+            if op == "feed":
+                if not raw or len(raw) % 2:
+                    self._json(400, {"error": "feed body must be raw "
+                                     "interleaved int16 PCM"})
+                    return
+                chunk = np.frombuffer(raw, dtype="<i2")
+                rec = qs.get("recognize", ["0"])[0] not in ("0", "false", "")
+                p = _Pending([chunk], topn, kind="stream_feed",
+                             name=qs["session"][0],
+                             extra={"recognize": rec})
+            else:
+                p = _Pending([], topn, kind=f"stream_{op}",
+                             name=qs["session"][0])
             self._await(p)
 
         def _do_delete(self, parsed) -> None:
@@ -429,6 +547,7 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
             "ingests": "online ingests applied",
             "deletes": "online deletions applied",
             "saves": "on-demand index snapshots",
+            "streams": "streaming sessions opened",
         }
         lines = []
         for key, help_text in counters.items():
@@ -469,11 +588,14 @@ class RecognitionServer:
                  request_timeout_s: float = 120.0,
                  max_clip_seconds: float = 60.0,
                  max_ingest_seconds: float = 600.0,
-                 persist_path: Optional[str] = None):
+                 persist_path: Optional[str] = None,
+                 max_streams: int = 8, stream_ttl_s: float = 300.0):
         self.sia = sia
         self.batcher = MicroBatcher(sia, max_batch=max_batch,
                                     max_wait_ms=max_wait_ms,
-                                    persist_path=persist_path)
+                                    persist_path=persist_path,
+                                    max_streams=max_streams,
+                                    stream_ttl_s=stream_ttl_s)
         handler = _make_handler(self.batcher, sia, request_timeout_s,
                                 max_clip_seconds, max_ingest_seconds)
         self.httpd = ThreadingHTTPServer((host, port), handler)

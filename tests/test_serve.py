@@ -329,6 +329,87 @@ def test_graceful_signal_shutdown():
         srv.close()
 
 
+def test_streaming_session(server):
+    """Continuous listening over HTTP: open a session, feed raw int16
+    PCM chunks, recognize mid-stream (incremental engine — device work
+    proportional to new audio), close."""
+    base = f"http://127.0.0.1:{server.port}"
+    code, out = _post(f"{base}/stream/open?channels=1&window=10", b"")
+    assert code == 200, out
+    sid = out["session"]
+    assert out["channels"] == 1 and out["window_seconds"] == 10.0
+
+    clip = np.asarray(_clip(3, start_s=1.0, secs=6.0)).astype(np.int16)
+    for i in range(6):  # 1 s chunks
+        code, out = _post(f"{base}/stream/feed?session={sid}",
+                          clip[i * FS:(i + 1) * FS].tobytes())
+        assert code == 200, out
+    assert out["buffered_seconds"] > 5.0
+
+    code, out = _post(f"{base}/stream/recognize?session={sid}", b"")
+    assert code == 200
+    assert out["results"][0]["song_name"] == "s3"
+
+    # feed + recognize in one round trip
+    code, out = _post(f"{base}/stream/feed?session={sid}&recognize=1",
+                      clip[:FS].tobytes())
+    assert code == 200
+    assert "buffered_seconds" in out and out["results"]
+
+    code, out = _post(f"{base}/stream/close?session={sid}", b"")
+    assert code == 200 and out["closed"]
+    code, out = _post(f"{base}/stream/recognize?session={sid}", b"")
+    assert code == 500 and "unknown or expired" in out["error"]
+
+
+def test_stream_request_validation(server):
+    base = f"http://127.0.0.1:{server.port}"
+    code, out = _post(f"{base}/stream/nosuchop?session=x", b"")
+    assert code == 404
+    code, out = _post(f"{base}/stream/feed", b"\x00\x00")
+    assert code == 400 and "session" in out["error"]
+    code, out = _post(f"{base}/stream/open", b"")
+    sid = out["session"]
+    try:
+        # odd byte count is not int16 PCM
+        code, out = _post(f"{base}/stream/feed?session={sid}", b"\x00")
+        assert code == 400 and "int16" in out["error"]
+        # empty body likewise
+        code, out = _post(f"{base}/stream/feed?session={sid}", b"")
+        assert code == 400
+        # interleave mismatch (3 samples into a 2-channel session)
+        code, out = _post(f"{base}/stream/open?channels=2", b"")
+        sid2 = out["session"]
+        code, out = _post(f"{base}/stream/feed?session={sid2}",
+                          b"\x00\x00" * 3)
+        assert code == 500 and "multiple" in out["error"]
+        _post(f"{base}/stream/close?session={sid2}", b"")
+    finally:
+        _post(f"{base}/stream/close?session={sid}", b"")
+
+
+def test_stream_limits_and_ttl():
+    """Session cap rejects the N+1th open; idle sessions are evicted
+    after the TTL (so a leaked client can't pin state forever)."""
+    import time as _time
+
+    sia = SIA()
+    sia.ingest_arrays([("x", synth_song(0, duration_s=DUR, seed=31))])
+    srv = RecognitionServer(sia, port=0, max_streams=1, stream_ttl_s=0.5)
+    srv.start_background()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        code, out = _post(f"{base}/stream/open", b"")
+        assert code == 200
+        code, out = _post(f"{base}/stream/open", b"")
+        assert code == 500 and "too many open streams" in out["error"]
+        _time.sleep(0.7)  # first session idles past the TTL
+        code, out = _post(f"{base}/stream/open", b"")
+        assert code == 200
+    finally:
+        srv.close()
+
+
 def test_online_delete(server):
     """POST /delete removes a song from the live catalog+index (the
     reference's DELETE_SONGS admin workflow, run against the daemon)."""
