@@ -101,6 +101,16 @@ def cmd_stats(args):
     print(json.dumps(out, default=str, indent=2))
 
 
+def cmd_fsck(args):
+    from .tools.fsck import check_integrity
+
+    sia = _open_sia(args, need_index=True)
+    report = check_integrity(sia, deep=not args.fast)
+    print(json.dumps(report, default=str, indent=2))
+    if not report["ok"]:
+        sys.exit(1)
+
+
 def cmd_sanity(args):
     from .audio.io import find_files
     from .tools.sanity import check_corpus_sanity
@@ -236,6 +246,12 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("stats", help="dump per-song hash stats CSV")
     s.add_argument("--out", default="song_hashes.csv")
     s.set_defaults(fn=cmd_stats)
+
+    s = sub.add_parser(
+        "fsck", help="validate index/catalog integrity invariants")
+    s.add_argument("--fast", action="store_true",
+                   help="skip the per-song row-count reconcile")
+    s.set_defaults(fn=cmd_fsck)
 
     s = sub.add_parser("sanity", help="validate corpus decodability/length")
     s.add_argument("path")
