@@ -88,8 +88,15 @@ class SIA:
         device_resident: bool = False,
         device_reserve_hashes: int = 0,
         device_span_rows: int = 0,
+        resample: bool = True,
     ):
         self.config = config
+        # mismatched-rate audio: polyphase-resample to config.sample_rate
+        # (True) or reject loudly (False).  The reference silently
+        # fingerprinted native-rate samples with 44.1 kHz constants
+        # (``__init__.py:86-95,232``) — mixed-rate corpora could never
+        # cross-match; neither behavior here reproduces that bug.
+        self.resample = resample
         self.catalog = SongCatalog(catalog_path)
         self.catalog.delete_unfingerprinted()  # reference crash recovery
         self.device_resident = device_resident
@@ -551,6 +558,12 @@ class SIA:
                 continue
             n_ch, fs, frames = info
             if fs != fs_cfg:
+                if self.resample:
+                    # rate conversion changes the frame count, so the
+                    # header-only plan can't bucket it — eager decode
+                    unknown.append(si)
+                    song_expect.append(-1)
+                    continue
                 raise ValueError(f"{f}: sample rate {fs} != config {fs_cfg}")
             if limit is not None:
                 frames = min(frames, int(limit * fs))
@@ -692,7 +705,12 @@ class SIA:
             f, _sha = todo[si]
             channels, fs, _ = read(f, limit)
             if fs != fs_cfg:
-                raise ValueError(f"{f}: sample rate {fs} != config {fs_cfg}")
+                if not self.resample:
+                    raise ValueError(
+                        f"{f}: sample rate {fs} != config {fs_cfg}")
+                from .audio.resample import resample_channels
+
+                channels = resample_channels(channels, fs, fs_cfg)
             song_expect[si] = len(channels)
             blen = _bucket_len(max(len(ch) for ch in channels))
             batch_np = np.zeros((len(channels), blen), np.float32)
@@ -1461,7 +1479,12 @@ class SIA:
                        early_exit: bool = False) -> Dict:
         channels, fs, _sha = read(path, limit)
         if fs != self.config.sample_rate:
-            raise ValueError(f"{path}: sample rate {fs} != {self.config.sample_rate}")
+            if not self.resample:
+                raise ValueError(
+                    f"{path}: sample rate {fs} != {self.config.sample_rate}")
+            from .audio.resample import resample_channels
+
+            channels = resample_channels(channels, fs, self.config.sample_rate)
         return self.recognize_samples(channels, topn=topn, early_exit=early_exit)
 
     def get_metadata(self, track_id: int):

@@ -524,8 +524,14 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
             finally:
                 os.unlink(tmp)
         if fs != sia.config.sample_rate:
-            raise ValueError(
-                f"sample rate {fs} != config {sia.config.sample_rate}")
+            if not getattr(sia, "resample", False):
+                raise ValueError(
+                    f"sample rate {fs} != config {sia.config.sample_rate}")
+            from .audio.resample import resample_channels
+
+            channels = resample_channels(channels, fs,
+                                         sia.config.sample_rate)
+            fs = sia.config.sample_rate
         if len(channels[0]) > max_s * fs:
             # every new length bucket compiles a fresh device program
             # (minutes over the TPU tunnel) — cap what one request can

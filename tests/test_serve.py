@@ -435,3 +435,15 @@ def test_online_delete(server):
 
     code, out = _post(f"{base}/delete", b"")
     assert code == 400
+
+
+def test_cross_rate_request(server):
+    """A 48 kHz upload is resampled to the config rate before matching
+    (SIA(resample=True) default); the daemon must still identify it."""
+    from shazam_tpu.audio.resample import resample_channel
+
+    clip48 = resample_channel(_clip(2).astype(np.float32), FS, 48000)
+    url = f"http://127.0.0.1:{server.port}/recognize"
+    code, out = _post(url, _wav_bytes(clip48, fs=48000))
+    assert code == 200
+    assert out["results"][0]["song_name"] == "s2"
