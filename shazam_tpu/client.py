@@ -43,16 +43,35 @@ class SIAServerError(RuntimeError):
         self.message = message
 
 
+def _to_int16(arr: np.ndarray) -> np.ndarray:
+    """Samples -> int16 PCM, honoring both common float conventions.
+
+    Normalized float audio in [-1, 1] scales to full int16 range
+    (``astype(int16)`` would truncate it to all zeros — silence);
+    float already at int16 scale is rounded and clipped; integers are
+    clipped into range instead of wrapping.
+    """
+    if arr.dtype == np.int16:
+        return arr
+    if np.issubdtype(arr.dtype, np.floating):
+        peak = float(np.max(np.abs(arr))) if arr.size else 0.0
+        if peak <= 1.0:
+            arr = arr * 32767.0
+        return np.clip(np.rint(arr), -32768, 32767).astype(np.int16)
+    return np.clip(arr, -32768, 32767).astype(np.int16)
+
+
 def encode_wav(samples: Union[np.ndarray, Sequence[np.ndarray]],
                fs: int) -> bytes:
     """int16 PCM WAV bytes from mono samples or a (channels, n) array /
-    list of per-channel arrays (the shape ``audio.io.read`` returns)."""
+    list of per-channel arrays (the shape ``audio.io.read`` returns).
+    Float input in [-1, 1] is treated as normalized full-scale audio."""
     arr = np.asarray(samples)
     if arr.ndim == 1:
-        n_ch, frames = 1, arr.astype(np.int16)
+        n_ch, frames = 1, _to_int16(arr)
     elif arr.ndim == 2:
         n_ch = arr.shape[0]
-        frames = arr.astype(np.int16).T.reshape(-1)  # interleave
+        frames = _to_int16(arr).T.reshape(-1)  # interleave
     else:
         raise ValueError(f"samples must be 1-D or (channels, n), "
                          f"got shape {arr.shape}")
@@ -175,9 +194,9 @@ class StreamSession:
         """Send one chunk (mono array, or (channels, n) to interleave).
         ``recognize=True`` also matches the updated window in the same
         round trip."""
-        arr = np.asarray(samples)
+        arr = _to_int16(np.asarray(samples))
         if arr.ndim == 2:
-            arr = arr.astype(np.int16).T.reshape(-1)
+            arr = arr.T.reshape(-1)
         body = np.ascontiguousarray(arr.astype("<i2")).tobytes()
         return self.client._request("POST", "/stream/feed", {
             "session": self.session_id,

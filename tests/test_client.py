@@ -70,6 +70,34 @@ def test_recognize_samples_and_wav_and_path(client, tmp_path):
         client.recognize(_clip(0))
 
 
+def test_float_sample_conventions(client):
+    """Normalized [-1,1] float audio must scale to int16 — a plain
+    astype would truncate it to silence; int16-scale float rounds."""
+    clip = _clip(1)
+    normalized = clip.astype(np.float32) / 32768.0
+    out = client.recognize(normalized, fs=FS)
+    assert out["results"][0]["song_name"] == "s1"
+
+    int16_scale = clip.astype(np.float32)  # already at PCM scale
+    out = client.recognize(int16_scale, fs=FS)
+    assert out["results"][0]["song_name"] == "s1"
+
+    from shazam_tpu.client import _to_int16
+
+    assert np.abs(_to_int16(normalized).astype(np.int32)
+                  - clip.astype(np.int32)).max() <= 1
+    # int32 beyond range clips instead of wrapping
+    assert _to_int16(np.array([40000, -40000])).tolist() == [32767, -32768]
+
+
+def test_stream_normalized_float_feed(client):
+    clip = _clip(2, start_s=1.0, secs=6.0)
+    with client.open_stream(channels=1, window_seconds=10.0) as s:
+        s.feed(clip.astype(np.float64) / 32768.0)
+        hit = s.recognize()
+    assert hit["results"][0]["song_name"] == "s2"
+
+
 def test_stereo_encode(client):
     clip = _clip(1)
     out = client.recognize(np.stack([clip, clip]), fs=FS)

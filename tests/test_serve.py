@@ -129,9 +129,10 @@ def test_bad_requests(server):
     code, out = _post(url, b"not a wav file")
     assert code == 400 and "error" in out
 
-    # wrong sample rate fails loudly, and doesn't poison the server
+    # mismatched sample rate resamples (SIA default) rather than erroring;
+    # loud failure with resample=False is covered in test_resample.py
     code, out = _post(url, _wav_bytes(_clip(0), fs=22050))
-    assert code == 400 and "error" in out
+    assert code == 200 and "results" in out
 
     code, out = _post(f"http://127.0.0.1:{server.port}/nope", b"x")
     assert code == 404
