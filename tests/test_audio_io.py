@@ -117,3 +117,47 @@ def test_probe_float_wav(tmp_path, monkeypatch):
     monkeypatch.setattr(native, "wav_info", lambda *a, **k: None,
                         raising=False)
     assert probe(p) == (1, 44100, len(X))
+
+
+def test_read_wav_bytes_fuzz_untrusted():
+    """The serving daemon feeds untrusted network bytes straight into
+    read_wav_bytes; mutated/truncated headers must either decode to a
+    bounded result or raise a clean exception — never hang, never
+    allocate absurd output (every exception maps to an HTTP 400)."""
+    import io as _io
+    import time
+    import wave as _wave
+
+    import numpy as np
+
+    from shazam_tpu.audio.io import read_wav_bytes
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(44100)
+        wf.writeframes(np.random.default_rng(0).integers(
+            -100, 100, 5000).astype("<i2").tobytes())
+    base = bytearray(buf.getvalue())
+
+    rng = np.random.default_rng(42)
+    for trial in range(600):
+        b = bytearray(base)
+        mode = trial % 3
+        if mode == 0:      # random byte flips
+            for _ in range(int(rng.integers(1, 8))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        elif mode == 1:    # truncation
+            b = b[: int(rng.integers(0, len(b)))]
+        else:              # targeted header-field corruption
+            for off in (16, 20, 22, 24, 28, 32, 34, 40):
+                if rng.random() < 0.4 and off < len(b):
+                    b[off] = int(rng.integers(0, 256))
+        t0 = time.time()
+        try:
+            channels, _fs = read_wav_bytes(bytes(b))
+            assert sum(len(c) for c in channels) < 10_000_000
+        except Exception:  # noqa: BLE001 — clean exception = a 400
+            pass
+        assert time.time() - t0 < 2.0, f"slow decode on trial {trial}"
