@@ -357,8 +357,30 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                # an undrained body means the socket can't carry another
+                # request — tell the client instead of a later broken pipe
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
+
+        def _discard_body(self, drain_cap: int = 64 << 20) -> None:
+            """Read and discard the declared request body so a keep-alive
+            connection stays usable for the error reply; a body beyond
+            ``drain_cap`` isn't worth reading — mark the connection for
+            close (``_json`` advertises it) and skip the read."""
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            if length <= 0:
+                return
+            if length > drain_cap:
+                self.close_connection = True
+                return
+            while length > 0:
+                chunk = self.rfile.read(min(length, 1 << 20))
+                if not chunk:
+                    self.close_connection = True
+                    return
+                length -= len(chunk)
 
         def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler API
             path = urlparse(self.path).path
@@ -388,9 +410,7 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
                 return
             if parsed.path == "/save":
                 qs = parse_qs(parsed.query)
-                length = int(self.headers.get("Content-Length", 0) or 0)
-                if 0 < length <= 1 << 20:  # drain for keep-alive
-                    self.rfile.read(length)
+                self._discard_body()  # drain for keep-alive
                 self._await(_Pending([], None, kind="save",
                                      name=qs.get("path", [None])[0]))
                 return
@@ -405,6 +425,7 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
                 qs = parse_qs(parsed.query)
                 length = int(self.headers.get("Content-Length", 0))
                 if length <= 0 or length > 256 << 20:
+                    self._discard_body()
                     self._json(400, {"error": "missing or oversized body"})
                     return
                 # drain the body BEFORE any validation reply: responding
@@ -441,7 +462,7 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
             raw = b""
             if length > 0:
                 if length > 64 << 20:
-                    self.rfile.read(min(length, 64 << 20))
+                    self._discard_body()
                     self._json(400, {"error": "oversized stream chunk"})
                     return
                 raw = self.rfile.read(length)
@@ -486,9 +507,7 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
             ``fingerprints_queries.sql``) against the live catalog."""
             qs = parse_qs(parsed.query)
             # drain any body so keep-alive connections stay usable
-            length = int(self.headers.get("Content-Length", 0) or 0)
-            if 0 < length <= 1 << 20:
-                self.rfile.read(length)
+            self._discard_body()
             if "songs" not in qs or not qs["songs"][0]:
                 self._json(400, {"error": "delete requires ?songs=ids,names"})
                 return
@@ -513,9 +532,10 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
         file for the ffmpeg path."""
         from .audio.io import read, read_wav_bytes
 
-        if raw[:4] == b"RIFF":
+        if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
             channels, fs = read_wav_bytes(raw)
         else:
+            # non-WAVE RIFF containers (e.g. AVI) belong to ffmpeg too
             fd, tmp = tempfile.mkstemp(suffix=".bin")
             try:
                 with os.fdopen(fd, "wb") as fh:

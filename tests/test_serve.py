@@ -448,3 +448,64 @@ def test_cross_rate_request(server):
     code, out = _post(url, _wav_bytes(clip48, fs=48000))
     assert code == 200
     assert out["results"][0]["song_name"] == "s2"
+
+
+def test_keepalive_survives_error_replies(server):
+    """Error replies must drain the request body first: a 400/500 with
+    unread bytes on the socket breaks the NEXT request on a keep-alive
+    connection (the client sees a broken pipe instead of the reply)."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+    try:
+        # /save with a body and no configured path -> 500, body drained
+        conn.request("POST", "/save", body=b"x" * 4096)
+        r = conn.getresponse()
+        assert r.status == 500 and b"save path" in r.read()
+        # same socket: undecodable WAV -> 400 after a full drain
+        conn.request("POST", "/recognize", body=b"not a wav " * 1000)
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        # same socket: /delete with a body -> still usable
+        conn.request("POST", "/delete", body=b"y" * 2048)
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        # and a real recognition still flows over the same connection
+        conn.request("POST", "/recognize", body=_wav_bytes(_clip(1)))
+        r = conn.getresponse()
+        out = json.loads(r.read())
+        assert r.status == 200
+        assert out["results"][0]["song_name"] == "s1"
+    finally:
+        conn.close()
+
+
+def test_oversized_body_advertises_close(server):
+    """A body too large to drain is never read — the reply must carry
+    Connection: close so the client doesn't reuse the dead socket."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+    try:
+        conn.putrequest("POST", "/recognize")
+        conn.putheader("Content-Length", str(300 << 20))
+        conn.endheaders()  # headers only: the server must not wait for 300 MB
+        r = conn.getresponse()
+        out = json.loads(r.read())
+        assert r.status == 400 and "oversized" in out["error"]
+        assert r.headers.get("Connection", "").lower() == "close"
+    finally:
+        conn.close()
+
+
+def test_riff_non_wave_routes_to_ffmpeg(server):
+    """A RIFF container that isn't WAVE (e.g. AVI) must not be fed to the
+    WAV parser — it takes the ffmpeg spool path and fails as a decode
+    error, not as a malformed-WAV chunk error."""
+    url = f"http://127.0.0.1:{server.port}/recognize"
+    avi = b"RIFF" + (64).to_bytes(4, "little") + b"AVI " + b"\x00" * 64
+    code, out = _post(url, avi)
+    assert code == 400
+    assert "fmt+data" not in out["error"]  # the WAV chunk walker's message
