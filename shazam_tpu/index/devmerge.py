@@ -646,7 +646,9 @@ class SpannedDeviceStore:
         for i, (cols, nv) in enumerate(self._live_span_views()):
             for name, col in zip(self._COL_NAMES, cols):
                 payload[f"s{i:05d}_{name}"] = _download_prefix(col, nv)
-        np.savez(path, **payload)
+        from ..utils.persist import atomic_savez
+
+        atomic_savez(path, compress=False, **payload)
 
     @classmethod
     def load(cls, path: str, span_rows: int = 0) -> "SpannedDeviceStore":

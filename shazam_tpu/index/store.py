@@ -103,7 +103,9 @@ class FingerprintIndex:
 
     # ---- persistence ----
     def save(self, path: str) -> None:
-        np.savez_compressed(
+        from ..utils.persist import atomic_savez
+
+        atomic_savez(
             path,
             key_hi=self.key_hi, key_lo=self.key_lo, key_ex=self.key_ex,
             song_id=self.song_id, offset=self.offset,

@@ -167,7 +167,9 @@ class SpannedCatalog:
             cols[f"col{c}"] = np.concatenate(
                 [np.asarray(s.data) for s in shards]
             )
-        np.savez_compressed(
+        from ..utils.persist import atomic_savez
+
+        atomic_savez(
             path,
             meta=np.array([self.n_songs, self.max_offset, self._stride,
                            self.n_shards, n_cols], np.int64),
