@@ -175,6 +175,7 @@ def cmd_serve(args):
         max_ingest_seconds=args.max_ingest_seconds,
         persist_path=(args.db + ".npz") if args.persist else None,
         max_streams=args.max_streams, stream_ttl_s=args.stream_ttl,
+        auth_token=args.auth_token or os.environ.get("SHAZAM_SERVE_TOKEN"),
     )
     print(json.dumps({"serving": f"http://{args.host}:{server.port}",
                       "songs": sia.catalog.counts()["n_songs"],
@@ -319,6 +320,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stack spanned stores into the vmapped serving "
                         "layout (faster queries; the store becomes "
                         "read-only)")
+    s.add_argument("--auth-token", default=None,
+                   help="require 'Authorization: Bearer <token>' on "
+                        "catalog mutations (/ingest, /delete, /save); "
+                        "prefer the SHAZAM_SERVE_TOKEN env var to keep "
+                        "the secret out of the process list")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("synth", help="generate a deterministic WAV corpus")

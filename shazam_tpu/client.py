@@ -88,9 +88,12 @@ class SIAClient:
     """One daemon endpoint; methods map 1:1 onto its HTTP routes."""
 
     def __init__(self, base_url: str = "http://127.0.0.1:8080",
-                 timeout_s: float = 600.0):
+                 timeout_s: float = 600.0, auth_token: Optional[str] = None):
         self.base_url = base_url.rstrip("/")
         self.timeout_s = float(timeout_s)
+        # sent on every request; the daemon only checks it on catalog
+        # mutations (serve --auth-token)
+        self.auth_token = auth_token
 
     # ---- plumbing --------------------------------------------------------
     def _request(self, method: str, path: str, params: Optional[Dict] = None,
@@ -101,6 +104,8 @@ class SIAClient:
             url += "?" + urllib.parse.urlencode(qs)
         req = urllib.request.Request(url, data=body if method == "POST"
                                      else None, method=method)
+        if self.auth_token:
+            req.add_header("Authorization", f"Bearer {self.auth_token}")
         try:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
                 data = r.read()

@@ -40,6 +40,11 @@ This daemon is that shape over plain HTTP (stdlib only, no deps):
   matches mid-stream. Sessions are capped and idle-evicted.
 - ``GET /healthz`` — liveness.
 
+Catalog mutations can be gated behind a bearer token
+(``RecognitionServer(auth_token=...)`` / ``serve --auth-token`` /
+``SHAZAM_SERVE_TOKEN``): recognition stays open, but /ingest, /delete
+and /save then require ``Authorization: Bearer <token>``.
+
 Every SIA/device interaction happens on the single batcher thread —
 HTTP handler threads only decode audio and wait on an event — so the
 engine needs no locking and device programs never interleave.
@@ -345,7 +350,8 @@ class MicroBatcher:
 
 def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
                   max_clip_seconds: float = 60.0,
-                  max_ingest_seconds: float = 600.0):
+                  max_ingest_seconds: float = 600.0,
+                  auth_token: Optional[str] = None):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -403,8 +409,38 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
             else:
                 self._json(404, {"error": f"no route {path}"})
 
+        def _authorized(self) -> bool:
+            """Catalog mutations (/ingest, /delete, /save) require
+            ``Authorization: Bearer <token>`` when the daemon was started
+            with one; recognition and streaming stay open. Constant-time
+            compare so the token can't be probed byte by byte."""
+            if auth_token is None:
+                return True
+            import hmac
+
+            got = self.headers.get("Authorization", "")
+            return hmac.compare_digest(got, f"Bearer {auth_token}")
+
+        def _deny(self) -> None:
+            self._discard_body()
+            body = json.dumps(
+                {"error": "authorization required for catalog mutation"}
+            ).encode()
+            self.send_response(401)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("WWW-Authenticate", "Bearer")
+            if self.close_connection:
+                self.send_header("Connection", "close")
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):  # noqa: N802
             parsed = urlparse(self.path)
+            if parsed.path in ("/delete", "/save", "/ingest") \
+                    and not self._authorized():
+                self._deny()
+                return
             if parsed.path == "/delete":
                 self._do_delete(parsed)
                 return
@@ -615,7 +651,8 @@ class RecognitionServer:
                  max_clip_seconds: float = 60.0,
                  max_ingest_seconds: float = 600.0,
                  persist_path: Optional[str] = None,
-                 max_streams: int = 8, stream_ttl_s: float = 300.0):
+                 max_streams: int = 8, stream_ttl_s: float = 300.0,
+                 auth_token: Optional[str] = None):
         self.sia = sia
         self.batcher = MicroBatcher(sia, max_batch=max_batch,
                                     max_wait_ms=max_wait_ms,
@@ -623,7 +660,8 @@ class RecognitionServer:
                                     max_streams=max_streams,
                                     stream_ttl_s=stream_ttl_s)
         handler = _make_handler(self.batcher, sia, request_timeout_s,
-                                max_clip_seconds, max_ingest_seconds)
+                                max_clip_seconds, max_ingest_seconds,
+                                auth_token=auth_token)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
 

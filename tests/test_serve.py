@@ -509,3 +509,49 @@ def test_riff_non_wave_routes_to_ffmpeg(server):
     code, out = _post(url, avi)
     assert code == 400
     assert "fmt+data" not in out["error"]  # the WAV chunk walker's message
+
+
+def test_auth_token_gates_mutations():
+    """serve --auth-token: /ingest, /delete, /save require the bearer
+    token (401 otherwise, keep-alive preserved); recognition stays open;
+    the client SDK sends the token automatically."""
+    from shazam_tpu.client import SIAClient, SIAServerError
+
+    sia = SIA()
+    sia.ingest_arrays([("base", synth_song(0, duration_s=DUR, seed=77))])
+    srv = RecognitionServer(sia, port=0, max_wait_ms=5.0,
+                            request_timeout_s=600.0, auth_token="sesame")
+    srv.start_background()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        song = synth_song(9, duration_s=DUR, seed=77)
+
+        # no token -> 401 on every mutating route, body drained
+        code, out = _post(f"{base}/ingest?name=x", _wav_bytes(song))
+        assert code == 401 and "authorization" in out["error"]
+        code, out = _post(f"{base}/delete?songs=base", b"")
+        assert code == 401
+        code, out = _post(f"{base}/save?path=/tmp/nope.npz", b"")
+        assert code == 401
+
+        # wrong token -> still 401
+        bad = SIAClient(base, auth_token="wrong")
+        with pytest.raises(SIAServerError) as ei:
+            bad.ingest("x", song, FS)
+        assert ei.value.status == 401
+
+        # recognition needs no token
+        clip = song[FS: 6 * FS]
+        code, out = _post(f"{base}/recognize", _wav_bytes(clip))
+        assert code == 200  # (not yet ingested -> just no match)
+
+        # the right token mutates normally, via the SDK
+        cli = SIAClient(base, auth_token="sesame")
+        out = cli.ingest("gated", song, FS)
+        assert out["ingested"] == 1
+        rec = cli.recognize(clip, FS)
+        assert rec["results"][0]["song_name"] == "gated"
+        out = cli.delete("gated")
+        assert out["deleted_songs"] == 1
+    finally:
+        srv.close()
