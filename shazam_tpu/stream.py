@@ -255,6 +255,11 @@ class StreamRecognizer:
             np.zeros(0, np.int16) for _ in range(channels)
         ]
         self._ring_start = 0   # absolute sample index of ring[0]
+        # per-window peak capacity; doubles when dense audio overflows it
+        # (sticky, so one escalation covers the rest of the stream and
+        # the incremental path is never permanently lost to the full-
+        # recompute fallback). Same 1<<22 bound as SIA's query path.
+        self._peak_cap = sia.config.peak_capacity
 
     def feed(self, chunk: np.ndarray) -> None:
         """Consume one interleaved int16 chunk (len = n * channels)."""
@@ -303,21 +308,32 @@ class StreamRecognizer:
                 self._window_channels(), topn=topn
             )
         t0 = time.time()
-        try:
-            fps = [
-                f.fingerprints() for f in self._fps
-                if f.n_frames > f.window_bounds[0]
-            ]
-            if not fps:
-                # nothing past the warm-up bound yet — still inside the
-                # try: the device engine raises OverflowError until its
-                # first 16-frame quantum lands, and that must fall back
-                # exactly like any other not-ready state
-                fps = [self._fps[0].fingerprints()]
-        except OverflowError:
+        if not all(getattr(f, "ready", True) for f in self._fps):
+            # the device engine can't serve a window until its first
+            # 16-frame quantum lands — recompute from the sample ring
             return self.sia.recognize_samples(
                 self._window_channels(), topn=topn
             )
+        while True:
+            try:
+                fps = [
+                    f.fingerprints(capacity=self._peak_cap)
+                    for f in self._fps
+                    if f.n_frames > f.window_bounds[0]
+                ]
+                if not fps:   # no frames at all yet (sub-wsize feed)
+                    fps = [self._fps[0].fingerprints(
+                        capacity=self._peak_cap)]
+                break
+            except OverflowError:
+                # dense window: escalate like SIA's query path instead
+                # of silently recomputing every future window from
+                # scratch (sticky — one new program shape, then cached)
+                if self._peak_cap >= (1 << 22):
+                    return self.sia.recognize_samples(
+                        self._window_channels(), topn=topn
+                    )
+                self._peak_cap *= 2
         q = prepare_query(fps)
         fingerprint_time = time.time() - t0
 

@@ -137,3 +137,37 @@ def test_stream_recognizer_spanned_store():
             out = rec.recognize()
     assert out is not None
     assert out["results"][0]["song_name"] == "track2"
+
+
+def test_stream_recognizer_escalates_peak_capacity():
+    """A dense window that overflows the configured peak capacity must
+    escalate it (sticky) and STAY on the incremental path — previously
+    every such recognize() silently fell back to a full-window
+    recompute, permanently losing the incremental advantage."""
+    from shazam_tpu.config import FingerprintConfig
+
+    cfg = FingerprintConfig(peak_capacity=256, hash_capacity=1024)
+    sia = SIA(config=cfg)
+    song = synth_song(5, duration_s=20.0, seed=40)
+    sia.ingest_arrays([("dense", song)])
+
+    clip = song[int(2.0 * 44100): int(14.0 * 44100)].astype(np.int16)
+    rec = StreamRecognizer(sia, channels=1, window_seconds=5.0)
+    outs = []
+    for base in range(0, len(clip) - CHUNK, CHUNK):
+        rec.feed(clip[base: base + CHUNK])
+        if rec.buffered_seconds > 4.5:
+            outs.append(rec.recognize())
+    assert len(outs) >= 2
+    # a 5 s window of this song overflows 256 peaks -> capacity doubled
+    assert rec._peak_cap > cfg.peak_capacity
+    strips_before = rec._fps[0].strip_frames_computed
+    out = rec.recognize()
+    # still the incremental engine: the edge strips were recomputed
+    assert rec._fps[0].strip_frames_computed > strips_before
+    assert out["results"][0]["song_name"] == "dense"
+    # and the escalated incremental result equals the full recompute
+    full = rec.recognize(incremental=False)
+    assert out["input_hashes"] == full["input_hashes"]
+    assert (out["results"][0]["hashes_matched_in_input"]
+            == full["results"][0]["hashes_matched_in_input"])
