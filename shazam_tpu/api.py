@@ -1593,7 +1593,23 @@ class SIA:
             ids_present = set()
         else:
             ids_present = set(np.unique(self.index.song_id).tolist())
-        missing = [d["song_id"] for d in self.catalog.get_songs()
-                   if d["song_id"] not in ids_present]
+        catalog_ids = {d["song_id"] for d in self.catalog.get_songs()}
+        missing = [sid for sid in catalog_ids if sid not in ids_present]
         if missing:
             self.catalog.delete_songs(missing)
+        # the mirror-image tear: an online delete without --persist
+        # removes the sqlite row immediately but the npz keeps the hash
+        # rows, so after a reload the deleted song could still WIN a
+        # match (surfacing under a bare numeric name). Drop orphan rows.
+        orphans = ids_present - catalog_ids
+        if orphans:
+            keep = ~np.isin(self.index.song_id, list(orphans))
+            self.index = FingerprintIndex(
+                self.index.key_hi[keep], self.index.key_lo[keep],
+                self.index.key_ex[keep], self.index.song_id[keep],
+                self.index.offset[keep],
+                n_songs=self.index.n_songs,
+                max_offset=int(self.index.offset[keep].max())
+                if keep.any() else 0,
+            )
+            self._device_index = None

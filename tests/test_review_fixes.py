@@ -201,3 +201,30 @@ def test_load_index_reconciles_orphaned_catalog_rows(tmp_path):
     clip = song_b[: int(4 * FS)]
     out = sia2.recognize_samples([clip])
     assert out["results"][0]["song_name"] == "b"
+
+
+def test_load_index_drops_orphaned_index_rows(tmp_path):
+    """The mirror-image tear: an online DELETE without --persist removes
+    the sqlite row but the saved npz still holds the song's hash rows.
+    After a reload the deleted song must not win matches under a bare
+    numeric name — its orphan rows are dropped at load."""
+    db = str(tmp_path / "cat")
+    song_a = np.asarray(synth_song(0, duration_s=6.0, seed=47), np.float32)
+    song_b = np.asarray(synth_song(1, duration_s=6.0, seed=47), np.float32)
+
+    sia = SIA(catalog_path=db + ".sqlite")
+    sia.ingest_arrays([("a", song_a), ("b", song_b)])
+    sia.save_index(db + ".npz")
+    doomed = [d["song_id"] for d in sia.catalog.get_songs()
+              if d["song_name"] == "b"]
+    sia.delete_songs(doomed)   # sqlite commits; the npz is NOT re-saved
+
+    sia2 = SIA(catalog_path=db + ".sqlite")
+    sia2.load_index(db + ".npz")
+    assert {d["song_name"] for d in sia2.catalog.get_songs()} == {"a"}
+    clip = song_b[: int(4 * FS)]
+    out = sia2.recognize_samples([clip])
+    assert all(r["song_id"] != doomed[0] for r in out["results"])
+    # and the surviving song still matches normally
+    out = sia2.recognize_samples([song_a[: int(4 * FS)]])
+    assert out["results"][0]["song_name"] == "a"
