@@ -85,7 +85,15 @@ class IncrementalFingerprinter:
 
     def feed(self, samples: np.ndarray) -> None:
         """Append mono samples; compute spectrogram columns for every
-        newly completed frame (the only per-sample device work)."""
+        newly completed frame (the only per-sample device work).
+
+        The sample slab is zero-padded to a power-of-two FRAME count
+        before the device call: every distinct slab length is a distinct
+        XLA program (minutes each over the TPU tunnel), and feed chunk
+        sizes drift with the residual, so unbucketed shapes compile
+        per-call. Frames are per-sample-window independent, the padded
+        tail frames touch only padding, and they are sliced off — the
+        kept columns are bit-identical to the unpadded computation."""
         import jax
         from .ops.spectrogram import spectrogram_db
 
@@ -97,10 +105,12 @@ class IncrementalFingerprinter:
             self._residual = data
             return
         n_new = (len(data) - wsize) // hop + 1
-        used = (n_new - 1) * hop + wsize
+        n_pad = 1 << (n_new - 1).bit_length() if n_new > 1 else 1
+        buf = np.zeros((n_pad - 1) * hop + wsize, np.float32)
+        buf[: (n_new - 1) * hop + wsize] = data[: (n_new - 1) * hop + wsize]
         cols = np.asarray(jax.device_get(spectrogram_db(
-            data[:used], fs=self.config.sample_rate, wsize=wsize, hop=hop,
-        )))
+            buf, fs=self.config.sample_rate, wsize=wsize, hop=hop,
+        )))[:, :n_new]
         self._residual = data[n_new * hop :]
         self._spec = np.concatenate([self._spec, cols], axis=1)
         self.frames_computed += n_new
@@ -123,6 +133,16 @@ class IncrementalFingerprinter:
         b = new_until
         slab_lo = max(a - r, 0)
         slab = self._spec[:, slab_lo - self._base : b + r - self._base]
+        # pad the slab to a power-of-two width so drifting settle spans
+        # don't compile a fresh peak_mask program per call (see feed);
+        # pad columns sit > radius from every kept column, and 0.0 is
+        # exactly what the dB spectrogram emits for silence
+        width = slab.shape[1]
+        w_pad = 1 << (width - 1).bit_length() if width > 1 else 1
+        if w_pad > width:
+            slab = np.concatenate(
+                [slab, np.zeros((self.n_freqs, w_pad - width), np.float32)],
+                axis=1)
         m = np.asarray(jax.device_get(peak_mask(
             slab, self.config.amp_min, radius=r,
         )))

@@ -171,3 +171,52 @@ def test_stream_recognizer_escalates_peak_capacity():
     assert out["input_hashes"] == full["input_hashes"]
     assert (out["results"][0]["hashes_matched_in_input"]
             == full["results"][0]["hashes_matched_in_input"])
+
+
+def test_incremental_buckets_device_shapes(engine):
+    """Feeds of drifting chunk sizes must hit a BOUNDED set of device
+    program shapes (each distinct slab length is a fresh XLA compile —
+    minutes over the TPU tunnel) while staying bit-identical to the
+    from-scratch window fingerprint."""
+    from shazam_tpu.ops import spectrogram as spec_mod
+    from shazam_tpu.ops import peaks as peaks_mod
+
+    spec_shapes, mask_shapes = set(), set()
+    real_spec, real_mask = spec_mod.spectrogram_db, peaks_mod.peak_mask
+
+    def spy_spec(samples, **kw):
+        spec_shapes.add(int(samples.shape[0]))
+        return real_spec(samples, **kw)
+
+    def spy_mask(slab, *a, **kw):
+        mask_shapes.add(int(slab.shape[1]))
+        return real_mask(slab, *a, **kw)
+
+    spec_mod.spectrogram_db = spy_spec
+    peaks_mod.peak_mask = spy_mask
+    try:
+        inc = IncrementalFingerprinter(engine.config, window_seconds=6.0)
+        song = synth_song(2, duration_s=18.0, seed=35).astype(np.float32)
+        rng = np.random.default_rng(0)
+        fed = 0
+        while fed < len(song) - 3 * CHUNK:
+            step = int(rng.integers(CHUNK // 2, 2 * CHUNK))  # drifting sizes
+            inc.feed(song[fed: fed + step])
+            fed += step
+    finally:
+        spec_mod.spectrogram_db = real_spec
+        peaks_mod.peak_mask = real_mask
+
+    wsize, hop = engine.config.window_size, engine.config.hop
+    assert all(((n - wsize) // hop) + 1 in
+               {1 << k for k in range(12)} for n in spec_shapes), spec_shapes
+    assert all(w in {1 << k for k in range(12)} for w in mask_shapes), \
+        mask_shapes
+    # drifting chunks would otherwise produce ~a shape per feed
+    assert len(spec_shapes) <= 4 and len(mask_shapes) <= 6, \
+        (spec_shapes, mask_shapes)
+
+    # and the cached state still equals the from-scratch ground truth
+    a, b = inc.window_sample_range()
+    assert _hex_pairs(inc.fingerprints()) == \
+        _fingerprint_window(engine, song[a:b])
