@@ -166,7 +166,8 @@ def cmd_serve(args):
         extra = [float(s) for s in args.warm_lengths.split(",") if s] \
             if args.warm_lengths else []
         warmup(sia, seconds=args.warmup, max_batch=args.max_batch,
-               clip_lengths=extra)
+               clip_lengths=extra,
+               stream_window_seconds=args.warm_stream)
     server = RecognitionServer(
         sia, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
@@ -292,6 +293,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--warm-lengths", default="", metavar="S1,S2,...",
                    help="additional clip durations to pre-compile (each "
                         "distinct length bucket is a distinct program)")
+    s.add_argument("--warm-stream", type=float, default=0.0,
+                   metavar="WINDOW_SECONDS",
+                   help="also pre-compile the /stream session programs "
+                        "for this window length (0 disables; match the "
+                        "window your streaming clients open)")
     s.add_argument("--request-timeout", type=float, default=600.0,
                    help="seconds a request waits for its result (cover a "
                         "cold remote compile: minutes on the TPU tunnel)")

@@ -243,3 +243,10 @@ class ShardedRecognizer:
                         q_pad_to: Optional[int] = None):
         return [self.recognize_samples([c], topn=topn, q_pad_to=q_pad_to)
                 for c in clips]
+
+    def match_prepared(self, q, topn: Optional[int] = None):
+        """Aligned match of an externally prepared query — the hook
+        ``stream.StreamRecognizer`` uses, so continuous-listening
+        sessions (incremental host-side fingerprinting) can front a
+        mesh-sharded catalog like one-shot recognition does."""
+        return self.cat.match(q, topn=topn)

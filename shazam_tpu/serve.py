@@ -707,7 +707,8 @@ class RecognitionServer:
 
 
 def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
-           clip_lengths=(), pair_buckets="auto") -> None:
+           clip_lengths=(), pair_buckets="auto",
+           stream_window_seconds: float = 0.0) -> None:
     """Compile the serving programs before opening the listener.
 
     One clip per power-of-two batch size up to the pow2 CEILING of
@@ -763,3 +764,26 @@ def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
     silent = np.zeros(int(seconds * fs), np.float32)
     for qb in sorted(set(pair_buckets) - naturals):
         warm(silent, q_pad_to=qb)
+
+    if stream_window_seconds > 0:
+        # /stream sessions (host engine) run their own device programs:
+        # pow2-bucketed spectrogram/settle slabs plus the edge strips.
+        # Feed a few chunk sizes so the common buckets compile here, not
+        # inside the first client's session (minutes over the TPU
+        # tunnel); shapes are constant once the window passes ~1 s, so a
+        # short synthetic stream covers steady state.
+        from .stream import CHUNK, StreamRecognizer
+
+        sr = StreamRecognizer(sia, channels=1,
+                              window_seconds=stream_window_seconds)
+        clip = synth_song(1, duration_s=stream_window_seconds + 2.0,
+                          seed=321).astype(np.int16)
+        pos = 0
+        for step in (CHUNK // 2, CHUNK, 2 * CHUNK):
+            sr.feed(clip[pos: pos + step])
+            pos += step
+        while pos + CHUNK <= len(clip):
+            sr.feed(clip[pos: pos + CHUNK])
+            pos += CHUNK
+        sr.recognize()
+        sr.recognize()  # second call warms the settled-strip shapes

@@ -174,3 +174,45 @@ def test_sharded_recognizer_warmup(engine):
                         config=engine.config)
     rec = ShardedRecognizer(sc)
     warmup(rec, seconds=2.0, max_batch=2)
+
+
+def test_sharded_recognizer_streaming(engine):
+    """Continuous listening against a mesh-sharded catalog: the
+    StreamRecognizer's incremental path routes through
+    ShardedRecognizer.match_prepared and agrees with the facade's own
+    full recompute."""
+    from shazam_tpu.parallel.mesh import make_mesh
+    from shazam_tpu.parallel.serving import ShardedCatalog, ShardedRecognizer
+    from shazam_tpu.stream import CHUNK, StreamRecognizer
+
+    mesh = make_mesh(8)
+    sc = ShardedCatalog(engine.index, mesh=mesh, catalog=engine.catalog,
+                        config=engine.config)
+    rec_engine = ShardedRecognizer(sc)
+
+    song = synth_song(3, duration_s=DUR, seed=31)
+    clip = song[int(1.0 * 44100): int(7.0 * 44100)].astype(np.int16)
+    sr = StreamRecognizer(rec_engine, channels=1, window_seconds=4.0)
+    for a in range(0, len(clip) - CHUNK, CHUNK):
+        sr.feed(clip[a: a + CHUNK])
+    inc = sr.recognize()
+    assert inc["results"][0]["song_name"] == "track000003"
+    full = sr.recognize(incremental=False)
+    assert inc["input_hashes"] == full["input_hashes"]
+    assert (inc["results"][0]["hashes_matched_in_input"]
+            == full["results"][0]["hashes_matched_in_input"])
+    assert inc["results"][0]["offset"] == full["results"][0]["offset"]
+
+
+def test_warmup_streams_against_sharded(engine):
+    """warmup(stream_window_seconds=...) pre-compiles the /stream
+    session programs against either engine shape without error."""
+    from shazam_tpu.parallel.mesh import make_mesh
+    from shazam_tpu.parallel.serving import ShardedCatalog, ShardedRecognizer
+    from shazam_tpu.serve import warmup
+
+    mesh = make_mesh(8)
+    sc = ShardedCatalog(engine.index, mesh=mesh, catalog=engine.catalog,
+                        config=engine.config)
+    warmup(ShardedRecognizer(sc), seconds=2.0, max_batch=2,
+           stream_window_seconds=2.0)
