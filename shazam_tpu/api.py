@@ -1500,16 +1500,22 @@ class SIA:
         """
         ids = set(int(s) for s in song_ids)
         self.catalog.delete_songs(ids)
-        keep = ~np.isin(self.index.song_id, list(ids))
+        return self._drop_song_rows(ids)
+
+    def _drop_song_rows(self, ids) -> int:
+        """Rebuild the host index without ``ids``' rows; returns rows
+        dropped. Shared by ``delete_songs`` and the load-time orphan
+        reconcile so the rebuild stays in one place."""
+        ix = self.index
+        keep = ~np.isin(ix.song_id, list(ids))
         removed = int((~keep).sum())
         if removed:
+            offset = ix.offset[keep]
             self.index = FingerprintIndex(
-                self.index.key_hi[keep], self.index.key_lo[keep],
-                self.index.key_ex[keep], self.index.song_id[keep],
-                self.index.offset[keep],
-                n_songs=self.index.n_songs,
-                max_offset=int(self.index.offset[keep].max())
-                if keep.any() else 0,
+                ix.key_hi[keep], ix.key_lo[keep], ix.key_ex[keep],
+                ix.song_id[keep], offset,
+                n_songs=ix.n_songs,
+                max_offset=int(offset.max()) if len(offset) else 0,
             )
             self._device_index = None
         return removed
@@ -1559,14 +1565,19 @@ class SIA:
         if is_spanned_file(path):
             if self._is_spanned:
                 # rows go straight to device; the host-side catalog
-                # reconcile below would force a full download — skipped
-                # (span saves and catalog commits happen together in
-                # save_index-driven flows, so the window is the same
-                # one process run the flat path has)
+                # reconcile would force a full download, so gate it on
+                # the cheap invariant instead: every fingerprinted
+                # song's total_hashes summed must equal the store's
+                # valid rows (fsck checks the same identity). Equal =>
+                # neither tear direction exists; a mismatch (crash or
+                # unpersisted online mutation) pays the one-time host
+                # sync to drop orphan rows / purge flag-only songs.
                 self._dev_store = SpannedDeviceStore.load(
                     path, span_rows=self.device_span_rows)
                 self._host_stale = True
                 self._device_index = None
+                if self.catalog.counts()["n_hashes"] != self._dev_store.n_valid:
+                    self._reconcile_catalog()  # torn restart only
                 return
             self.index = SpannedDeviceStore.load_flat(path)
             self._device_index = None
@@ -1603,13 +1614,4 @@ class SIA:
         # match (surfacing under a bare numeric name). Drop orphan rows.
         orphans = ids_present - catalog_ids
         if orphans:
-            keep = ~np.isin(self.index.song_id, list(orphans))
-            self.index = FingerprintIndex(
-                self.index.key_hi[keep], self.index.key_lo[keep],
-                self.index.key_ex[keep], self.index.song_id[keep],
-                self.index.offset[keep],
-                n_songs=self.index.n_songs,
-                max_offset=int(self.index.offset[keep].max())
-                if keep.any() else 0,
-            )
-            self._device_index = None
+            self._drop_song_rows(orphans)

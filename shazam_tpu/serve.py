@@ -375,6 +375,12 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
             connection stays usable for the error reply; a body beyond
             ``drain_cap`` isn't worth reading — mark the connection for
             close (``_json`` advertises it) and skip the read."""
+            if self.headers.get("Transfer-Encoding"):
+                # chunked bodies have no Content-Length to drain by —
+                # the unread chunks would poison the next request on
+                # this connection, so close it instead
+                self.close_connection = True
+                return
             length = int(self.headers.get("Content-Length", 0) or 0)
             if length <= 0:
                 return
@@ -419,7 +425,12 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
             import hmac
 
             got = self.headers.get("Authorization", "")
-            return hmac.compare_digest(got, f"Bearer {auth_token}")
+            # compare as bytes: compare_digest raises TypeError on
+            # non-ASCII str (http.server decodes headers as latin-1,
+            # so a stray header would crash the handler instead of 401)
+            return hmac.compare_digest(
+                got.encode("latin-1", errors="replace"),
+                f"Bearer {auth_token}".encode("latin-1", errors="replace"))
 
         def _deny(self) -> None:
             self._discard_body()
@@ -494,6 +505,11 @@ def _make_handler(batcher: MicroBatcher, sia, timeout_s: float,
             same round trip); the other ops take no body."""
             op = parsed.path[len("/stream/"):]
             qs = parse_qs(parsed.query)
+            if self.headers.get("Transfer-Encoding"):
+                self._discard_body()  # chunked: mark connection for close
+                self._json(400, {"error": "chunked bodies are not "
+                                 "supported; send Content-Length"})
+                return
             length = int(self.headers.get("Content-Length", 0) or 0)
             raw = b""
             if length > 0:
@@ -774,16 +790,24 @@ def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
         # short synthetic stream covers steady state.
         from .stream import CHUNK, StreamRecognizer
 
-        sr = StreamRecognizer(sia, channels=1,
-                              window_seconds=stream_window_seconds)
         clip = synth_song(1, duration_s=stream_window_seconds + 2.0,
                           seed=321).astype(np.int16)
-        pos = 0
-        for step in (CHUNK // 2, CHUNK, 2 * CHUNK):
-            sr.feed(clip[pos: pos + step])
-            pos += step
-        while pos + CHUNK <= len(clip):
-            sr.feed(clip[pos: pos + CHUNK])
-            pos += CHUNK
-        sr.recognize()
-        sr.recognize()  # second call warms the settled-strip shapes
+        # /stream/open exposes both engines; warm both so neither first
+        # session compiles mid-stream. The device ring rejects windows
+        # under its quantum minimum (~2.5 s) — skip it there.
+        for eng in ("host", "device"):
+            try:
+                sr = StreamRecognizer(sia, channels=1,
+                                      window_seconds=stream_window_seconds,
+                                      engine=eng)
+            except ValueError:
+                continue
+            pos = 0
+            for step in (CHUNK // 2, CHUNK, 2 * CHUNK):
+                sr.feed(clip[pos: pos + step])
+                pos += step
+            while pos + CHUNK <= len(clip):
+                sr.feed(clip[pos: pos + CHUNK])
+                pos += CHUNK
+            sr.recognize()
+            sr.recognize()  # second call warms the settled-strip shapes

@@ -91,9 +91,10 @@ class IncrementalFingerprinter:
         before the device call: every distinct slab length is a distinct
         XLA program (minutes each over the TPU tunnel), and feed chunk
         sizes drift with the residual, so unbucketed shapes compile
-        per-call. Frames are per-sample-window independent, the padded
-        tail frames touch only padding, and they are sliced off — the
-        kept columns are bit-identical to the unpadded computation."""
+        per-call. Frames are per-sample-window independent and the tail
+        frames past n_new (whose windows mix real samples with padding)
+        are sliced off — the KEPT columns read only real samples, so
+        they are bit-identical to the unpadded computation."""
         import jax
         from .ops.spectrogram import spectrogram_db
 
@@ -210,9 +211,11 @@ class IncrementalFingerprinter:
         cap = capacity or self.config.peak_capacity
         n = len(times)
         if n > cap:
-            raise OverflowError(
+            err = OverflowError(
                 f"window holds {n} peaks > capacity {cap}; raise peak_capacity"
             )
+            err.n_peaks = n   # lets the caller jump straight to a fitting tier
+            raise err
         t_pad = np.zeros(cap, np.uint32)
         f_pad = np.zeros(cap, np.uint32)
         t_pad[:n] = times
@@ -345,15 +348,21 @@ class StreamRecognizer:
                     fps = [self._fps[0].fingerprints(
                         capacity=self._peak_cap)]
                 break
-            except OverflowError:
+            except OverflowError as e:
                 # dense window: escalate like SIA's query path instead
                 # of silently recomputing every future window from
-                # scratch (sticky — one new program shape, then cached)
+                # scratch (sticky — one new program shape, then cached).
+                # Jump straight to a tier that fits the known count:
+                # every intermediate tier would be a wasted compile
+                # (minutes each over the TPU tunnel)
                 if self._peak_cap >= (1 << 22):
                     return self.sia.recognize_samples(
                         self._window_channels(), topn=topn
                     )
+                need = getattr(e, "n_peaks", 0)
                 self._peak_cap *= 2
+                while self._peak_cap < need and self._peak_cap < (1 << 22):
+                    self._peak_cap *= 2
         q = prepare_query(fps)
         fingerprint_time = time.time() - t0
 

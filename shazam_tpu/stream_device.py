@@ -206,9 +206,11 @@ class DeviceIncrementalFingerprinter:
             max_dt=self.config.max_hash_time_delta,
         ))
         if int(fp.n_peaks) > cap:
-            raise OverflowError(
+            err = OverflowError(
                 f"window holds {int(fp.n_peaks)} peaks > capacity {cap}"
             )
+            err.n_peaks = int(fp.n_peaks)  # caller jumps to a fitting tier
+            raise err
         return fp
 
     def reset(self) -> None:

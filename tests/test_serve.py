@@ -555,3 +555,69 @@ def test_auth_token_gates_mutations():
         assert out["deleted_songs"] == 1
     finally:
         srv.close()
+
+
+def test_auth_non_ascii_header_is_401_not_crash():
+    """hmac.compare_digest raises TypeError on non-ASCII str; a stray
+    latin-1 Authorization header must yield 401, not a dropped
+    connection from a handler crash."""
+    import http.client
+
+    sia = SIA()
+    sia.ingest_arrays([("x", synth_song(0, duration_s=DUR, seed=99))])
+    srv = RecognitionServer(sia, port=0, max_wait_ms=5.0,
+                            request_timeout_s=600.0, auth_token="sesame")
+    srv.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        conn.request("POST", "/delete?songs=x", body=b"",
+                     headers={"Authorization": "Bearer caf\xe9"})
+        r = conn.getresponse()
+        assert r.status == 401
+        r.read()
+        conn.close()
+    finally:
+        srv.close()
+
+
+def test_chunked_body_rejected_with_close(server):
+    """Chunked uploads can't be drained by Content-Length; every route
+    must reject them and mark the connection for close instead of
+    leaving chunk bytes to poison the next request."""
+    import http.client
+
+    for path in ("/recognize", "/stream/feed?session=zz"):
+        conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                          timeout=60)
+        conn.putrequest("POST", path)
+        conn.putheader("Transfer-Encoding", "chunked")
+        conn.endheaders()
+        conn.send(b"4\r\nwxyz\r\n0\r\n\r\n")
+        r = conn.getresponse()
+        assert r.status == 400
+        assert r.headers.get("Connection", "").lower() == "close"
+        r.read()
+        conn.close()
+
+
+def test_warmup_covers_both_stream_engines(server):
+    """--warm-stream must pre-compile host AND device session programs
+    (a first device-engine client would otherwise compile mid-stream)."""
+    from shazam_tpu.serve import warmup
+    from shazam_tpu import stream as stream_mod
+
+    built = []
+    real = stream_mod.StreamRecognizer
+
+    class Spy(real):
+        def __init__(self, *a, **kw):
+            built.append(kw.get("engine", "host"))
+            super().__init__(*a, **kw)
+
+    stream_mod.StreamRecognizer = Spy
+    try:
+        warmup(server.sia, seconds=2.0, max_batch=2,
+               stream_window_seconds=3.0)
+    finally:
+        stream_mod.StreamRecognizer = real
+    assert built == ["host", "device"]

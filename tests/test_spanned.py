@@ -520,3 +520,32 @@ def test_spanned_single_dispatch_vote_key_guard():
             n_songs=1 << 20, delta_min=-1024, delta_range=4608,
             offset_stride=0,
         )
+
+
+def test_spanned_torn_delete_reconciles_on_load(tmp_path):
+    """An online delete without --persist leaves the spanned snapshot
+    holding the deleted song's rows while sqlite already dropped the
+    catalog row. The spanned load path gates a reconcile on the cheap
+    hash-sum invariant (catalog n_hashes == store n_valid), so the
+    deleted song cannot resurface under a bare numeric name."""
+    from shazam_tpu.api import SIA
+
+    songs = _songs(5)
+    cat = str(tmp_path / "cat.sqlite")
+    sia = SIA(device_span_rows=4096, catalog_path=cat)
+    sia.ingest_arrays(songs)
+    path = str(tmp_path / "ix.npz")
+    sia.save_index(path)              # snapshot BEFORE the delete
+    sid2 = next(r["song_id"] for r in sia.catalog.get_songs()
+                if r["song_name"] == "s2")
+    sia.delete_songs([sid2])          # sqlite commits; snapshot is stale
+    sia.catalog.close()
+
+    fresh = SIA(device_span_rows=4096, catalog_path=cat)
+    fresh.load_index(path)
+    clip2 = songs[2][1][11025: 11025 + 2 * 44100]
+    out = fresh.recognize_samples([clip2])
+    assert all(r["song_id"] != sid2 for r in out["results"])
+    clip1 = songs[1][1][11025: 11025 + 2 * 44100]
+    out1 = fresh.recognize_samples([clip1])
+    assert out1["results"][0]["song_name"] == "s1"

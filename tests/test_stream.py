@@ -220,3 +220,34 @@ def test_incremental_buckets_device_shapes(engine):
     a, b = inc.window_sample_range()
     assert _hex_pairs(inc.fingerprints()) == \
         _fingerprint_window(engine, song[a:b])
+
+
+def test_peak_escalation_jumps_to_fitting_tier():
+    """The overflow carries the true peak count, so one retry reaches a
+    fitting tier — every intermediate tier would be a wasted multi-
+    minute compile over the TPU tunnel."""
+    from shazam_tpu.config import FingerprintConfig
+
+    cfg = FingerprintConfig(peak_capacity=256, hash_capacity=1024)
+    sia = SIA(config=cfg)
+    song = synth_song(5, duration_s=20.0, seed=40)
+    sia.ingest_arrays([("dense", song)])
+
+    rec = StreamRecognizer(sia, channels=1, window_seconds=5.0)
+    clip = song[int(2.0 * 44100): int(9.0 * 44100)].astype(np.int16)
+    for base in range(0, len(clip) - CHUNK, CHUNK):
+        rec.feed(clip[base: base + CHUNK])
+
+    n = len(rec._fps[0].window_peaks()[0])
+    assert n > 64  # precondition: the window overflows the forced tier
+    rec._peak_cap = 64  # force an overflow on the next recognize
+
+    calls = []
+    real = rec._fps[0].fingerprints
+    rec._fps[0].fingerprints = lambda **kw: calls.append(kw) or real(**kw)
+    out = rec.recognize()
+    assert out["results"][0]["song_name"] == "dense"
+    # exactly one overflow retry: 64 -> fitting tier, no intermediates
+    assert len(calls) == 2, calls
+    assert calls[0]["capacity"] == 64
+    assert rec._peak_cap >= n and rec._peak_cap // 2 < max(n, 65)
