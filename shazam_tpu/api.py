@@ -942,13 +942,12 @@ class SIA:
         Bucketing keeps one compiled program for all <=47 s queries and
         recompiles only on the rare longer ones.
         """
+        from .match.prepare import q_frames_for_max_offset
+
         n_frames = max(
             (n_samples - self.config.window_size) // self.config.hop + 1, 1
         )
-        q = 1024
-        while q < n_frames:
-            q *= 2
-        return q
+        return q_frames_for_max_offset(n_frames - 1)
 
     def _delta_params_for(self, n_samples: int) -> Tuple[int, int]:
         q_frames = self._q_frames_for(n_samples)

@@ -79,3 +79,20 @@ def prepare_query(fps: Sequence[Fingerprints], pad_to: int | None = None) -> Que
         n_pairs=n,
     )
     return out
+
+
+def q_frames_for_max_offset(max_offset: int, floor: int = 1024) -> int:
+    """Smallest power-of-two delta window strictly covering a query's
+    max frame offset (>= floor).
+
+    THE one sizing rule for the vote-histogram window — shared by
+    ``SIA``, ``ShardedCatalog`` and ``SpannedCatalog`` so compiled-shape
+    buckets and delta windows can never drift between the single-device
+    and mesh paths (the reference handles any clip length,
+    ``recognizer.py:289-338``; a fixed window silently drops votes with
+    deltas below its floor).
+    """
+    frames = floor
+    while frames <= max_offset:
+        frames *= 2
+    return frames

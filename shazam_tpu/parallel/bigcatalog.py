@@ -34,6 +34,14 @@ from ..index.store import FingerprintIndex
 from ..match.lookup import match_local, RawMatch
 
 
+def effective_match_capacity(match_capacity: int, n_dev: int) -> int:
+    """The by-song regime's true exactness bound: every shard expands
+    with the full ``match_capacity``, so up to ``n_dev * match_capacity``
+    rows vote exactly. Callers must align/escalate against THIS (a psum'd
+    total above ``match_capacity`` alone does not mean rows dropped)."""
+    return min(n_dev * match_capacity, 2 ** 31 - 2)
+
+
 def pack_shard_rows(hi, lo, ex, sid, off, *, rows_per: int, stride: int,
                     n_local_songs: int):
     """One shard's sorted, padded column tuple — THE payload encoding
@@ -135,7 +143,20 @@ def _match_by_song_program(
         g_s = lax.all_gather(top_sid, axis).reshape(-1)
         g_d = lax.all_gather(top_delta, axis).reshape(-1)
         g_r = lax.all_gather(top_rows, axis).reshape(-1)
+        # every shard expands with the FULL match_capacity, so the
+        # exactness bound is per-shard: the psum'd total legitimately
+        # exceeds match_capacity with zero rows dropped. Surface a real
+        # per-shard overflow by clamping the total above the effective
+        # (n_dev * cap) bound — callers judge against that bound
+        # (effective_match_capacity), mirroring sharded.py's key-range
+        # clamp, so exact results never report overflowed.
+        local_over = (total > jnp.int32(match_capacity)).astype(jnp.int32)
         total = lax.psum(total, axis)
+        any_over = lax.psum(local_over, axis)
+        eff_cap = effective_match_capacity(match_capacity, n_dev)
+        total = jnp.where(
+            any_over > 0, jnp.maximum(total, jnp.int32(eff_cap + 1)), total
+        )
         n_ranked = lax.psum(
             jnp.sum((votes > 0).astype(jnp.int32)), axis
         )

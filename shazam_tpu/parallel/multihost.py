@@ -173,6 +173,11 @@ class SpannedCatalog:
             path,
             meta=np.array([self.n_songs, self.max_offset, self._stride,
                            self.n_shards, n_cols], np.int64),
+            # WHICH global shard ids these rows belong to: a restart
+            # whose process->shard assignment differs (permuted mesh,
+            # reordered hosts) would otherwise serve every song under
+            # the wrong global id with no error
+            shard_ids=np.asarray(sorted(self._my_shard_ids()), np.int64),
             **cols,
         )
         return path
@@ -186,11 +191,23 @@ class SpannedCatalog:
             meta = z["meta"]
             n_cols = int(meta[4])
             local = tuple(z[f"col{c}"] for c in range(n_cols))
+            saved_ids = (z["shard_ids"].tolist()
+                         if "shard_ids" in z.files else None)
         cat = cls((int(meta[0]), int(meta[1]), int(meta[2])), mesh=mesh)
         if cat.n_shards != int(meta[3]):
             raise ValueError(
                 f"shard file was written for {int(meta[3])} shards, "
                 f"mesh has {cat.n_shards}"
+            )
+        mine = sorted(cat._my_shard_ids())
+        if saved_ids is not None and saved_ids != mine:
+            # same shard COUNT but a different process->shard assignment:
+            # placing these rows would serve every song under the wrong
+            # global id (sid = local * n_shards + shard) silently
+            raise ValueError(
+                f"shard file holds global shards {saved_ids} but this "
+                f"process owns {mine}: restart with the same process/"
+                "device topology the catalog was saved under"
             )
         cat._place_local(local)
         return cat
@@ -217,31 +234,47 @@ class SpannedCatalog:
         from ..config import DEFAULT_CONFIG
 
         if q_frames is None:
+            from ..match.prepare import q_frames_for_max_offset
+
             max_t = int(np.max(q.t[: q.n_pairs])) if q.n_pairs else 0
-            q_frames = 1024
-            while q_frames <= max_t:
-                q_frames *= 2
+            q_frames = q_frames_for_max_offset(max_t)
         delta_min = -q_frames
         delta_range = self.max_offset + 2 * q_frames
         args = tuple(
             self._replicate(a)
             for a in (q.hi, q.lo, q.ex, q.t, q.valid, q.first)
         )
-        raw = sharded_match_by_song(
-            self.mesh, self._arrays, self.n_local_songs, self._stride,
-            *args,
-            delta_min=delta_min, delta_range=delta_range,
-            match_capacity=match_capacity, topn=topn,
-            sharded_head=self._head,
-        )
         import jax
 
-        raw = jax.device_get(raw)
-        # judge overflow against the capacity actually used, not the
-        # config default (the repo invariant: overflow is never silent)
+        from .bigcatalog import effective_match_capacity
+
+        cfg = config or DEFAULT_CONFIG
+        cap, cap_max = match_capacity, cfg.match_capacity_max
+        while True:
+            raw = jax.device_get(sharded_match_by_song(
+                self.mesh, self._arrays, self.n_local_songs, self._stride,
+                *args,
+                delta_min=delta_min, delta_range=delta_range,
+                match_capacity=cap, topn=topn,
+                sharded_head=self._head,
+            ))
+            total = int(raw.total_rows)
+            # the by-song exactness bound is per-shard, so judge (and
+            # escalate — hyper-common hashes own 10K-70K rows at
+            # reference scale) against the effective n_shards * cap
+            # bound; total is replicated, so every process takes the
+            # same branch and the collective programs stay in lockstep
+            eff = effective_match_capacity(cap, self.n_shards)
+            if total <= eff or cap >= cap_max:
+                break
+            while effective_match_capacity(cap, self.n_shards) < total \
+                    and cap < cap_max:
+                cap *= 4
+            cap = min(cap, cap_max)
         return align_results(raw, q.n_pairs, catalog=catalog,
-                             config=config or DEFAULT_CONFIG,
-                             match_capacity=match_capacity)
+                             config=cfg,
+                             match_capacity=effective_match_capacity(
+                                 cap, self.n_shards))
 
 
 def distributed_ingest_arrays(
@@ -266,6 +299,14 @@ def distributed_ingest_arrays(
 
     :param load_fn: global song id -> mono samples (int16/float32);
         called only for songs this process owns.
+
+    Byte-identical duplicate AUDIO is deduped per-process only (the
+    SHA-1 resume dedup sees one process's songs): two identical songs
+    whose round-robin shards land on different processes ingest as two
+    catalog entries, unlike single-host ``SIA.ingest_arrays`` where the
+    second is skipped. Dedupe the song list globally before calling if
+    that matters (content hashes require loading the audio, which no
+    single process does here by design).
     :returns: (SpannedCatalog ready to ``match``, local SIA whose catalog
         holds THIS process's songs — resolve foreign names via metadata
         replication or the owning process).

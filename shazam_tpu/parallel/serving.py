@@ -47,7 +47,13 @@ class ShardedCatalog:
         self.mesh = mesh or make_mesh()
         self.config = config
         self.catalog = catalog
-        self.index = index
+        # keep only the scalars: pinning the full host FingerprintIndex
+        # here would hold every key/payload column in host RAM for the
+        # catalog's lifetime alongside the device shards (match/stats
+        # need three ints)
+        self.n_songs = index.n_songs
+        self.n_hashes = index.n_hashes
+        self.max_offset = index.max_offset
         n_dev = self.mesh.devices.size
 
         self._max_off = ((index.max_offset // 4096) + 1) * 4096
@@ -91,10 +97,15 @@ class ShardedCatalog:
         # the key distribution (hot hash runs defeat interpolation)
         bits = stacked_head_bits(self._shards[0].shape[1])
         if bits is not None:
-            self._head = jax.device_put(
-                jax.vmap(lambda h: build_head(h, bits=bits))(self._shards[0]),
-                row_sharding,
-            )
+            # ONE jitted program laid out on the mesh (multihost.py uses
+            # the same form): an eager vmap would dispatch per-primitive
+            # and the result would need a resharding device_put after
+            import functools
+
+            self._head = jax.jit(
+                jax.vmap(functools.partial(build_head, bits=bits)),
+                out_shardings=row_sharding,
+            )(self._shards[0])
         else:
             self._head = None
 
@@ -105,11 +116,10 @@ class ShardedCatalog:
         """Power-of-two window covering the query's max frame offset —
         long queries must not silently drop low deltas (the reference
         handles any clip length, ``recognizer.py:289-338``)."""
+        from ..match.prepare import q_frames_for_max_offset
+
         max_t = int(np.max(q.t[: q.n_pairs])) if q.n_pairs else 0
-        frames = 1024
-        while frames <= max_t:
-            frames *= 2
-        return frames
+        return q_frames_for_max_offset(max_t)
 
     def match(self, q: QueryPairs, topn: Optional[int] = None) -> MatchResult:
         """Match prepared query pairs; returns reference-shaped results.
@@ -134,22 +144,38 @@ class ShardedCatalog:
         delta_range = self._delta_range_for(q_frames)
 
         cap = self.config.match_capacity
+        cap_max = self.config.match_capacity_max
         while True:
             raw = self._match_once(args, topn, delta_min, delta_range, cap)
             total = int(raw.total_rows)
-            if total <= cap or cap >= self.config.match_capacity_max:
+            # judge against the regime's EFFECTIVE bound (per-shard caps
+            # summed): a psum'd total above the nominal cap with every
+            # shard under its own cap is exact, not an overflow
+            if total <= self._effective_cap(cap) or cap >= cap_max:
                 break
-            while cap < total and cap < self.config.match_capacity_max:
+            while self._effective_cap(cap) < total and cap < cap_max:
                 cap *= 4
-            cap = min(cap, self.config.match_capacity_max)
+            cap = min(cap, cap_max)
         return align_results(raw, q.n_pairs, catalog=self.catalog,
-                             config=self.config, match_capacity=cap)
+                             config=self.config,
+                             match_capacity=self._effective_cap(cap))
+
+    def _effective_cap(self, match_capacity: int) -> int:
+        from .bigcatalog import (
+            effective_match_capacity as by_song_cap,
+        )
+        from .sharded import effective_match_capacity as key_range_cap
+
+        n_dev = self.mesh.devices.size
+        return (key_range_cap(match_capacity, n_dev)
+                if self.regime == "key_range"
+                else by_song_cap(match_capacity, n_dev))
 
     def _match_once(self, args, topn, delta_min, delta_range, cap) -> "RawMatch":
         if self.regime == "key_range":
             return sharded_match_query(
                 self.mesh, self._shards, *args,
-                n_songs=max(self.index.n_songs, 1),
+                n_songs=max(self.n_songs, 1),
                 delta_min=delta_min, delta_range=delta_range,
                 match_capacity=cap,
                 topn=topn, offset_stride=self._stride,
@@ -166,8 +192,8 @@ class ShardedCatalog:
         return {
             "regime": self.regime,
             "n_devices": int(self.mesh.devices.size),
-            "n_songs": self.index.n_songs,
-            "n_hashes": self.index.n_hashes,
+            "n_songs": self.n_songs,
+            "n_hashes": self.n_hashes,
             "delta_range": self._delta_range_for(1024),
         }
 
@@ -195,7 +221,7 @@ class ShardedRecognizer:
 
     # ---- the serve.RecognitionServer engine surface --------------------
     def _live_n_hashes(self) -> int:
-        return self.cat.index.n_hashes
+        return self.cat.n_hashes
 
     def get_metadata(self, track_id: int):
         return self.catalog.get_metadata(track_id) if self.catalog else None
@@ -207,6 +233,16 @@ class ShardedRecognizer:
 
         from ..match.prepare import prepare_query
 
+        if early_exit:
+            # same loud fallback SIA uses when the partial-scan mode is
+            # unavailable — silently dropping the kwarg would let the
+            # caller believe a partial scan ran
+            import warnings
+
+            warnings.warn(
+                "early_exit is unavailable on the mesh facade; running a "
+                "full match (identical top-1, full-scan vote counts)",
+                stacklevel=2)
         t0 = time.time()
         channels = [np.asarray(ch) for ch in channels if len(ch)]
         if not channels:
@@ -219,8 +255,15 @@ class ShardedRecognizer:
         q = prepare_query(fps)
         if q_pad_to is not None and q_pad_to > len(q.hi):
             # serve.warmup's pair-bucket knob (the match program's shape
-            # is the pow2 pair bucket) — results identical at any padding
-            q = prepare_query(fps, pad_to=q_pad_to)
+            # is the pow2 pair bucket) — results identical at any
+            # padding; extend the existing pads (zeros, valid=False)
+            # rather than re-running the whole dedup/sort preparation
+            pad = q_pad_to - len(q.hi)
+            q = QueryPairs(
+                *(np.pad(a, (0, pad)) for a in
+                  (q.hi, q.lo, q.ex, q.t, q.valid, q.first)),
+                n_pairs=q.n_pairs,
+            )
         jax.block_until_ready(fps[-1].hi)
         fingerprint_time = time.time() - t0
 

@@ -63,15 +63,19 @@ def _match_query_program(
         )
         # key-range sharding concentrates popular hashes: a hot shard can
         # blow its per-shard expansion cap (votes dropped) while the global
-        # total stays under match_capacity — surface that by clamping the
-        # reported total above the full capacity so align_results flags it
+        # total stays small — surface that by clamping the reported total
+        # above the EFFECTIVE bound (sum of per-shard caps; the 1024/shard
+        # floor makes it exceed match_capacity on wide meshes, and a total
+        # under it with no local overflow is exact) so align_results and
+        # the escalation loop judge against effective_match_capacity
         local_over = (total > per_shard_cap).astype(jnp.int32)
         hist = jax.lax.psum(hist, axis)
         rows_hist = jax.lax.psum(rows_hist, axis)
         total = jax.lax.psum(total, axis)
         any_over = jax.lax.psum(local_over, axis)
+        eff_cap = min(per_shard_cap * mesh.devices.size, 2 ** 31 - 2)
         total = jnp.where(
-            any_over > 0, jnp.maximum(total, match_capacity + 1), total
+            any_over > 0, jnp.maximum(total, eff_cap + 1), total
         )
         return rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)
 
@@ -88,6 +92,13 @@ def _match_query_program(
     return jax.jit(fn)
 
 
+def effective_match_capacity(match_capacity: int, n_dev: int) -> int:
+    """Key-range regime's exactness bound: the sum of per-shard caps
+    (the 1024 floor makes it exceed ``match_capacity`` past
+    match_capacity/1024 devices)."""
+    return min(max(match_capacity // n_dev, 1024) * n_dev, 2 ** 31 - 2)
+
+
 def sharded_match_query(
     mesh: Mesh,
     sharded_index,          # 4 or 5 arrays shaped (n_shards, rows_per_shard)
@@ -101,7 +112,12 @@ def sharded_match_query(
     offset_stride: int = 0,
     sharded_head=None,        # (n_shards, 2^bits + 1) per-shard bucket CDFs
 ) -> RawMatch:
-    """Match a replicated query against a key-range-sharded index."""
+    """Match a replicated query against a key-range-sharded index.
+
+    Judge overflow/escalation against ``effective_match_capacity`` (the
+    sum of per-shard caps), not ``match_capacity``: the per-shard floor
+    means an exact result's psum'd total can exceed the nominal capacity
+    on wide meshes."""
     per_shard_cap = max(match_capacity // mesh.devices.size, 1024)
     fn = _match_query_program(
         mesh, len(sharded_index), sharded_head is not None,
@@ -115,7 +131,7 @@ def sharded_match_query(
 
 def sharded_ingest_step(
     mesh: Mesh,
-    batch: jnp.ndarray,          # (n_songs_batch, padded_len) float32
+    batch: jnp.ndarray,          # (n_songs_batch, padded_len) int16/float32
     n_valid: jnp.ndarray,        # (n_songs_batch,) int32
     *,
     fs: int = 44100,
@@ -133,10 +149,17 @@ def sharded_ingest_step(
     Pure dp — XLA partitions the vmapped pipeline with zero collectives;
     we express it with sharding annotations + jit (the idiomatic form for
     embarrassingly parallel compute).
+
+    Pass ``batch`` as int16 for long ingests: it uploads at half the
+    bytes and casts to float32 on device (the axon tunnel leaks every
+    host->device upload in host RSS — CLAUDE.md — so upload volume is
+    host RAM, not just time).
     """
     axis = mesh.axis_names[0]
     batch = jax.device_put(batch, NamedSharding(mesh, P(axis, None)))
     n_valid = jax.device_put(n_valid, NamedSharding(mesh, P(axis)))
+    if batch.dtype != jnp.float32:
+        batch = batch.astype(jnp.float32)  # on device, post-upload
     return fingerprint_batch(
         batch, n_valid,
         fs=fs, wsize=wsize, hop=hop, amp_min=amp_min, radius=radius,

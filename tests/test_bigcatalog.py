@@ -227,3 +227,64 @@ def test_sharded_heads_match_headless(mesh):
     with_head = sharded_match_by_song(mesh, stacked, n_local, stride,
                                       *qargs, sharded_head=heads, **kw2)
     assert raws_equal(no_head, with_head)
+
+
+def test_by_song_sum_over_nominal_cap_is_exact_not_overflow(mesh):
+    """Every by-song shard expands with the FULL match_capacity, so a
+    psum'd total above the nominal cap with every shard under its own
+    cap is EXACT — it must neither clamp total_rows nor read as
+    overflow against effective_match_capacity."""
+    import jax.numpy as jnp
+    from shazam_tpu.parallel.bigcatalog import (
+        effective_match_capacity, shard_index_by_song, sharded_match_by_song,
+    )
+
+    rng = np.random.default_rng(23)
+    # 24 songs round-robin over 8 shards; each shard owns ~600 rows
+    rows = sorted(set(_build_db(rng, n_songs=24, rows_per_song=200)))
+    index = _index_from_rows(rows)
+    # query EVERY row once: per-shard totals ~600 <= cap 1024, global
+    # sum ~4800 > 1024
+    q_pairs = sorted({(h, 0) for h, _s, _o in rows})[:4096]
+    q_hashes = {h for h, _t in q_pairs}
+    q = _query_from_pairs(q_pairs, pad_to=4096)
+    stacked, n_local, stride = shard_index_by_song(index, 8)
+    raw = sharded_match_by_song(
+        mesh, stacked, n_local, stride,
+        jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
+        jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
+        delta_min=-(index.max_offset + 100),
+        delta_range=2 * (index.max_offset + 100),
+        match_capacity=1024, topn=4,
+    )
+    total = int(raw.total_rows)
+    assert total > 1024                       # sum over the nominal cap
+    assert total <= effective_match_capacity(1024, 8)   # ...but exact
+    assert total == sum(1 for h, _s, _o in rows if h in q_hashes)
+
+
+def test_by_song_hot_shard_overflow_clamps_total(mesh):
+    """One shard's local expansion overflow must clamp total_rows above
+    the EFFECTIVE bound so callers flag/escalate."""
+    import jax.numpy as jnp
+    from shazam_tpu.parallel.bigcatalog import (
+        effective_match_capacity, shard_index_by_song, sharded_match_by_song,
+    )
+
+    rng = np.random.default_rng(29)
+    rows = sorted(set(_build_db(rng, n_songs=8, rows_per_song=100)))
+    hot = _random_hex(rng, 1)[0]
+    rows += [(hot, 2, int(off)) for off in range(3000)]  # song 2's shard
+    index = _index_from_rows(sorted(set(rows)))
+
+    q = _query_from_pairs([(hot, 3)], pad_to=256)
+    stacked, n_local, stride = shard_index_by_song(index, 8)
+    raw = sharded_match_by_song(
+        mesh, stacked, n_local, stride,
+        jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
+        jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
+        delta_min=-(index.max_offset + 100),
+        delta_range=2 * (index.max_offset + 100),
+        match_capacity=1024, topn=4,
+    )
+    assert int(raw.total_rows) > effective_match_capacity(1024, 8)
