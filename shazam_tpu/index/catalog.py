@@ -150,7 +150,8 @@ class SongCatalog:
         )
         self.conn.commit()
 
-    def insert_metadata(self, track_id: int, **fields) -> None:
+    def insert_metadata(self, track_id: int, commit: bool = True,
+                        **fields) -> None:
         allowed = [
             "album_title", "album_url", "artist_name", "artist_url",
             "artist_website", "tags", "track_genres", "track_title", "track_url",
@@ -162,13 +163,19 @@ class SongCatalog:
             f" VALUES ({', '.join('?' * len(cols))})",
             vals,
         )
-        self.conn.commit()
+        if commit:
+            self.conn.commit()
 
     def import_metadata_csv(self, path: str) -> int:
         """Bulk-load an FMA-style metadata CSV (reference
         ``metadatatable.sql`` LOAD DATA INFILE). The CSV must have a
         header row naming at least ``track_id``; other recognized columns
-        are the metadata table fields. Returns rows imported."""
+        are the metadata table fields. Returns rows imported.
+
+        ONE transaction for the whole file: a commit (journal fsync) per
+        row turns the ~106K-track FMA import into minutes, and a crash
+        mid-import would leave a partial table instead of an atomic one.
+        """
         import csv as _csv
 
         allowed = {
@@ -177,18 +184,24 @@ class SongCatalog:
             "track_url",
         }
         n = 0
-        with open(path, newline="", encoding="utf-8", errors="replace") as fh:
-            for row in _csv.DictReader(fh):
-                if "track_id" not in row:
-                    continue
-                try:
-                    tid = int(row["track_id"])
-                except (TypeError, ValueError):
-                    continue
-                fields = {k: v for k, v in row.items()
-                          if k in allowed and v not in (None, "")}
-                self.insert_metadata(tid, **fields)
-                n += 1
+        try:
+            with open(path, newline="", encoding="utf-8",
+                      errors="replace") as fh:
+                for row in _csv.DictReader(fh):
+                    if "track_id" not in row:
+                        continue
+                    try:
+                        tid = int(row["track_id"])
+                    except (TypeError, ValueError):
+                        continue
+                    fields = {k: v for k, v in row.items()
+                              if k in allowed and v not in (None, "")}
+                    self.insert_metadata(tid, commit=False, **fields)
+                    n += 1
+        except BaseException:
+            self.conn.rollback()
+            raise
+        self.conn.commit()
         return n
 
     def get_metadata(self, track_id: int) -> Optional[Dict]:

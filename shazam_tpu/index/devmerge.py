@@ -194,6 +194,32 @@ def _stride_for(max_offset: int, n_songs: int) -> int:
     return offset_stride_for(max_offset, n_songs)
 
 
+def pack_padded_cols(hi, lo, ex, sid, off, *, stride: int, cap: int) -> Tuple:
+    """THE payload pack + sentinel pad rule for host->device uploads.
+
+    ``sid * stride + off`` in one uint32 column when ``stride`` (split
+    sid/off columns otherwise), every column padded with SENTINEL to
+    ``cap`` rows. Single-sourced for the same reason as ``_stride_for``:
+    every uploader (DeviceIndex.from_host/merge, SpannedDeviceStore.
+    from_host, FingerprintIndex.device_arrays) must agree or payloads
+    decode with the wrong divisor.
+    """
+    n = len(hi)
+    pad = cap - n
+
+    def up(a):
+        a = a.astype(np.uint32)
+        if pad:
+            a = np.concatenate([a, np.full(pad, SENTINEL, np.uint32)])
+        return jnp.asarray(a)
+
+    if stride:
+        packed = sid.astype(np.uint32) * np.uint32(stride) \
+            + off.astype(np.uint32)
+        return (up(hi), up(lo), up(ex), up(packed))
+    return (up(hi), up(lo), up(ex), up(sid), up(off))
+
+
 class DeviceIndex:
     """HBM-resident sorted index absorbing additions on the device.
 
@@ -222,22 +248,9 @@ class DeviceIndex:
         capacity doubling (each remote compile costs minutes here)."""
         cap = _capacity(max(ix.n_hashes, reserve, 1))
         stride = ix.offset_stride
-        pad = cap - ix.n_hashes
-
-        def up(a):
-            return jnp.asarray(np.concatenate(
-                [a.astype(np.uint32), np.full(pad, SENTINEL, np.uint32)]
-            ))
-
-        if stride:
-            packed = (
-                ix.song_id.astype(np.uint32) * np.uint32(stride)
-                + ix.offset.astype(np.uint32)
-            )
-            cols = (up(ix.key_hi), up(ix.key_lo), up(ix.key_ex), up(packed))
-        else:
-            cols = (up(ix.key_hi), up(ix.key_lo), up(ix.key_ex),
-                    up(ix.song_id), up(ix.offset))
+        cols = pack_padded_cols(ix.key_hi, ix.key_lo, ix.key_ex,
+                                ix.song_id, ix.offset,
+                                stride=stride, cap=cap)
         return cls(cols, ix.n_hashes, ix.n_songs, ix.max_offset, stride)
 
     # ---- merge --------------------------------------------------------
@@ -268,25 +281,10 @@ class DeviceIndex:
         while self.cols[0].shape[0] < new_valid:
             self.cols = _grow(self.cols)
 
-        a_cap = _capacity(addition.n_hashes)
-        pad = a_cap - addition.n_hashes
-
-        def up(a):
-            return jnp.asarray(np.concatenate(
-                [a.astype(np.uint32), np.full(pad, SENTINEL, np.uint32)]
-            ))
-
-        if self.stride:
-            packed = (
-                addition.song_id.astype(np.uint32) * np.uint32(self.stride)
-                + addition.offset.astype(np.uint32)
-            )
-            add_cols = (up(addition.key_hi), up(addition.key_lo),
-                        up(addition.key_ex), up(packed))
-        else:
-            add_cols = (up(addition.key_hi), up(addition.key_lo),
-                        up(addition.key_ex), up(addition.song_id),
-                        up(addition.offset))
+        add_cols = pack_padded_cols(
+            addition.key_hi, addition.key_lo, addition.key_ex,
+            addition.song_id, addition.offset,
+            stride=self.stride, cap=_capacity(addition.n_hashes))
         self.cols = merge_runs(self.cols, add_cols)
         self.n_valid = new_valid
         self.n_songs = n_songs
@@ -337,6 +335,14 @@ class DeviceIndex:
                 "device-run append requires the packed 4-column layout; "
                 "use the host ingest path for unpacked catalogs"
             )
+        # slice the sentinel-padded run tight before sizing (same rule
+        # as the spanned variant): growing capacity to fit PADDING would
+        # double the buffer — and recompile every append/sort shape,
+        # minutes each over the tunnel — right at the reserve boundary
+        # of a bulk ingest, for rows that are all sentinels
+        run_len = min(_run_pow2(n_add), add_cols[0].shape[0])
+        if run_len < add_cols[0].shape[0]:
+            add_cols = tuple(c[:run_len] for c in add_cols)
         add_len = add_cols[0].shape[0]
         while self.cols[0].shape[0] < self.n_valid + add_len:
             self.cols = _grow(self.cols)  # full padded run must fit
@@ -468,21 +474,11 @@ class SpannedDeviceStore:
                     stride if stride else 1)
         for start in range(0, ix.n_hashes, span_rows):
             n = min(span_rows, ix.n_hashes - start)
-            packed = (
-                ix.song_id[start:start + n].astype(np.uint32)
-                * np.uint32(stride)
-                + ix.offset[start:start + n].astype(np.uint32)
-            )
-            pad = span_rows - n
-
-            def up(a):
-                return jnp.asarray(np.concatenate(
-                    [a.astype(np.uint32),
-                     np.full(pad, SENTINEL, np.uint32)]))
-
-            cols = (up(ix.key_hi[start:start + n]),
-                    up(ix.key_lo[start:start + n]),
-                    up(ix.key_ex[start:start + n]), up(packed))
+            sl = slice(start, start + n)
+            cols = pack_padded_cols(
+                ix.key_hi[sl], ix.key_lo[sl], ix.key_ex[sl],
+                ix.song_id[sl], ix.offset[sl],
+                stride=stride, cap=span_rows)
             span = DeviceIndex(cols, n, ix.n_songs, ix.max_offset, stride)
             if store.spans[-1].n_valid == 0:
                 store.spans[-1] = span

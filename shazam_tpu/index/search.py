@@ -140,7 +140,7 @@ def _search_span_dyn(keys, queries, keep_left_on, lo, hi):
     return lo
 
 
-def _binary_search(keys, queries, keep_left_on):
+def _binary_search(keys, queries, keep_left_on, q_valid=None):
     """Shared lower/upper bound machinery, interpolation-seeded.
 
     keep_left_on(k_mid, q) -> True where the search range should move right
@@ -189,6 +189,12 @@ def _binary_search(keys, queries, keep_left_on):
     below_ok = (lo_w == 0) | keep_left_on(*take3(pl), *queries)
     above_ok = (hi_w == n) | ~keep_left_on(*take3(ph), *queries)
     ok = below_ok & above_ok
+    if q_valid is not None:
+        # padding lanes (all-ones keys equal to a sentinel tail) fail
+        # the window check and would force the batch-wide full descent
+        # on EVERY padded batch; their bounds are discarded by the
+        # caller, so count them as bracketed
+        ok = ok | ~q_valid
     steps = (2 * w - 1).bit_length() + 1
     full_steps = max(1, (n - 1).bit_length()) + 1
 
@@ -246,7 +252,7 @@ def lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex, head=None,
         lb = _search_span_dyn(keys, queries, _lt, lo0, hi0)
         ub = _search_span_dyn(keys, queries, _le_q, lb, hi0)
         return lb, ub
-    lb = _binary_search(keys, queries, _lt)
+    lb = _binary_search(keys, queries, _lt, q_valid=q_valid)
     n = k_hi.shape[0]
     keep_left = _le_q
 
@@ -265,6 +271,11 @@ def lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex, head=None,
 
     ones = jnp.ones(lb.shape, bool)
     ub_r, suspect = capped_ub(lb, FENCE_STRIDE, jnp.zeros_like(lb), ones)
+    if q_valid is not None:
+        # a padding lane's sentinel-tail probe always compares <= its
+        # all-ones query, so it would drive the tier2/full escalation on
+        # every padded batch; its bounds are zeroed below anyway
+        suspect = suspect & q_valid
 
     # hyper-common hashes own 10K-70K rows at production scale and show
     # up in most real query batches, so a straight escape to the full
@@ -273,9 +284,11 @@ def lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex, head=None,
     # pathological tail only
     def tier2(_):
         ub2, susp2 = capped_ub(lb, 128 * 1024, ub_r, suspect)
+        if q_valid is not None:
+            susp2 = susp2 & q_valid
 
         def full_ub(_):
-            ub_f = _binary_search(keys, queries, keep_left)
+            ub_f = _binary_search(keys, queries, keep_left, q_valid=q_valid)
             return jnp.where(susp2, ub_f, ub2)
 
         return jax.lax.cond(jnp.any(susp2), full_ub, lambda _: ub2, 0)

@@ -87,19 +87,12 @@ class FingerprintIndex:
         if self.n_hashes == 0:
             z = np.zeros(1, np.uint32)
             return tuple(jnp.asarray(a) for a in (z, z, z, z))
-        stride = self.offset_stride
-        keys = (
-            jnp.asarray(self.key_hi),
-            jnp.asarray(self.key_lo),
-            jnp.asarray(self.key_ex),
-        )
-        if stride:
-            packed = (
-                self.song_id.astype(np.uint32) * np.uint32(stride)
-                + self.offset.astype(np.uint32)
-            )
-            return keys + (jnp.asarray(packed),)
-        return keys + (jnp.asarray(self.song_id), jnp.asarray(self.offset))
+        from .devmerge import pack_padded_cols  # lazy: devmerge imports us
+
+        return pack_padded_cols(
+            self.key_hi, self.key_lo, self.key_ex,
+            self.song_id, self.offset,
+            stride=self.offset_stride, cap=self.n_hashes)
 
     # ---- persistence ----
     def save(self, path: str) -> None:
@@ -123,9 +116,11 @@ class FingerprintIndex:
 
     # ---- per-song hash counts (reference total_hashes semantics) ----
     def hashes_per_song(self) -> np.ndarray:
-        counts = np.zeros(self.n_songs + 1, np.int64)
-        np.add.at(counts, self.song_id, 1)
-        return counts
+        # bincount, not add.at: the ufunc loop is 10-50x slower at the
+        # 95M-row production scale
+        return np.bincount(
+            self.song_id, minlength=self.n_songs + 1
+        ).astype(np.int64)
 
 
 def _sort_entries(hi, lo, ex, sid, off):
