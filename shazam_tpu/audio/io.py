@@ -148,6 +148,9 @@ def _read_float_wav(src, limit: Optional[float]) -> Tuple[np.ndarray, int, int]:
             f"{path}: unsupported WAV format tag {tag} / {bits} bits")
     data = riff[off: off + size]
     f = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4")
+    # trim to whole FRAMES too: a truncated chunk ending mid-frame would
+    # otherwise de-interleave into unequal channel lengths
+    f = f[: len(f) // n_channels * n_channels]
     if limit is not None:
         f = f[: int(limit * fs) * n_channels]
     out = np.clip(f * 32768.0, -32768, 32767).astype(np.int16)
@@ -256,8 +259,13 @@ def _read_via_ffmpeg(path: str, limit: Optional[float]) -> Tuple[np.ndarray, int
     cmd = [_FFMPEG, "-v", "quiet", "-i", path]
     if limit is not None:
         cmd += ["-t", str(limit)]
-    # explicit -ac pins the decoded channel count to the probed layout
-    cmd += ["-f", "s16le", "-acodec", "pcm_s16le", "-ac", str(n_channels), "-"]
+    # pin the decode to the probed values: -map 0:a:0 selects the FIRST
+    # audio stream (the one the probe's first 'Audio:' line described —
+    # ffmpeg's default 'best stream' pick can differ in multi-stream
+    # containers), -ar/-ac force the rate/channels so the returned
+    # (samples, fs) pair can never disagree silently
+    cmd += ["-map", "0:a:0", "-f", "s16le", "-acodec", "pcm_s16le",
+            "-ar", str(fs), "-ac", str(n_channels), "-"]
     proc = subprocess.run(cmd, capture_output=True)
     if proc.returncode != 0:
         # a failed decode must be a clear error, not silently-empty
@@ -317,7 +325,11 @@ def write_wav(path: str, samples: np.ndarray, fs: int = 44100) -> None:
     """Write mono/stereo int16 or float [-1,1] samples as a 16-bit PCM WAV."""
     arr = np.asarray(samples)
     if arr.dtype.kind == "f":
-        arr = np.clip(arr * 32767.0, -32768, 32767).astype(np.int16)
+        # same convention as the client SDK's encoder (scale 32767,
+        # round, clip — truncation made 0.5 encode differently here vs
+        # there) so a float signal writes to bit-identical int16 PCM
+        # whichever writer produced it
+        arr = np.clip(np.rint(arr * 32767.0), -32768, 32767).astype(np.int16)
     arr = arr.astype(np.int16)
     if arr.ndim == 1:
         n_channels, frames = 1, arr

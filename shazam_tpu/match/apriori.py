@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .lookup import match_local, rank_votes, RawMatch
+from .lookup import check_vote_key, match_local, rank_votes, RawMatch
 from .prepare import QueryPairs
 
 
@@ -89,13 +89,11 @@ def match_query_apriori(
     whenever no early exit triggers; with an exit they reflect the
     partial scan exactly like the reference's apriori mode.
     """
-    if n_songs * delta_range >= 1 << 31:
-        raise ValueError(
-            "apriori accumulates a dense histogram across batches; "
-            f"n_songs * delta_range = {n_songs * delta_range} overflows "
-            "its int32 vote key — disable early_exit at this scale"
-        )
-    n = len(q.hi)
+    check_vote_key(n_songs, delta_range)
+    # batch over the TRUE pair count: the prepared query is padded to a
+    # pow2 bucket, and a pure-padding batch is a full expansion program
+    # plus a ~100 ms host RTT that can learn nothing
+    n = max(int(q.n_pairs), 1)
     hist = jnp.zeros((n_songs, delta_range), jnp.int32)
     rows_hist = jnp.zeros(n_songs, jnp.int32)
     total = jnp.int32(0)

@@ -35,6 +35,19 @@ import jax.numpy as jnp
 from ..index.search import lexi_bounds
 
 
+def check_vote_key(n_songs: int, delta_range: int) -> None:
+    """Reject configs whose flat (song, delta) vote key overflows int32 —
+    votes would silently land on wrong songs. THE one guard every dense
+    matcher calls (lookup, ondevice, apriori)."""
+    if n_songs * delta_range >= 1 << 31:
+        raise ValueError(
+            f"n_songs * delta_range = {n_songs * delta_range} overflows the "
+            "int32 vote key (>= 2^31): votes would be attributed to wrong "
+            "songs silently. Use the by-song sharded regime "
+            "(parallel.serving.ShardedCatalog) for catalogs this large."
+        )
+
+
 class RawMatch(NamedTuple):
     """Device-side match result (fixed shapes)."""
 
@@ -114,13 +127,7 @@ def match_local(
     match count. Pure function of the local index slice — the sharded
     path psums these across devices before ranking.
     """
-    if n_songs * delta_range >= 1 << 31:
-        raise ValueError(
-            f"n_songs * delta_range = {n_songs * delta_range} overflows the "
-            "int32 vote key (>= 2^31): votes would be attributed to wrong "
-            "songs silently. Use the by-song sharded regime "
-            "(parallel.serving.ShardedCatalog) for catalogs this large."
-        )
+    check_vote_key(n_songs, delta_range)
     sid, delta, p, valid, total = _expand(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
@@ -245,13 +252,7 @@ def match_query_sparse(
     scatter-min best-delta mirrors argmax-takes-first, top_k ties keep
     the smallest song id).
     """
-    if n_songs * delta_range >= 1 << 31:
-        raise ValueError(
-            f"n_songs * delta_range = {n_songs * delta_range} overflows the "
-            "int32 vote key (>= 2^31): votes would be attributed to wrong "
-            "songs silently. Use the by-song sharded regime "
-            "(parallel.serving.ShardedCatalog) for catalogs this large."
-        )
+    check_vote_key(n_songs, delta_range)
     sid, delta, p, valid, total = _expand(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
@@ -437,13 +438,7 @@ def match_query_sparse_spanned(
     retry trigger, since each span clamps its expansion independently at
     ``match_capacity``.
     """
-    if n_songs * delta_range >= 1 << 31:
-        raise ValueError(
-            f"n_songs * delta_range = {n_songs * delta_range} overflows the "
-            "int32 vote key (>= 2^31): votes would be attributed to wrong "
-            "songs silently. Use the by-song sharded regime "
-            "(parallel.serving.ShardedCatalog) for catalogs this large."
-        )
+    check_vote_key(n_songs, delta_range)
     sid, delta, first, valid, total, span_max = _expand_any_spans(
         span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
         match_capacity=match_capacity, offset_stride=offset_stride,

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..ops.fingerprint import fingerprint_batch_fused, fingerprint_batch
 from .lookup import (match_local, match_query_sparse, rank_votes, RawMatch,
-                     _expand_any_spans, _sparse_vote_rank)
+                     check_vote_key, _expand_any_spans, _sparse_vote_rank)
 
 
 def _fingerprint_dedup(samples, n_valid, *, fs, wsize, hop, amp_min,
@@ -211,15 +211,9 @@ def recognize_on_device_spanned(
     ``lookup.match_query_sparse_spanned``); ``span_max`` is the per-span
     overflow signal the caller checks against ``match_capacity``.
     """
-    if n_songs * delta_range >= 1 << 31:
-        # same guard as every other matcher entry point: this path calls
-        # _sparse_vote_rank directly, so the wrapped check never runs
-        raise ValueError(
-            f"n_songs * delta_range = {n_songs * delta_range} overflows the "
-            "int32 vote key (>= 2^31): votes would be attributed to wrong "
-            "songs silently. Use the by-song sharded regime "
-            "(parallel.serving.ShardedCatalog) for catalogs this large."
-        )
+    # this path calls _sparse_vote_rank directly, so the wrapped check
+    # never runs — apply the single-sourced guard here
+    check_vote_key(n_songs, delta_range)
     (sort_hi, lo, ex, t1, q_valid, q_first, n_pairs, n_peaks,
      n_hashes_total) = _fingerprint_dedup(
         samples, n_valid, fs=fs, wsize=wsize, hop=hop, amp_min=amp_min,

@@ -355,7 +355,10 @@ class StreamRecognizer:
                 # Jump straight to a tier that fits the known count:
                 # every intermediate tier would be a wasted compile
                 # (minutes each over the TPU tunnel)
-                if self._peak_cap >= (1 << 22):
+                if not getattr(e, "escalate", True) \
+                        or self._peak_cap >= (1 << 22):
+                    # per-frame overflow (device ring): no capacity fixes
+                    # it — recompute the window exactly
                     return self.sia.recognize_samples(
                         self._window_channels(), topn=topn
                     )

@@ -117,7 +117,13 @@ def _ring_fingerprint(spec_ring, mask_ring, t, *, window_frames, cap,
         times, freqs, n_peaks.astype(jnp.uint32),
         fan_value=fan_value, min_dt=min_dt, max_dt=max_dt,
     )
-    return Fingerprints(hi, lo, ex, t1, valid, n_peaks)
+    # a single STFT column past frame_capacity is NOT fixable by raising
+    # the total peak capacity — surface it separately so the caller
+    # falls back instead of burning escalation recompiles
+    frame_over = jnp.any(
+        jnp.sum(mask, axis=1, dtype=jnp.int32) > frame_capacity
+    )
+    return Fingerprints(hi, lo, ex, t1, valid, n_peaks), frame_over
 
 
 class DeviceIncrementalFingerprinter:
@@ -196,7 +202,7 @@ class DeviceIncrementalFingerprinter:
                 "ring window not full yet; use the fallback recompute"
             )
         cap = capacity or self.config.peak_capacity
-        fp = jax.device_get(_ring_fingerprint(
+        fp, frame_over = jax.device_get(_ring_fingerprint(
             self._spec_ring, self._mask_ring, self._t,
             window_frames=self.window_frames, cap=self.cap,
             amp_min=self.config.amp_min, radius=self.radius,
@@ -205,6 +211,14 @@ class DeviceIncrementalFingerprinter:
             min_dt=self.config.min_hash_time_delta,
             max_dt=self.config.max_hash_time_delta,
         ))
+        if bool(frame_over):
+            err = OverflowError(
+                "an STFT column holds > 128 peaks; raising the total "
+                "peak capacity cannot fix a per-frame overflow — use "
+                "the full-recompute fallback"
+            )
+            err.escalate = False  # caller must NOT retry at 2x capacity
+            raise err
         if int(fp.n_peaks) > cap:
             err = OverflowError(
                 f"window holds {int(fp.n_peaks)} peaks > capacity {cap}"

@@ -226,7 +226,7 @@ def test_apriori_without_exit_matches_full(rng):
         n_songs=index.n_songs,
         delta_min=-(index.max_offset + 100),
         delta_range=2 * (index.max_offset + 100),
-        match_capacity=65536, topn=3, batch_size=256,
+        match_capacity=65536, topn=3, batch_size=64,
         offset_stride=index.offset_stride,
     )
     got = [(int(raw.top_songs[i]), int(raw.top_deltas[i]), int(raw.top_votes[i]))
@@ -234,8 +234,10 @@ def test_apriori_without_exit_matches_full(rng):
     ref = [(int(full.top_songs[i]), int(full.top_deltas[i]), int(full.top_votes[i]))
            for i in range(min(3, int(full.n_ranked)))]
     # near-equal support: the 2x margin must never fire, so every batch
-    # runs and the accumulated result is identical to the one-shot match
-    assert used == -(-len(q.hi) // 256)
+    # runs and the accumulated result is identical to the one-shot match.
+    # Batching covers the TRUE pair count — pure-padding batches past
+    # n_pairs are a wasted dispatch + host RTT each and are skipped.
+    assert used == -(-q.n_pairs // 64) > 1
     assert got == ref
     assert int(raw.total_rows) == int(full.total_rows)
 

@@ -119,3 +119,29 @@ def test_device_engine_guards(engine):
     assert not inc.ready
     with pytest.raises(OverflowError):
         inc.fingerprints()
+
+
+def test_frame_overflow_signals_no_escalation(engine):
+    """A single STFT column past the 128-peak frame capacity cannot be
+    fixed by raising the TOTAL peak capacity — the overflow must carry
+    escalate=False so StreamRecognizer falls back immediately instead of
+    burning ~10 futile recompiles doubling toward 1<<22."""
+    inc = DeviceIncrementalFingerprinter(engine.config, window_seconds=4.0)
+    song = synth_song(0, duration_s=8.0, seed=50).astype(np.float32)
+    fed = 0
+    while not inc.ready:
+        inc.feed(song[fed: fed + CHUNK])
+        fed += CHUNK
+
+    # poke a dense column (256 mask bins) into the window's interior —
+    # the cached ring rows feed the fingerprint mask directly
+    w = inc.window_frames
+    row = int((inc._t - w // 2) % inc.cap)
+    inc._mask_ring = inc._mask_ring.at[row, 0:2048:8].set(True)
+
+    with pytest.raises(OverflowError) as ei:
+        inc.fingerprints()
+    assert getattr(ei.value, "escalate", True) is False
+    # and even a huge capacity cannot clear it (the point of the flag)
+    with pytest.raises(OverflowError):
+        inc.fingerprints(capacity=1 << 16)
