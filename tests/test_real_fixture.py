@@ -58,7 +58,10 @@ def test_fixture_hash_parity_vs_oracle(fixture_audio):
     ref = set(oracle_fingerprint(fixture_audio, fs=FS))
     assert len(ref) > 200  # a real 10 s clip fingerprints densely
     jaccard = len(ours & ref) / len(ours | ref)
-    assert jaccard > 0.95, f"jaccard={jaccard} ({len(ours)} vs {len(ref)})"
+    # Measured 1.000000 (1626/1626 hashes identical) on this fixture — the
+    # f32 pipeline is bit-identical to the f64 oracle here. Gate pinned just
+    # under the measurement; tighter than every synthetic gate in the suite.
+    assert jaccard > 0.995, f"jaccard={jaccard} ({len(ours)} vs {len(ref)})"
 
 
 def test_fixture_one_song_recognition(fixture_audio):
