@@ -65,21 +65,30 @@ def main() -> None:
         "ingest_s": round(time.time() - t0, 1),
     }), flush=True)
 
+    # The reference's exact noise source: the city-traffic MP3 its 0.8119
+    # @ 0 dB figure used (recognizer_test.py:426-435) — decodable here via
+    # libmpg123; AWGN sweeps run alongside for the synthetic comparison.
+    city = "/root/reference/city-traffic-sounds/city-traffic-sounds.mp3"
+    modes = [("clean", None, None)] + \
+        [(f"awgn_{s:g}dB", s, None) for s in (20.0, 10.0, 5.0, 0.0, -5.0)]
+    if os.path.exists(city):
+        modes += [(f"city_{s:g}dB", s, city) for s in (10.0, 5.0, 0.0)]
+
     curve = {}
-    for snr in (None, 20.0, 10.0, 5.0, 0.0, -5.0):
+    for key, snr, noise_file in modes:
         cfg = BenchConfig(
             record_seconds=5.0,
             add_noise=snr is not None,
             snr_db=snr if snr is not None else 0.0,
-            noise_kind="awgn",
-            out_dir=f"/tmp/music_snr_{'clean' if snr is None else f'{snr:g}'}",
+            noise_kind="file" if noise_file else "awgn",
+            noise_file=noise_file,
+            out_dir=f"/tmp/music_snr_{key}",
             seed=99, checkpoints=False)
         t0 = time.time()
         s = run_recognition_sweep(sia, files, cfg)
-        key = "clean" if snr is None else f"{snr:g}dB"
         curve[key] = s["accuracy"]
         print(json.dumps({
-            "snr_db": "clean" if snr is None else snr,
+            "mode": key,
             "accuracy": s["accuracy"],
             "p50_total_time": round(s["p50_total_time"], 4),
             "seconds": round(time.time() - t0, 1),

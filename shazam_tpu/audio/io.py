@@ -4,13 +4,18 @@ TPU-native equivalent of the reference's L0 layer (``__init__.py:70-113``,
 ``read()``): decode stays on the host CPU feeding fixed-shape device
 buffers; the TPU never sees a file.
 
-The reference decodes via pydub/ffmpeg. This environment has neither, so:
+The reference decodes via pydub/ffmpeg (no ffmpeg binary here), so:
 
 - WAV (PCM 8/16/32-bit and IEEE float) is decoded natively with the stdlib
   ``wave``/``struct`` machinery — zero dependencies, covers every fixture
   and benchmark corpus we generate.
-- Any other container (mp3, flac, ...) is decoded through the ``ffmpeg``
-  CLI *if present*; otherwise a clear error tells the user to transcode.
+- MP3 — the reference's corpus format (``__init__.py:86``) — decodes
+  in-process through the system libmpg123 (``audio/mp3.py``, ctypes),
+  which unlocks the reference's real-music fixture and its city-traffic
+  noise recording in this environment.
+- Any other container (flac, ogg, ... or mp3 without libmpg123) goes
+  through the ``ffmpeg`` CLI *if present*; otherwise a clear error tells
+  the user to transcode.
 
 API mirrors the reference: ``read(path, limit) -> (channels, fs, sha1)``
 where channels is a list of int16 numpy arrays (one per channel) and sha1
@@ -35,6 +40,15 @@ import numpy as np
 _FFMPEG = shutil.which("ffmpeg")
 
 WAV_EXTENSIONS = (".wav", ".wave")
+
+
+def _mp3_available() -> bool:
+    try:
+        from .mp3 import available
+
+        return available()
+    except Exception:
+        return False
 
 
 def unique_file_hash(path: str, block_size: int = 2 ** 20) -> str:
@@ -299,6 +313,10 @@ def read(path: str, limit: Optional[float] = None):
         except Exception:
             pass
         data, fs, n_channels = _read_wav(path, limit)
+    elif path.lower().endswith(".mp3") and _mp3_available():
+        from .mp3 import decode_mp3
+
+        data, fs, n_channels = decode_mp3(path, limit)
     else:
         data, fs, n_channels = _read_via_ffmpeg(path, limit)
     channels = [np.ascontiguousarray(data[c::n_channels]) for c in range(n_channels)]

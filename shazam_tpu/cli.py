@@ -204,7 +204,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("ingest", help="fingerprint a folder into the index")
     s.add_argument("path")
-    s.add_argument("--extensions", default=".wav")
+    s.add_argument("--extensions", default=".wav,.mp3")
     s.add_argument("--limit", type=float, default=None,
                    help="seconds per file to fingerprint")
     s.add_argument("--batch-size", type=int, default=8)
@@ -233,7 +233,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("bench", help="recognition accuracy/latency sweep")
     s.add_argument("path", help="corpus folder")
-    s.add_argument("--extensions", default=".wav")
+    s.add_argument("--extensions", default=".wav,.mp3")
     s.add_argument("--seconds", type=float, default=5.0)
     s.add_argument("--snr", type=float, default=None,
                    help="mix noise at this SNR (dB)")
@@ -257,7 +257,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("sanity", help="validate corpus decodability/length")
     s.add_argument("path")
-    s.add_argument("--extensions", default=".wav")
+    s.add_argument("--extensions", default=".wav,.mp3")
     s.add_argument("--seconds", type=float, default=5.0)
     s.add_argument("--delete", action="store_true")
     s.set_defaults(fn=cmd_sanity)
