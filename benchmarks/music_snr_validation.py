@@ -73,6 +73,7 @@ def main() -> None:
         [(f"awgn_{s:g}dB", s, None) for s in (20.0, 10.0, 5.0, 0.0, -5.0)]
     if os.path.exists(city):
         modes += [(f"city_{s:g}dB", s, city) for s in (10.0, 5.0, 0.0)]
+    modes.append(("acoustic_channel", None, "channel"))
 
     curve = {}
     for key, snr, noise_file in modes:
@@ -80,8 +81,10 @@ def main() -> None:
             record_seconds=5.0,
             add_noise=snr is not None,
             snr_db=snr if snr is not None else 0.0,
-            noise_kind="file" if noise_file else "awgn",
-            noise_file=noise_file,
+            noise_kind="file" if (noise_file and noise_file != "channel")
+            else "awgn",
+            noise_file=noise_file if noise_file != "channel" else None,
+            channel=noise_file == "channel",
             out_dir=f"/tmp/music_snr_{key}",
             seed=99, checkpoints=False)
         t0 = time.time()

@@ -30,6 +30,7 @@ import urllib.request
 import wave
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -53,16 +54,60 @@ def _wav_bytes(samples):
     return buf.getvalue()
 
 
+def _load_prebuilt(prefix):
+    """SERVE_DB mode: serve a catalog_full.py CATALOG_SAVE build (e.g.
+    the 95.3M-hash production-scale index) instead of synthesizing one.
+
+    Query clips come from catalog_full's device-side generator — set the
+    same CATALOG_SONGS/CATALOG_DURATION the build used. Returns
+    (sia, clips_by_key, n_songs)."""
+    import jax.numpy as jnp
+
+    from shazam_tpu import SIA
+
+    import catalog_full as cf
+
+    sia = SIA(catalog_path=prefix + ".sqlite", device_resident=True)
+    t0 = time.time()
+    sia.load_index(prefix + ".idx.npz")
+    print(f"loaded {sia._live_n_hashes()}-hash index in "
+          f"{time.time()-t0:.0f}s", flush=True)
+
+    gen = cf._make_gen()
+    rng = np.random.default_rng(5)
+    clips, want = [], []
+    need = CLIENTS * REQS
+    sids = rng.integers(0, cf.N_SONGS, need)
+    starts = rng.integers(0, cf.N_SAMP - int(CLIP * FS), need)
+    for base in sorted({int(s) // cf.BATCH * cf.BATCH for s in sids}):
+        batch = np.asarray(gen(jnp.asarray(np.arange(
+            base, min(base + cf.BATCH, cf.N_SONGS), dtype=np.int32))))
+        for k in range(need):
+            if base <= int(sids[k]) < base + cf.BATCH:
+                row = batch[int(sids[k]) - base]
+                s = int(starts[k])
+                clips.append((k, row[s: s + int(CLIP * FS)]
+                              .astype(np.int16)))
+                want.append((k, f"track{int(sids[k]):06d}"))
+    clips = [c for _, c in sorted(clips)]
+    want = [w for _, w in sorted(want)]
+    return sia, clips, want
+
+
 def main():
     from shazam_tpu import SIA
     from shazam_tpu.audio.synth import synth_song
     from shazam_tpu.serve import RecognitionServer, warmup
 
-    print(f"ingesting {SONGS} x {DUR:.0f}s ...", flush=True)
-    sia = SIA()
-    sia.ingest_arrays(
-        [(f"track{i:06d}", synth_song(i, duration_s=DUR, seed=77))
-         for i in range(SONGS)])
+    prebuilt = os.environ.get("SERVE_DB")
+    if prebuilt:
+        sia, clips, want = _load_prebuilt(prebuilt)
+    else:
+        print(f"ingesting {SONGS} x {DUR:.0f}s ...", flush=True)
+        sia = SIA()
+        sia.ingest_arrays(
+            [(f"track{i:06d}", synth_song(i, duration_s=DUR, seed=77))
+             for i in range(SONGS)])
 
     print("warming serving programs ...", flush=True)
     warmup(sia, seconds=CLIP, max_batch=MAX_BATCH)
@@ -72,61 +117,77 @@ def main():
     srv.start_background()
     url = f"http://127.0.0.1:{srv.port}/recognize?topn=1"
 
-    rng = np.random.default_rng(5)
-    bodies, want = [], []
-    for i in range(CLIENTS * REQS):
-        sid = int(rng.integers(0, SONGS))
-        start = int(rng.integers(0, int((DUR - CLIP) * FS)))
-        song = synth_song(sid, duration_s=DUR, seed=77)
-        bodies.append(_wav_bytes(song[start: start + int(CLIP * FS)]))
-        want.append(f"track{sid:06d}")
+    if prebuilt:
+        bodies = [_wav_bytes(c) for c in clips]
+    else:
+        rng = np.random.default_rng(5)
+        bodies, want = [], []
+        for i in range(CLIENTS * REQS):
+            sid = int(rng.integers(0, SONGS))
+            start = int(rng.integers(0, int((DUR - CLIP) * FS)))
+            song = synth_song(sid, duration_s=DUR, seed=77)
+            bodies.append(_wav_bytes(song[start: start + int(CLIP * FS)]))
+            want.append(f"track{sid:06d}")
 
-    lat, wrong = [], []
-    lock = threading.Lock()
+    # SERVE_SWEEP="4,16,64": concurrency sweep against the SAME warmed
+    # server process (one load + warmup amortized over every point).
+    sweep = [int(c) for c in
+             os.environ.get("SERVE_SWEEP", str(CLIENTS)).split(",")]
+    all_wrong = []
+    for n_clients in sweep:
+        lat, wrong = [], []
+        lock = threading.Lock()
+        n_total = len(bodies)
 
-    def client(cid):
-        for r in range(REQS):
-            k = cid * REQS + r
-            t0 = time.time()
-            req = urllib.request.Request(url, data=bodies[k], method="POST")
-            with urllib.request.urlopen(req, timeout=600) as resp:
-                out = json.loads(resp.read())
-            dt = time.time() - t0
-            top = out["results"][0]["song_name"] if out["results"] else None
-            with lock:
-                lat.append(dt)
-                if top != want[k]:
-                    wrong.append((k, want[k], top))
+        def client(cid, n_clients=n_clients):
+            for k in range(cid, n_total, n_clients):
+                t0 = time.time()
+                req = urllib.request.Request(url, data=bodies[k],
+                                             method="POST")
+                with urllib.request.urlopen(req, timeout=600) as resp:
+                    out = json.loads(resp.read())
+                dt = time.time() - t0
+                top = (out["results"][0]["song_name"]
+                       if out["results"] else None)
+                with lock:
+                    lat.append(dt)
+                    if top != want[k]:
+                        wrong.append((k, want[k], top))
 
-    t0 = time.time()
-    threads = [threading.Thread(target=client, args=(c,))
-               for c in range(CLIENTS)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.time() - t0
+        b0 = dict(srv.batcher.stats)
+        t0 = time.time()
+        threads = [threading.Thread(target=client, args=(c,))
+                   for c in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.time() - t0
+
+        lat = np.array(sorted(lat))
+        n = len(lat)
+        stats = srv.batcher.stats
+        batches = stats["batches"] - b0.get("batches", 0)
+        breqs = stats["batched_requests"] - b0.get("batched_requests", 0)
+        mean_batch = breqs / batches if batches else 1.0
+        print(json.dumps({
+            "requests": n,
+            "wrong": len(wrong),
+            "qps": round(n / wall, 1),
+            "latency_p50_ms": round(float(lat[n // 2]) * 1e3, 1),
+            "latency_p95_ms": round(float(lat[int(n * 0.95)]) * 1e3, 1),
+            "latency_p99_ms": round(float(lat[min(int(n * 0.99), n - 1)])
+                                    * 1e3, 1),
+            "mean_batch": round(mean_batch, 2),
+            "batches": batches,
+            "clients": n_clients,
+            "max_batch": MAX_BATCH,
+            "wait_ms": WAIT_MS,
+        }), flush=True)
+        all_wrong.extend(wrong)
     srv.close()
-
-    lat = np.array(sorted(lat))
-    n = len(lat)
-    stats = srv.batcher.stats
-    mean_batch = (stats["batched_requests"] / stats["batches"]
-                  if stats["batches"] else 1.0)
-    print(json.dumps({
-        "requests": n,
-        "wrong": len(wrong),
-        "qps": round(n / wall, 1),
-        "latency_p50_ms": round(float(lat[n // 2]) * 1e3, 1),
-        "latency_p95_ms": round(float(lat[int(n * 0.95)]) * 1e3, 1),
-        "mean_batch": round(mean_batch, 2),
-        "batches": stats["batches"],
-        "clients": CLIENTS,
-        "max_batch": MAX_BATCH,
-        "wait_ms": WAIT_MS,
-    }))
-    if wrong:
-        print("WRONG:", wrong[:10])
+    if all_wrong:
+        print("WRONG:", all_wrong[:10])
         raise SystemExit(1)
 
 

@@ -31,6 +31,7 @@ class BenchConfig:
     snr_db: float = 0.0                # SNR
     noise_kind: str = "file"           # "file" (noise recording) | "awgn"
     noise_file: Optional[str] = None
+    channel: bool = False              # synthetic acoustic loop (audio/channel.py)
     topn: int = 3                      # TOPN (recognizer_test.py:38)
     seed: int = 1234
     out_dir: str = "bench_out"
@@ -84,6 +85,15 @@ def run_recognition_sweep(
         # the reference records stereo and unions both channels
         # (recognizer_test.py:564-580, recognizer.py:377-382)
         clips = [ch[a:b] for ch in channels]
+
+        if config.channel:
+            # synthetic acoustic loop standing in for the reference's
+            # play-through-speakers rig (recognizer_test.py:561-580);
+            # applied BEFORE additive noise, like a noisy room around a
+            # physical playback. Seeded per clip from the sweep RNG.
+            from ..audio.channel import simulate_channel
+
+            clips = [simulate_channel(c, fs=fs, rng=rng) for c in clips]
 
         if config.add_noise:
             noisy_clips = []

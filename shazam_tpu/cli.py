@@ -83,6 +83,7 @@ def cmd_bench(args):
         snr_db=args.snr if args.snr is not None else 0.0,
         noise_kind="awgn" if args.awgn else "file",
         noise_file=args.noise_file,
+        channel=args.channel,
         topn=args.topn,
         seed=args.seed,
         out_dir=args.out_dir,
@@ -239,6 +240,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mix noise at this SNR (dB)")
     s.add_argument("--awgn", action="store_true", help="use AWGN noise")
     s.add_argument("--noise-file", default=None)
+    s.add_argument("--channel", action="store_true",
+                   help="pass query clips through the synthetic acoustic "
+                        "loop (speaker band-limit, room reverb, soft clip, "
+                        "noise floor — audio/channel.py)")
     s.add_argument("--topn", type=int, default=3)
     s.add_argument("--seed", type=int, default=1234)
     s.add_argument("--out-dir", default="bench_out")
