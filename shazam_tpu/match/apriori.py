@@ -134,3 +134,106 @@ def match_query_apriori(
 
     raw = _apriori_rank(hist, rows_hist, total, delta_min=delta_min, topn=topn)
     return jax.device_get(raw), used, clamped
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
+                     "offset_stride", "batch_size", "n_batches", "topn"),
+)
+def _apriori_device_loop(
+    index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
+    *, n_songs: int, delta_min: int, delta_range: int, match_capacity: int,
+    offset_stride: int, batch_size: int, n_batches: int, topn: int,
+    head=None,
+):
+    """The whole apriori sweep as ONE device program.
+
+    The host-loop variant above pays a ~100 ms tunnel round trip per
+    margin check, which eats the saved batches (measured:
+    benchmarks/apriori_timing.py). Here the batch loop runs in a
+    ``lax.while_loop`` whose condition embeds the reference's 2x-leader
+    rule (``recognizer_apriori.py:303``) — an early exit skips the
+    remaining batches' searches and expansions entirely, with zero host
+    synchronization until the final ranked result."""
+    from jax import lax
+
+    def batch_of(a, b):
+        return lax.dynamic_slice_in_dim(a, b * batch_size, batch_size)
+
+    def cond(st):
+        return jnp.logical_and(st[0] < n_batches, jnp.logical_not(st[1]))
+
+    def body(st):
+        b, _stop, hist, rows_hist, total, used, clamped = st
+        h, r, t = match_local(
+            index_arrays,
+            batch_of(q_hi, b), batch_of(q_lo, b), batch_of(q_ex, b),
+            batch_of(q_t, b), batch_of(q_valid, b), batch_of(q_first, b),
+            n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+            match_capacity=match_capacity, offset_stride=offset_stride,
+            head=head,
+        )
+        hist = hist + h
+        rows_hist = rows_hist + r
+        total = total + t
+        clamped = jnp.logical_or(clamped, t > match_capacity)
+        # reference margin rule on the partial result: vote-ranked top-2
+        # songs' dedup row counts, leader halved still ahead
+        votes_per_song = jnp.max(hist, axis=1)
+        k = min(2, n_songs)
+        _, top_songs = lax.top_k(votes_per_song, k)
+        top2 = jnp.take(rows_hist, top_songs).astype(jnp.float32)
+        if k < 2:
+            top2 = jnp.pad(top2, (0, 2 - k))
+        stop = top2[0] / 2.0 > top2[1]
+        return b + 1, stop, hist, rows_hist, total, used + 1, clamped
+
+    init = (
+        jnp.int32(0), jnp.bool_(False),
+        jnp.zeros((n_songs, delta_range), jnp.int32),
+        jnp.zeros(n_songs, jnp.int32), jnp.int32(0), jnp.int32(0),
+        jnp.bool_(False),
+    )
+    _, _, hist, rows_hist, total, used, clamped = lax.while_loop(
+        cond, body, init)
+    raw = rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)
+    return raw, used, clamped
+
+
+def match_query_apriori_ondevice(
+    index_arrays,
+    q: QueryPairs,
+    *,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 65536,
+    topn: int = 2,
+    batch_size: int = 1024,
+    offset_stride: int = 0,
+    head=None,
+) -> Tuple[RawMatch, int, bool]:
+    """``match_query_apriori`` semantics in one device dispatch.
+
+    Identical returns (RawMatch, batches_used, clamped) and identical
+    results batch for batch — only the margin test moves on device."""
+    check_vote_key(n_songs, delta_range)
+    n = max(int(q.n_pairs), 1)
+    n_batches = max(1, -(-n // batch_size))
+    L = n_batches * batch_size
+
+    def pad(a, fill=0):
+        a = np.asarray(a[:n])
+        return jnp.asarray(np.pad(a, (0, L - len(a)),
+                                  constant_values=fill))
+
+    raw, used, clamped = _apriori_device_loop(
+        index_arrays,
+        pad(q.hi), pad(q.lo), pad(q.ex), pad(q.t),
+        pad(q.valid, False), pad(q.first, False),
+        n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+        match_capacity=match_capacity, offset_stride=offset_stride,
+        batch_size=batch_size, n_batches=n_batches, topn=topn, head=head,
+    )
+    return jax.device_get(raw), int(used), bool(clamped)

@@ -271,6 +271,55 @@ def test_apriori_early_exit_fires(rng):
     assert int(raw.top_votes[0]) > 0
 
 
+def test_apriori_ondevice_equals_host_loop(rng):
+    """The single-dispatch ``lax.while_loop`` apriori (zero host RTTs per
+    margin check) must reproduce the host-loop variant exactly — same
+    ranked results, same batches_used — in BOTH regimes: near-equal
+    support (margin never fires, every batch runs) and a skewed query
+    (exit fires mid-sweep)."""
+    from shazam_tpu.match.apriori import (match_query_apriori,
+                                          match_query_apriori_ondevice)
+
+    rows = _build_db(rng, n_songs=6, rows_per_song=150)
+    index = _index_from_rows(rows)
+    kw = dict(
+        n_songs=index.n_songs,
+        delta_min=-(index.max_offset + 100),
+        delta_range=2 * (index.max_offset + 100),
+        match_capacity=65536, topn=3,
+        offset_stride=index.offset_stride,
+    )
+    dev = index.device_arrays()
+
+    # regime 1: two songs near-equal -> no exit, all batches run
+    songs = [r for r in rows if r[1] in (1, 2)]
+    q_pairs = sorted({(h, max(off - 5, 0)) for h, _s, off in songs[:160]})
+    q1 = _query_from_pairs(q_pairs, pad_to=2048)
+    # regime 2: heavily skewed -> exit fires mid-sweep
+    song3 = [r for r in rows if r[1] == 3]
+    q_pairs = sorted({(h, off + 7) for h, _s, off in song3[:400]})
+    q2 = _query_from_pairs(q_pairs, pad_to=2048)
+
+    for q, bs in ((q1, 64), (q2, 32)):
+        host, used_h, cl_h = match_query_apriori(dev, q, batch_size=bs,
+                                                 **kw)
+        devr, used_d, cl_d = match_query_apriori_ondevice(
+            dev, q, batch_size=bs, **kw)
+        assert used_d == used_h
+        assert cl_d == cl_h
+        assert int(devr.total_rows) == int(host.total_rows)
+        assert int(devr.n_ranked) == int(host.n_ranked)
+        for i in range(min(3, int(host.n_ranked))):
+            assert int(devr.top_songs[i]) == int(host.top_songs[i])
+            assert int(devr.top_deltas[i]) == int(host.top_deltas[i])
+            assert int(devr.top_votes[i]) == int(host.top_votes[i])
+    # the skewed query must actually have exercised the early exit
+    # (batch_size 32 over its ~150 dedup pairs -> several batches)
+    _, used2, _ = match_query_apriori_ondevice(dev, q2, batch_size=32,
+                                               **kw)
+    assert used2 < -(-q2.n_pairs // 32)
+
+
 def test_long_query_votes_not_dropped(rng):
     """Queries longer than the old fixed 1024-frame window (~47 s) must
     still count votes: the delta window now derives from the clip length
