@@ -1083,9 +1083,12 @@ class SIA:
                 delta_range=delta_range, topn=topn)
         head = self._ensure_head(dev)
         if early_exit and n_songs_live * delta_range <= 16_000_000:
-            from .match.apriori import match_query_apriori
+            # the single-dispatch while_loop variant: the margin test
+            # runs on device, so an early exit actually pays instead of
+            # trading batches for ~100 ms tunnel RTTs each
+            from .match.apriori import match_query_apriori_ondevice
 
-            raw, _batches, clamped = match_query_apriori(
+            raw, _batches, clamped = match_query_apriori_ondevice(
                 dev, q,
                 n_songs=n_songs_live,
                 delta_min=delta_min,

@@ -139,12 +139,12 @@ def match_query_apriori(
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
-                     "offset_stride", "batch_size", "n_batches", "topn"),
+                     "offset_stride", "batch_size", "topn"),
 )
 def _apriori_device_loop(
-    index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
+    index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first, n_batches,
     *, n_songs: int, delta_min: int, delta_range: int, match_capacity: int,
-    offset_stride: int, batch_size: int, n_batches: int, topn: int,
+    offset_stride: int, batch_size: int, topn: int,
     head=None,
 ):
     """The whole apriori sweep as ONE device program.
@@ -155,7 +155,12 @@ def _apriori_device_loop(
     ``lax.while_loop`` whose condition embeds the reference's 2x-leader
     rule (``recognizer_apriori.py:303``) — an early exit skips the
     remaining batches' searches and expansions entirely, with zero host
-    synchronization until the final ranked result."""
+    synchronization until the final ranked result.
+
+    ``n_batches`` is a traced scalar (the query arrays are padded to a
+    power-of-two batch count): clips of any length reuse O(log) compiled
+    programs instead of one per batch count — compiles through this
+    environment's remote-compile tunnel cost minutes each."""
     from jax import lax
 
     def batch_of(a, b):
@@ -221,7 +226,10 @@ def match_query_apriori_ondevice(
     check_vote_key(n_songs, delta_range)
     n = max(int(q.n_pairs), 1)
     n_batches = max(1, -(-n // batch_size))
-    L = n_batches * batch_size
+    # pad the ARRAYS to a pow2 batch count (bounded program set); the
+    # traced n_batches operand keeps the loop's trip count exact
+    n_cap = 1 << (n_batches - 1).bit_length()
+    L = n_cap * batch_size
 
     def pad(a, fill=0):
         a = np.asarray(a[:n])
@@ -231,9 +239,9 @@ def match_query_apriori_ondevice(
     raw, used, clamped = _apriori_device_loop(
         index_arrays,
         pad(q.hi), pad(q.lo), pad(q.ex), pad(q.t),
-        pad(q.valid, False), pad(q.first, False),
+        pad(q.valid, False), pad(q.first, False), jnp.int32(n_batches),
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
         match_capacity=match_capacity, offset_stride=offset_stride,
-        batch_size=batch_size, n_batches=n_batches, topn=topn, head=head,
+        batch_size=batch_size, topn=topn, head=head,
     )
     return jax.device_get(raw), int(used), bool(clamped)
