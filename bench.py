@@ -76,32 +76,42 @@ def bench_fingerprint_throughput(jax, jnp, seconds_per_song=30.0, batch=16,
     return audio_minutes / dt, dt
 
 
-REAL_DB_PREFIX = "/root/repo/.data/cat2714"
+# catalog_full.py CATALOG_SAVE builds, most production-like first:
+# prod12288 is the reference's real deployment scale (95.3M hashes,
+# fingerprints_queries.sql:2); music2714/cat2714 are the 2,714-track
+# headline shape (~30M hashes).
+REAL_DB_PREFIXES = (
+    "/root/repo/.data/prod12288",
+    "/root/repo/.data/music2714",
+    "/root/repo/.data/cat2714",
+)
 
 
 def bench_query_latency_real(jax, jnp, chain=32):
     """Query p50 against a REAL fingerprint index when a catalog_full.py
-    CATALOG_SAVE build is on disk (.data/cat2714.idx.npz + .queries.npz:
-    2,714 x 210 s tracks, ~31.8M hashes, 8 real 15 s-clip query packs).
-    Returns None when the snapshot is absent (fresh clone) — the
-    synthetic-keyed bench below is the fallback and extras say which ran.
+    CATALOG_SAVE build is on disk (prefix.idx.npz + prefix.queries.npz:
+    full-length tracks, real 15 s-clip query packs fingerprinted through
+    the production path). Returns None when no snapshot is present
+    (fresh clone) — the synthetic-keyed bench below is the fallback and
+    extras say which ran.
     """
     import os
 
-    idx_path = REAL_DB_PREFIX + ".idx.npz"
-    q_path = REAL_DB_PREFIX + ".queries.npz"
-    if not (os.path.exists(idx_path) and os.path.exists(q_path)):
+    prefix = next((p for p in REAL_DB_PREFIXES
+                   if os.path.exists(p + ".idx.npz")
+                   and os.path.exists(p + ".queries.npz")), None)
+    if prefix is None:
         return None
 
     import functools
     from jax import lax
     from shazam_tpu.index.store import FingerprintIndex
     from shazam_tpu.index.search import maybe_build_head
-    from shazam_tpu.match.lookup import match_query
+    from shazam_tpu.match.lookup import match_query, match_query_sparse
     from shazam_tpu.match.prepare import q_frames_for_max_offset
 
-    index = FingerprintIndex.load(idx_path)
-    qz = np.load(q_path)
+    index = FingerprintIndex.load(prefix + ".idx.npz")
+    qz = np.load(prefix + ".queries.npz")
     n_songs = int(qz["n_songs"])
     dev = index.device_arrays()
     head = maybe_build_head(dev[0])
@@ -113,19 +123,36 @@ def bench_query_latency_real(jax, jnp, chain=32):
     delta_min = -q_frames_for_max_offset(clip_frames)
     delta_range = ((index.max_offset // 4096) + 1) * 4096 \
         + q_frames_for_max_offset(clip_frames)
+    kw = dict(n_songs=n_songs, delta_min=delta_min,
+              delta_range=delta_range, topn=2,
+              offset_stride=index.offset_stride, head=head)
+    # mirror the API's regime split (api.py): the dense histogram costs
+    # ~0.5 GB/query at 12K songs — production serves such catalogs
+    # through the sparse vote matcher, so the headline must too
+    matcher = (match_query_sparse
+               if n_songs * delta_range > 16_000_000 else match_query)
+
+    # pick the serving tier like the API does: probe each pack's TRUE
+    # row count (total_rows is exact even when the expansion clamps),
+    # then time the chain at the MEDIAN pack's tier — per-query tiers
+    # are the production behavior (hyper-common hashes can expand one
+    # clip to 260K+ rows; that clip pays a bigger program, the typical
+    # clip must not), and the reported number is a p50.
+    probe = jax.jit(functools.partial(matcher, match_capacity=16384,
+                                      **kw))
+    rows = sorted(int(probe(dev, *(a[i] for a in packs)).total_rows)
+                  for i in range(qn))
+    max_rows, med_rows = rows[-1], rows[len(rows) // 2]
+    cap = 16384
+    while cap < med_rows and cap < (1 << 22):
+        cap *= 4
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def loop(qs, k):
         def body(i, acc):
             q = tuple(lax.dynamic_index_in_dim(a, i % qn, 0,
                                                keepdims=False) for a in qs)
-            out = match_query(
-                dev, *q,
-                n_songs=n_songs, delta_min=delta_min,
-                delta_range=delta_range,
-                match_capacity=16384, topn=2,
-                offset_stride=index.offset_stride, head=head,
-            )
+            out = matcher(dev, *q, match_capacity=cap, **kw)
             s = sum(jnp.sum(l.astype(jnp.float32))
                     for l in jax.tree_util.tree_leaves(out))
             return acc + s
@@ -138,14 +165,7 @@ def bench_query_latency_real(jax, jnp, chain=32):
         float(loop(packs, chain))
         best.append(time.time() - t0)
     per_query = max(min(best) / chain, 1e-6)
-
-    out = match_query(
-        dev, *(tuple(a[0] for a in packs)),
-        n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-        match_capacity=16384, topn=2,
-        offset_stride=index.offset_stride, head=head,
-    )
-    return per_query, int(out.total_rows), index.n_hashes, n_songs
+    return per_query, max_rows, index.n_hashes, n_songs, cap
 
 
 def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
@@ -296,11 +316,12 @@ def main():
     except Exception as e:   # never lose the headline to a stale snapshot
         print(f"# real-index query bench failed, falling back: {e!r}")
     if real is not None:
-        q_p50, q_rows, q_idx_hashes, q_idx_songs = real
+        q_p50, q_rows, q_idx_hashes, q_idx_songs, q_cap = real
         q_extras = {
             "query_p50_ms_real_index": round(q_p50 * 1000, 3),
             "query_index": f"{q_idx_songs} real 210s tracks, "
-                           f"{q_idx_hashes} real hashes, 15s-clip packs",
+                           f"{q_idx_hashes} real hashes, 15s-clip packs, "
+                           f"p50-tier match_capacity {q_cap}",
         }
     else:
         q_p50, q_rows = bench_query_latency(jax, jnp)
