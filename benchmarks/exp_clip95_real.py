@@ -164,3 +164,15 @@ for cap in (16384, 65536, 262144):
     chain_time(lambda q, c=cap: match_query_sparse(
         dev, *q, match_capacity=c, head=heads[20], **kw),
         f"sparse_{cap // 1024}k")
+
+# the sparse matcher pays a match_capacity-length lax.sort per query;
+# the dense histogram (n_songs x delta_range int32, ~500 MB here) pays
+# memset + scatter-add + a full-bin rank instead — bandwidth-bound, no
+# sort, so it may win at escalated tiers for SINGLE queries (batched
+# serving can't afford 500 MB/query; sparse stays for that regime).
+from shazam_tpu.match.lookup import match_query
+
+for cap in (16384, 262144):
+    chain_time(lambda q, c=cap: match_query(
+        dev, *q, match_capacity=c, head=heads[20], **kw),
+        f"dense_{cap // 1024}k")
