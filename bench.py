@@ -77,10 +77,13 @@ def bench_fingerprint_throughput(jax, jnp, seconds_per_song=30.0, batch=16,
 
 
 # catalog_full.py CATALOG_SAVE builds, most production-like first:
-# prod12288 is the reference's real deployment scale (95.3M hashes,
-# fingerprints_queries.sql:2); music2714/cat2714 are the 2,714-track
-# headline shape (~30M hashes).
+# music8192 is the reference's real deployment scale (~93M hashes,
+# fingerprints_queries.sql:2) with realistic music hash skew;
+# prod12288 is the same scale on the tone corpus (pathologically
+# hot hashes — a typical 15 s pack expands to ~210K rows);
+# music2714/cat2714 are the 2,714-track headline shape (~30M hashes).
 REAL_DB_PREFIXES = (
+    "/root/repo/.data/music8192",
     "/root/repo/.data/prod12288",
     "/root/repo/.data/music2714",
     "/root/repo/.data/cat2714",
