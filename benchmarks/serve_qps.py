@@ -139,13 +139,20 @@ def main():
         lock = threading.Lock()
         n_total = len(bodies)
 
+        errors = []
+
         def client(cid, n_clients=n_clients):
             for k in range(cid, n_total, n_clients):
                 t0 = time.time()
                 req = urllib.request.Request(url, data=bodies[k],
                                              method="POST")
-                with urllib.request.urlopen(req, timeout=600) as resp:
-                    out = json.loads(resp.read())
+                try:
+                    with urllib.request.urlopen(req, timeout=600) as resp:
+                        out = json.loads(resp.read())
+                except Exception as e:  # noqa: BLE001 — count, keep going
+                    with lock:
+                        errors.append((k, repr(e)))
+                    continue
                 dt = time.time() - t0
                 top = (out["results"][0]["song_name"]
                        if out["results"] else None)
@@ -166,6 +173,12 @@ def main():
 
         lat = np.array(sorted(lat))
         n = len(lat)
+        if n == 0:
+            print(json.dumps({"clients": n_clients, "requests": 0,
+                              "errors": len(errors)}), flush=True)
+            print("ERRORS:", errors[:5], flush=True)
+            all_wrong.append(("all-errors", n_clients))
+            continue
         stats = srv.batcher.stats
         batches = stats["batches"] - b0.get("batches", 0)
         breqs = stats["batched_requests"] - b0.get("batched_requests", 0)
@@ -183,7 +196,10 @@ def main():
             "clients": n_clients,
             "max_batch": MAX_BATCH,
             "wait_ms": WAIT_MS,
+            "errors": len(errors),
         }), flush=True)
+        if errors:
+            print("ERRORS:", errors[:5], flush=True)
         all_wrong.extend(wrong)
     srv.close()
     if all_wrong:

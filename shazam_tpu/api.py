@@ -1047,13 +1047,19 @@ class SIA:
         }
 
     def _match_prepared(self, q, n_samples: int, topn: Optional[int] = None,
-                        early_exit: bool = False):
+                        early_exit: bool = False,
+                        min_capacity: Optional[int] = None):
         """Match prepared query pairs; returns (host RawMatch, capacity
         actually used) — overflow is judged against the escalated tier.
 
         The shared match stage behind ``recognize_samples`` and the
         incremental ``StreamRecognizer`` (which fingerprints its own
         pairs and only needs the index lookup + vote here).
+
+        ``min_capacity``: a caller that already KNOWS the query's exact
+        row count (``recognize_batch``'s base dispatch reports exact
+        totals even when clamped) passes it to start at the fitting
+        tier — the probe dispatch at the fast tier is pure waste then.
         """
         dev = self._ensure_device_index()
         delta_min, delta_range = self._delta_params_for(n_samples)
@@ -1080,7 +1086,8 @@ class SIA:
         if self._is_spanned:
             return self._match_prepared_spanned(
                 dev, q, n_songs=n_songs_live, delta_min=delta_min,
-                delta_range=delta_range, topn=topn)
+                delta_range=delta_range, topn=topn,
+                min_capacity=min_capacity)
         head = self._ensure_head(dev)
         if early_exit and n_songs_live * delta_range <= 16_000_000:
             # the single-dispatch while_loop variant: the margin test
@@ -1111,6 +1118,8 @@ class SIA:
         # legitimately expand one query to 100K+ rows, and the reference
         # counts every row's vote)
         caps = self._match_tiers()
+        if min_capacity is not None:
+            caps = [c for c in caps if c >= min_capacity] or caps[-1:]
 
         n_songs = max(self._live_n_songs(), 1)
         # big catalogs: the dense (n_songs, delta_range) vote histogram
@@ -1149,7 +1158,7 @@ class SIA:
         return caps
 
     def _match_prepared_spanned(self, dev, q, *, n_songs, delta_min,
-                                delta_range, topn):
+                                delta_range, topn, min_capacity=None):
         """Spanned-store match: every span searched, votes counted once.
 
         Each span's expansion clamps independently at the tier capacity,
@@ -1162,6 +1171,8 @@ class SIA:
 
         heads = self._ensure_heads(dev)
         caps = self._match_tiers()
+        if min_capacity is not None:
+            caps = [c for c in caps if c >= min_capacity] or caps[-1:]
 
         def run(cap):
             return jax.device_get(match_query_sparse_spanned(
@@ -1417,18 +1428,41 @@ class SIA:
 
         # per-clip escalation: the batch runs at the base tier; a clip
         # whose expansion clamped (largest per-span count when spanned,
-        # exact total otherwise) re-runs alone through the tiered
-        # single-query path, keeping results identical to
+        # exact total otherwise — BOTH exact even when clamped) re-runs
+        # at the tier its known count fits, keeping results identical to
         # recognize_samples (hyper-common hashes can own 100K+ rows and
-        # every row must vote) — rare, so the common case stays one
-        # device program for the whole batch
+        # every row must vote). When MOST of the batch clamps (heavily
+        # duplicated catalogs: measured on the 95.3M tone corpus, where
+        # a typical 5 s clip expands past the base tier), one whole-batch
+        # re-dispatch at the fitting tier replaces the pile of solo
+        # retries — serving latency stays ~one device program per batch.
         retried: Dict[int, Tuple] = {}
-        if self._match_tiers()[-1] > self.config.match_capacity:
+        batch_cap = self.config.match_capacity
+        tiers = self._match_tiers()
+        if tiers[-1] > batch_cap:
             clamp = (np.asarray(span_maxes) if span_maxes is not None
                      else np.asarray(raw.total_rows))[:n_real]
-            for i in np.nonzero(clamp > self.config.match_capacity)[0]:
+            over = np.nonzero(clamp > batch_cap)[0]
+            if len(over) > max(n_real // 2, 1):
+                need = int(clamp.max())
+                batch_cap = next((c for c in tiers if c >= need),
+                                 tiers[-1])
+                kw["match_capacity"] = batch_cap
+                if self._is_spanned:
+                    raw, span_maxes = jax.device_get(
+                        match_queries_batched_spanned(
+                            dev, *q_args, heads=self._ensure_heads(dev),
+                            **kw))
+                    clamp = np.asarray(span_maxes)[:n_real]
+                else:
+                    raw = jax.device_get(match_queries_batched(
+                        dev, *q_args, head=self._ensure_head(dev), **kw))
+                    clamp = np.asarray(raw.total_rows)[:n_real]
+                over = np.nonzero(clamp > batch_cap)[0]
+            for i in over:
                 retried[int(i)] = self._match_prepared(
-                    queries[i], len(clips[i]), topn=topn)
+                    queries[i], len(clips[i]), topn=topn,
+                    min_capacity=int(clamp[i]))
         query_time = time.time() - t0
 
         out = []
@@ -1443,15 +1477,15 @@ class SIA:
                 one, cap_i = retried[i]
             else:
                 one = type(raw)(*(np.asarray(a)[i] for a in raw))
-                # spanned: total sums the spans' exact counts, so a clip
-                # whose largest per-span count fits the capacity dropped
-                # nothing even when the sum exceeds it
-                cap_i = None
-                if span_maxes is not None:
-                    cap_i = (max(int(one.total_rows),
-                                 self.config.match_capacity)
-                             if int(span_maxes[i]) <= self.config.match_capacity
-                             else self.config.match_capacity)
+                # clamp signal: largest per-span count when spanned
+                # (total legitimately sums past one tier), exact total
+                # otherwise. A clip whose signal fits the dispatch
+                # capacity dropped nothing — report a capacity that
+                # keeps align_results' total>capacity check honest.
+                sig = (int(span_maxes[i]) if span_maxes is not None
+                       else int(one.total_rows))
+                cap_i = (max(int(one.total_rows), batch_cap)
+                         if sig <= batch_cap else batch_cap)
             matched = align_results(
                 one, queries[i].n_pairs, catalog=self.catalog,
                 config=self.config, match_capacity=cap_i,

@@ -678,8 +678,16 @@ class RecognitionServer:
         handler = _make_handler(self.batcher, sia, request_timeout_s,
                                 max_clip_seconds, max_ingest_seconds,
                                 auth_token=auth_token)
-        self.httpd = ThreadingHTTPServer((host, port), handler)
-        self.httpd.daemon_threads = True
+
+        class _Server(ThreadingHTTPServer):
+            # stdlib default backlog is 5: a burst of concurrent
+            # connects (measured at 64 closed-loop clients against the
+            # 95.3M-hash index) overflows the accept queue and the
+            # kernel RSTs the excess — clients see ConnectionReset.
+            request_queue_size = 128
+            daemon_threads = True
+
+        self.httpd = _Server((host, port), handler)
 
     @property
     def port(self) -> int:

@@ -92,6 +92,38 @@ def test_batched_overflow_escalates(tmp_path, span_rows):
     assert got == ref
 
 
+@pytest.mark.parametrize("span_rows", [0, 4096])
+def test_batched_mass_overflow_redispatches_whole_batch(tmp_path,
+                                                        span_rows):
+    """When MOST of a batch clamps the base tier (heavily duplicated
+    catalogs — the 95.3M tone corpus does this to every 5 s clip), the
+    batch re-dispatches ONCE at the fitting tier instead of re-running
+    each clip solo; per-clip results stay identical to
+    recognize_samples."""
+    from shazam_tpu.config import FingerprintConfig
+
+    cfg = FingerprintConfig(match_capacity=64, match_capacity_fast=64,
+                            match_capacity_max=4096)
+    files = [f for f, _ in
+             synth_corpus(str(tmp_path), 3, duration_s=8.0, seed=13)]
+    sia = SIA(cfg, device_span_rows=span_rows)
+    sia.ingest_files(files, batch_size=4)
+
+    clips = [synth_song(i, duration_s=8.0, seed=13)[44100: 44100 * 6]
+             for i in range(3)]
+    outs = sia.recognize_batch(clips, topn=2)
+    for clip, out in zip(clips, outs):
+        single = sia.recognize_samples([clip], topn=2)
+        assert single["total_matches"] > 64   # every clip past the tier
+        assert out["total_matches"] == single["total_matches"]
+        assert not out["overflowed"]
+        got = [(r["song_id"], r["offset"], r["hashes_matched_in_input"])
+               for r in out["results"]]
+        ref = [(r["song_id"], r["offset"], r["hashes_matched_in_input"])
+               for r in single["results"]]
+        assert got == ref
+
+
 def test_batched_sparse_equals_dense():
     """The vmapped sparse matcher must equal the vmapped dense one."""
     import jax.numpy as jnp
