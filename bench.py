@@ -128,7 +128,7 @@ def bench_query_latency_real(jax, jnp, chain=32):
         + q_frames_for_max_offset(clip_frames)
     kw = dict(n_songs=n_songs, delta_min=delta_min,
               delta_range=delta_range, topn=2,
-              offset_stride=index.offset_stride, head=head)
+              offset_stride=index.offset_stride)
     # mirror the API's regime split (api.py): the dense histogram costs
     # ~0.5 GB/query at 12K songs — production serves such catalogs
     # through the sparse vote matcher, so the headline must too
@@ -141,9 +141,14 @@ def bench_query_latency_real(jax, jnp, chain=32):
     # are the production behavior (hyper-common hashes can expand one
     # clip to 260K+ rows; that clip pays a bigger program, the typical
     # clip must not), and the reported number is a p50.
+    # NB: dev/head MUST flow through jit as arguments, never closures —
+    # closed-over device arrays are baked into the serialized HLO as
+    # constants and the remote-compile tunnel 413s past ~100 MB bodies
+    # (measured: the 95.3M-row index columns as constants kill compile).
     probe = jax.jit(functools.partial(matcher, match_capacity=16384,
                                       **kw))
-    rows = sorted(int(probe(dev, *(a[i] for a in packs)).total_rows)
+    rows = sorted(int(probe(dev, *(a[i] for a in packs),
+                            head=head).total_rows)
                   for i in range(qn))
     max_rows, med_rows = rows[-1], rows[len(rows) // 2]
     cap = 16384
@@ -151,21 +156,21 @@ def bench_query_latency_real(jax, jnp, chain=32):
         cap *= 4
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def loop(qs, k):
+    def loop(qs, dev, head, k):
         def body(i, acc):
             q = tuple(lax.dynamic_index_in_dim(a, i % qn, 0,
                                                keepdims=False) for a in qs)
-            out = matcher(dev, *q, match_capacity=cap, **kw)
+            out = matcher(dev, *q, match_capacity=cap, head=head, **kw)
             s = sum(jnp.sum(l.astype(jnp.float32))
                     for l in jax.tree_util.tree_leaves(out))
             return acc + s
         return lax.fori_loop(0, k, body, jnp.float32(0))
 
-    float(loop(packs, chain))  # compile
+    float(loop(packs, dev, head, chain))  # compile
     best = []
     for _ in range(3):
         t0 = time.time()
-        float(loop(packs, chain))
+        float(loop(packs, dev, head, chain))
         best.append(time.time() - t0)
     per_query = max(min(best) / chain, 1e-6)
     return per_query, max_rows, index.n_hashes, n_songs, cap
@@ -229,7 +234,7 @@ def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
     chain = 32
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def loop(qs, k):
+    def loop(qs, dev, head, k):
         def body(i, acc):
             rolled = tuple(jnp.roll(a, i) for a in qs)
             out = match_query(
@@ -246,11 +251,11 @@ def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
         return lax.fori_loop(0, k, body, jnp.float32(0))
 
     # single compiled chain; amortized timing is conservative (see above)
-    float(loop(args, chain))  # compile
+    float(loop(args, dev, head, chain))  # compile
     best = []
     for _ in range(3):
         t0 = time.time()
-        float(loop(args, chain))
+        float(loop(args, dev, head, chain))
         best.append(time.time() - t0)
     per_query = max(min(best) / chain, 1e-6)
 

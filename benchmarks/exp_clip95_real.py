@@ -115,25 +115,30 @@ print("correctness gates ok", flush=True)
 
 
 # ---- chained timings ----------------------------------------------------
-def chain_time(make_out, label):
+# Large arrays (index columns, heads, the packed key table) MUST flow
+# through jit as ARGUMENTS (the `ops` pytree), never closures: a
+# closed-over device array is baked into the serialized HLO as a
+# constant and the remote-compile tunnel rejects bodies past ~100 MB
+# with HTTP 413 (measured on this very script's first run).
+def chain_time(make_out, label, *ops):
     @functools.partial(jax.jit, static_argnames=("k",))
-    def loop(qs, k):
+    def loop(qs, ops, k):
         def body(i, acc):
             bump = (acc * 1e-30).astype(jnp.uint32)
             q = tuple(lax.dynamic_index_in_dim(a, i % qn, 0,
                                                keepdims=False) for a in qs)
-            out = make_out((q[0] ^ bump,) + q[1:])
+            out = make_out((q[0] ^ bump,) + q[1:], *ops)
             return acc + sum(jnp.sum(l.astype(jnp.float32))
                              for l in jax.tree_util.tree_leaves(out))
         return lax.fori_loop(0, k, body, jnp.float32(0))
 
     res = {}
     for k in (1, 9):
-        float(loop(packs, k))
+        float(loop(packs, ops, k))
         best = []
         for _ in range(3):
             t0 = time.time()
-            float(loop(packs, k))
+            float(loop(packs, ops, k))
             best.append(time.time() - t0)
         res[k] = min(best)
     ms = (res[9] - res[1]) / 8 * 1000
@@ -142,28 +147,28 @@ def chain_time(make_out, label):
 
 
 for bits in (20, 22, 24):
-    chain_time(lambda q, b=bits: lexi_bounds(
-        dev[0], dev[1], dev[2], q[0], q[1], q[2], head=heads[b],
-        q_valid=q[4]), f"bounds_h{bits}")
+    chain_time(lambda q, d, h: lexi_bounds(
+        d[0], d[1], d[2], q[0], q[1], q[2], head=h,
+        q_valid=q[4]), f"bounds_h{bits}", dev, heads[bits])
 for bits in (20, 22, 24):
-    chain_time(lambda q, b=bits: packed_bounds(
-        packed_keys, heads[b], q[0], q[1], q[2], q[4]),
-        f"bounds_pk_h{bits}")
+    chain_time(lambda q, p, h: packed_bounds(
+        p, h, q[0], q[1], q[2], q[4]),
+        f"bounds_pk_h{bits}", jnp.asarray(packed_keys), heads[bits])
 
 for cap in (16384, 262144):
-    chain_time(lambda q, c=cap: _expand(
-        dev, q[0], q[1], q[2], q[3], q[4], match_capacity=c,
-        offset_stride=index.offset_stride, head=heads[20]),
-        f"expand_{cap // 1024}k")
+    chain_time(lambda q, d, h, c=cap: _expand(
+        d, q[0], q[1], q[2], q[3], q[4], match_capacity=c,
+        offset_stride=index.offset_stride, head=h),
+        f"expand_{cap // 1024}k", dev, heads[20])
 
 # the tones corpus's real 15 s packs expand to 174K-262K rows at 95.3M
 # (measured: every hash owns ~350 rows) — the p50 serving tier is
 # 262144, so that's the honest single-dispatch cost; 16k/64k show the
 # tier scaling.
 for cap in (16384, 65536, 262144):
-    chain_time(lambda q, c=cap: match_query_sparse(
-        dev, *q, match_capacity=c, head=heads[20], **kw),
-        f"sparse_{cap // 1024}k")
+    chain_time(lambda q, d, h, c=cap: match_query_sparse(
+        d, *q, match_capacity=c, head=h, **kw),
+        f"sparse_{cap // 1024}k", dev, heads[20])
 
 # the sparse matcher pays a match_capacity-length lax.sort per query;
 # the dense histogram (n_songs x delta_range int32, ~500 MB here) pays
@@ -173,6 +178,6 @@ for cap in (16384, 65536, 262144):
 from shazam_tpu.match.lookup import match_query
 
 for cap in (16384, 262144):
-    chain_time(lambda q, c=cap: match_query(
-        dev, *q, match_capacity=c, head=heads[20], **kw),
-        f"dense_{cap // 1024}k")
+    chain_time(lambda q, d, h, c=cap: match_query(
+        d, *q, match_capacity=c, head=h, **kw),
+        f"dense_{cap // 1024}k", dev, heads[20])
