@@ -118,6 +118,9 @@ class SIA:
         self._device_index = None
         self._device_head = None
         self._head_src = None
+        self._uview = None
+        self._usteps = 0
+        self._uview_src = None
         self._max_off = 0
 
     # ------------------------------------------------------------------ #
@@ -888,6 +891,29 @@ class SIA:
             self._head_src = k_hi
         return self._device_head
 
+    def _ensure_uview(self, dev):
+        """(UniqueView, steps) over the host index's key columns — or
+        (None, 0) when unavailable/not worthwhile.
+
+        The unique table collapses duplicate 80-bit keys so the search
+        is ONE fixed-round descent with a free upper bound
+        (index/search.UniqueView). Built host-side in one numpy pass,
+        so it exists only for host-backed flat indexes (load/ingest
+        paths); device-resident and spanned stores keep the bucket-CDF
+        head search. Cached by device-column identity like the head —
+        any mutation swaps the columns and invalidates it.
+        """
+        if self.device_resident or self._is_spanned:
+            return None, 0
+        k_hi = dev[0]
+        if self._uview_src is not k_hi:
+            from .index.search import build_unique_view
+
+            self._uview, self._usteps = build_unique_view(
+                self.index.key_hi, self.index.key_lo, self.index.key_ex)
+            self._uview_src = k_hi
+        return self._uview, self._usteps
+
     def _ensure_heads(self, devs):
         """Per-span bucket-CDF heads (spanned store), cached by identity.
 
@@ -1089,6 +1115,7 @@ class SIA:
                 delta_range=delta_range, topn=topn,
                 min_capacity=min_capacity)
         head = self._ensure_head(dev)
+        uview, usteps = self._ensure_uview(dev)
         if early_exit and n_songs_live * delta_range <= 16_000_000:
             # the single-dispatch while_loop variant: the margin test
             # runs on device, so an early exit actually pays instead of
@@ -1138,7 +1165,7 @@ class SIA:
                 delta_range=delta_range, match_capacity=cap,
                 topn=topn or self.config.topn,
                 offset_stride=self._offset_stride,
-                head=head,
+                head=head, uview=uview, u_steps=usteps,
             ))
 
         cap = caps[0]
@@ -1232,6 +1259,7 @@ class SIA:
                 samples, padded, dev, delta_min=delta_min,
                 delta_range=delta_range, q_cap=q_cap, topn=topn, t0=t0)
         head = self._ensure_head(dev)
+        uview, usteps = self._ensure_uview(dev)
         raw, n_pairs, n_peaks, n_hashes = jax.device_get(recognize_on_device(
             jnp.asarray(padded)[None, :],
             jnp.asarray([len(samples)], np.int32),
@@ -1245,7 +1273,7 @@ class SIA:
             offset_stride=self._offset_stride,
             use_fused=_fused_ok(self.config),
             query_capacity=q_cap,
-            head=head,
+            head=head, uview=uview, u_steps=usteps,
         ))
         device_time = time.time() - t0
         if (
@@ -1423,8 +1451,10 @@ class SIA:
             raw, span_maxes = jax.device_get(match_queries_batched_spanned(
                 dev, *q_args, heads=self._ensure_heads(dev), **kw))
         else:
+            uview, usteps = self._ensure_uview(dev)
             raw = jax.device_get(match_queries_batched(
-                dev, *q_args, head=self._ensure_head(dev), **kw))
+                dev, *q_args, head=self._ensure_head(dev),
+                uview=uview, u_steps=usteps, **kw))
 
         # per-clip escalation: the batch runs at the base tier; a clip
         # whose expansion clamped (largest per-span count when spanned,
@@ -1456,7 +1486,8 @@ class SIA:
                     clamp = np.asarray(span_maxes)[:n_real]
                 else:
                     raw = jax.device_get(match_queries_batched(
-                        dev, *q_args, head=self._ensure_head(dev), **kw))
+                        dev, *q_args, head=self._ensure_head(dev),
+                        uview=uview, u_steps=usteps, **kw))
                     clamp = np.asarray(raw.total_rows)[:n_real]
                 over = np.nonzero(clamp > batch_cap)[0]
             for i in over:

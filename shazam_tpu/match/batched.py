@@ -22,7 +22,7 @@ from .lookup import (match_local, match_query_sparse, rank_votes,
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
-                     "topn", "offset_stride", "sparse"),
+                     "topn", "offset_stride", "sparse", "u_steps"),
 )
 def match_queries_batched(
     index_arrays,
@@ -36,6 +36,8 @@ def match_queries_batched(
     offset_stride: int = 0,
     sparse: bool = None,
     head=None,
+    uview=None,
+    u_steps: int = 0,
 ) -> RawMatch:
     """Match a (Bq, Q) batch of padded queries; returns batched RawMatch.
 
@@ -53,12 +55,13 @@ def match_queries_batched(
                 n_songs=n_songs, delta_min=delta_min,
                 delta_range=delta_range, match_capacity=match_capacity,
                 topn=topn, offset_stride=offset_stride, head=head,
+                uview=uview, u_steps=u_steps,
             )
         hist, rows_hist, total = match_local(
             index_arrays, hi, lo, ex, t, valid, first,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             match_capacity=match_capacity, offset_stride=offset_stride,
-            head=head,
+            head=head, uview=uview, u_steps=u_steps,
         )
         return rank_votes(hist, rows_hist, total, delta_min=delta_min,
                           topn=topn)

@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..index.search import lexi_bounds
+from ..index.search import lexi_bounds, unique_bounds
 
 
 def check_vote_key(n_songs: int, delta_range: int) -> None:
@@ -60,19 +60,26 @@ class RawMatch(NamedTuple):
 
 
 def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
-            match_capacity: int, offset_stride: int, head=None):
+            match_capacity: int, offset_stride: int, head=None,
+            uview=None, u_steps: int = 0):
     """Search + fixed-capacity row expansion (shared by the matchers).
 
     Returns (sid, delta, p, valid, total): per expanded vote slot, the
     song id, offset delta, owning query-pair index, validity, and the
     TRUE total match count (exact even when expansion clamps).
     ``head`` is an optional ``search.build_head`` bucket CDF giving
-    exact per-lane search windows (distribution-proof fast bounds).
+    exact per-lane search windows (distribution-proof fast bounds);
+    ``uview``/``u_steps`` (a ``search.UniqueView`` + its static round
+    count) replace the two-descent search entirely with one fixed-round
+    descent over the unique-key table — preferred when available.
     """
-    k_hi, k_lo, k_ex = index_arrays[:3]
-
-    lb, ub = lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex, head=head,
-                         q_valid=q_valid)
+    if uview is not None:
+        lb, ub = unique_bounds(uview, q_hi, q_lo, q_ex, q_valid,
+                               steps=u_steps)
+    else:
+        k_hi, k_lo, k_ex = index_arrays[:3]
+        lb, ub = lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex,
+                             head=head, q_valid=q_valid)
     lens = jnp.where(q_valid, ub - lb, 0)
 
     cum = jnp.cumsum(lens)
@@ -114,6 +121,8 @@ def match_local(
     match_capacity: int,
     offset_stride: int = 0,
     head=None,
+    uview=None,
+    u_steps: int = 0,
 ):
     """Core match against one (shard of the) sorted index.
 
@@ -131,7 +140,7 @@ def match_local(
     sid, delta, p, valid, total = _expand(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
-        head=head,
+        head=head, uview=uview, u_steps=u_steps,
     )
 
     # dense (n_songs, delta_range) vote histogram; deltas outside the
@@ -181,7 +190,7 @@ def rank_votes(hist, rows_hist, total, *, delta_min: int, topn: int) -> RawMatch
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
-                     "topn", "offset_stride"),
+                     "topn", "offset_stride", "u_steps"),
 )
 def match_query(
     index_arrays,
@@ -199,6 +208,8 @@ def match_query(
     topn: int = 2,
     offset_stride: int = 0,
     head=None,
+    uview=None,
+    u_steps: int = 0,
 ) -> RawMatch:
     """Match padded query pairs against the sorted index (single device).
 
@@ -213,7 +224,7 @@ def match_query(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
         match_capacity=match_capacity, offset_stride=offset_stride,
-        head=head,
+        head=head, uview=uview, u_steps=u_steps,
     )
     return rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)
 
@@ -221,7 +232,7 @@ def match_query(
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
-                     "topn", "offset_stride"),
+                     "topn", "offset_stride", "u_steps"),
 )
 def match_query_sparse(
     index_arrays,
@@ -239,6 +250,8 @@ def match_query_sparse(
     topn: int = 2,
     offset_stride: int = 0,
     head=None,
+    uview=None,
+    u_steps: int = 0,
 ) -> RawMatch:
     """``match_query`` without the dense histogram — EXACT, for big catalogs.
 
@@ -256,7 +269,7 @@ def match_query_sparse(
     sid, delta, p, valid, total = _expand(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
-        head=head,
+        head=head, uview=uview, u_steps=u_steps,
     )
     first = jnp.take(q_first, p)
     return _sparse_vote_rank(

@@ -109,7 +109,8 @@ def _fingerprint_dedup(samples, n_valid, *, fs, wsize, hop, amp_min,
     static_argnames=("fs", "wsize", "hop", "amp_min", "radius", "fan_value",
                      "min_dt", "max_dt", "peak_capacity", "n_songs",
                      "delta_min", "delta_range", "match_capacity", "topn",
-                     "offset_stride", "use_fused", "query_capacity"),
+                     "offset_stride", "use_fused", "query_capacity",
+                     "u_steps"),
 )
 def recognize_on_device(
     samples: jnp.ndarray,          # (1, padded_len) float32
@@ -134,6 +135,8 @@ def recognize_on_device(
     use_fused: bool = True,
     query_capacity: int = 4096,
     head=None,
+    uview=None,
+    u_steps: int = 0,
 ):
     """One jitted program: mono clip -> (RawMatch, n_pairs, n_peaks, n_hash).
 
@@ -159,13 +162,14 @@ def recognize_on_device(
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             match_capacity=match_capacity, topn=topn,
             offset_stride=offset_stride, head=head,
+            uview=uview, u_steps=u_steps,
         )
     else:
         hist, rows_hist, total = match_local(
             index_arrays, sort_hi, lo, ex, t1, q_valid, q_first,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             match_capacity=match_capacity, offset_stride=offset_stride,
-            head=head,
+            head=head, uview=uview, u_steps=u_steps,
         )
         raw = rank_votes(hist, rows_hist, total, delta_min=delta_min,
                          topn=topn)
