@@ -109,7 +109,7 @@ def bench_query_latency_real(jax, jnp, chain=32):
     import functools
     from jax import lax
     from shazam_tpu.index.store import FingerprintIndex
-    from shazam_tpu.index.search import maybe_build_head
+    from shazam_tpu.index.search import build_unique_view, maybe_build_head
     from shazam_tpu.match.lookup import match_query, match_query_sparse
     from shazam_tpu.match.prepare import q_frames_for_max_offset
 
@@ -118,6 +118,10 @@ def bench_query_latency_real(jax, jnp, chain=32):
     n_songs = int(qz["n_songs"])
     dev = index.device_arrays()
     head = maybe_build_head(dev[0])
+    # the API serves host-backed flat indexes through the unique-key
+    # table (api._ensure_uview) — the headline must measure the same
+    uview, usteps = build_unique_view(index.key_hi, index.key_lo,
+                                      index.key_ex)
     packs = tuple(jnp.asarray(qz[k]) for k in
                   ("hi", "lo", "ex", "t", "valid", "first"))
     qn = int(qz["hi"].shape[0])
@@ -146,9 +150,9 @@ def bench_query_latency_real(jax, jnp, chain=32):
     # constants and the remote-compile tunnel 413s past ~100 MB bodies
     # (measured: the 95.3M-row index columns as constants kill compile).
     probe = jax.jit(functools.partial(matcher, match_capacity=16384,
-                                      **kw))
+                                      u_steps=usteps, **kw))
     rows = sorted(int(probe(dev, *(a[i] for a in packs),
-                            head=head).total_rows)
+                            head=head, uview=uview).total_rows)
                   for i in range(qn))
     max_rows, med_rows = rows[-1], rows[len(rows) // 2]
     cap = 16384
@@ -156,11 +160,12 @@ def bench_query_latency_real(jax, jnp, chain=32):
         cap *= 4
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def loop(qs, dev, head, k):
+    def loop(qs, dev, head, uview, k):
         def body(i, acc):
             q = tuple(lax.dynamic_index_in_dim(a, i % qn, 0,
                                                keepdims=False) for a in qs)
-            out = matcher(dev, *q, match_capacity=cap, head=head, **kw)
+            out = matcher(dev, *q, match_capacity=cap, head=head,
+                          uview=uview, u_steps=usteps, **kw)
             s = sum(jnp.sum(l.astype(jnp.float32))
                     for l in jax.tree_util.tree_leaves(out))
             return acc + s
@@ -173,11 +178,11 @@ def bench_query_latency_real(jax, jnp, chain=32):
     # tunnel latency into a sub-10 ms device number)
     res = {}
     for k in (1, chain):
-        float(loop(packs, dev, head, k))  # compile
+        float(loop(packs, dev, head, uview, k))  # compile
         best = []
         for _ in range(3):
             t0 = time.time()
-            float(loop(packs, dev, head, k))
+            float(loop(packs, dev, head, uview, k))
             best.append(time.time() - t0)
         res[k] = min(best)
     per_query = max((res[chain] - res[1]) / (chain - 1), 1e-6)
