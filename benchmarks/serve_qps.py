@@ -67,7 +67,9 @@ def _load_prebuilt(prefix):
 
     import catalog_full as cf
 
-    sia = SIA(catalog_path=prefix + ".sqlite", device_resident=True)
+    # host-backed like the production CLI default (cli.py): the API then
+    # serves through the unique-key search view (api._ensure_uview)
+    sia = SIA(catalog_path=prefix + ".sqlite")
     t0 = time.time()
     sia.load_index(prefix + ".idx.npz")
     print(f"loaded {sia._live_n_hashes()}-hash index in "
