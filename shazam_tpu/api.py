@@ -1358,6 +1358,7 @@ class SIA:
         topn: Optional[int] = None,
         pad_to_pow2: bool = False,
         q_pad_to: Optional[int] = None,
+        match_capacity: Optional[int] = None,
     ) -> List[Dict]:
         """Recognize many mono clips in one device program (serving path).
 
@@ -1371,6 +1372,14 @@ class SIA:
         O(log max_batch) programs instead of one per size (each remote
         TPU compile costs minutes here) — the dummies cost one masked
         lane of compute and produce no output rows.
+
+        ``match_capacity`` overrides the BASE dispatch tier (results are
+        identical — per-clip escalation still runs on overflow). Serving
+        warmups pass each tier of ``_match_tiers()`` so skewed catalogs
+        (whose every batch escalates) compile the escalated-tier
+        programs before the listener opens instead of inside a live
+        request (measured: 28-49 s p95/p99 tails at the 95.3M tone
+        build were exactly these compiles).
         """
         from .match.batched import match_queries_batched
 
@@ -1440,7 +1449,7 @@ class SIA:
         kw = dict(
             n_songs=max(self._live_n_songs(), 1),
             delta_min=delta_min, delta_range=delta_range,
-            match_capacity=self.config.match_capacity,
+            match_capacity=match_capacity or self.config.match_capacity,
             topn=topn or self.config.topn,
             offset_stride=self._offset_stride,
         )
@@ -1467,7 +1476,7 @@ class SIA:
         # re-dispatch at the fitting tier replaces the pile of solo
         # retries — serving latency stays ~one device program per batch.
         retried: Dict[int, Tuple] = {}
-        batch_cap = self.config.match_capacity
+        batch_cap = match_capacity or self.config.match_capacity
         tiers = self._match_tiers()
         if tiers[-1] > batch_cap:
             clamp = (np.asarray(span_maxes) if span_maxes is not None

@@ -166,9 +166,12 @@ def cmd_serve(args):
         print("warming serving programs...", flush=True)
         extra = [float(s) for s in args.warm_lengths.split(",") if s] \
             if args.warm_lengths else []
+        tiers = [int(s) for s in args.warm_tiers.split(",") if s] \
+            if args.warm_tiers else []
         warmup(sia, seconds=args.warmup, max_batch=args.max_batch,
                clip_lengths=extra,
-               stream_window_seconds=args.warm_stream)
+               stream_window_seconds=args.warm_stream,
+               capacity_tiers=tiers)
     server = RecognitionServer(
         sia, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
@@ -303,6 +306,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also pre-compile the /stream session programs "
                         "for this window length (0 disables; match the "
                         "window your streaming clients open)")
+    s.add_argument("--warm-tiers", default="", metavar="CAP1,CAP2,...",
+                   help="also pre-compile batch programs at these match-"
+                        "capacity tiers (heavily duplicated catalogs "
+                        "escalate every batch; without this the "
+                        "escalated program compiles inside a live "
+                        "request — minutes on the TPU tunnel)")
     s.add_argument("--request-timeout", type=float, default=600.0,
                    help="seconds a request waits for its result (cover a "
                         "cold remote compile: minutes on the TPU tunnel)")

@@ -732,7 +732,8 @@ class RecognitionServer:
 
 def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
            clip_lengths=(), pair_buckets="auto",
-           stream_window_seconds: float = 0.0) -> None:
+           stream_window_seconds: float = 0.0,
+           capacity_tiers=()) -> None:
     """Compile the serving programs before opening the listener.
 
     One clip per power-of-two batch size up to the pow2 CEILING of
@@ -755,6 +756,16 @@ def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
     length bucket a deployment accepts is a distinct fingerprint
     program, so warm every duration your clients send (or set
     ``max_clip_seconds`` to your policy and warm just that).
+
+    ``capacity_tiers`` additionally compiles the batch programs at the
+    given match-capacity tiers. Heavily duplicated catalogs escalate
+    ~every batch past the base tier (the 95.3M tone build expands a
+    typical 5 s clip to ~500K rows), and the escalated program
+    otherwise compiles inside a live request — measured as 28-49 s
+    p95/p99 serving tails. Warm the tier(s) your catalog actually hits
+    (probe with one representative clip: `recognize_samples` reports
+    `total_matches`); each (batch bucket × tier) is a separate multi-
+    minute compile, so warming all tiers blindly is expensive.
     """
     from .audio.synth import synth_song
 
@@ -769,6 +780,10 @@ def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
         while b <= pow2_cap:
             sia.recognize_batch([clip] * min(b, max_batch),
                                 pad_to_pow2=True, q_pad_to=q_pad_to)
+            for cap in capacity_tiers:
+                sia.recognize_batch([clip] * min(b, max_batch),
+                                    pad_to_pow2=True, q_pad_to=q_pad_to,
+                                    match_capacity=int(cap))
             b <<= 1
 
     naturals = set()

@@ -218,3 +218,34 @@ def test_apriori_head_equals_headless():
     assert used_a == used_b
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_batched_capacity_override_identical(tmp_path):
+    """recognize_batch(match_capacity=) dispatches the base at that tier
+    with identical results — the serving warmup uses it to precompile
+    escalated-tier programs (serve.warmup capacity_tiers)."""
+    files = [f for f, _ in
+             synth_corpus(str(tmp_path), 3, duration_s=8.0, seed=21)]
+    sia = SIA()
+    sia.ingest_files(files, batch_size=4)
+
+    clips = [synth_song(i, duration_s=8.0, seed=21)[44100: 44100 * 5]
+             for i in (0, 2)]
+    base = sia.recognize_batch(clips, topn=2)
+    hi = sia.recognize_batch(clips, topn=2,
+                             match_capacity=4 * sia.config.match_capacity)
+    for a, b in zip(base, hi):
+        assert a["results"] == b["results"]
+        assert a["total_matches"] == b["total_matches"]
+
+
+def test_warmup_capacity_tiers_smoke(tmp_path):
+    """warmup(capacity_tiers=...) runs the tier programs end to end."""
+    from shazam_tpu.serve import warmup
+
+    files = [f for f, _ in
+             synth_corpus(str(tmp_path), 2, duration_s=6.0, seed=22)]
+    sia = SIA()
+    sia.ingest_files(files, batch_size=2)
+    warmup(sia, seconds=2.0, max_batch=2, pair_buckets=(),
+           capacity_tiers=(sia.config.match_capacity * 4,))
