@@ -1628,13 +1628,17 @@ class SIA:
             return
         self.index.save(path)
 
-    def load_index(self, path: str) -> None:
+    def load_index(self, path: str, stacked: bool = False) -> None:
         """Load either index format.
 
         Spanned files restore straight into a spanned device store when
         this SIA is spanned (upload-only, zero sorting) and flatten on
         the host otherwise; flat files go through ``FingerprintIndex``
         (a spanned SIA re-splits them lazily on first device use).
+        ``stacked=True`` (spanned SIA + spanned file only) loads the
+        consolidated serving layout directly — the only way to serve
+        catalogs whose live-store ``consolidate()`` exceeds HBM (436M
+        hashes measured); the store is then terminal for ingest.
         """
         from .index.devmerge import SpannedDeviceStore, is_spanned_file
 
@@ -1649,7 +1653,8 @@ class SIA:
                 # unpersisted online mutation) pays the one-time host
                 # sync to drop orphan rows / purge flag-only songs.
                 self._dev_store = SpannedDeviceStore.load(
-                    path, span_rows=self.device_span_rows)
+                    path, span_rows=self.device_span_rows,
+                    stacked=stacked)
                 self._host_stale = True
                 self._device_index = None
                 if self.catalog.counts()["n_hashes"] != self._dev_store.n_valid:

@@ -647,35 +647,63 @@ class SpannedDeviceStore:
         atomic_savez(path, compress=False, **payload)
 
     @classmethod
-    def load(cls, path: str, span_rows: int = 0) -> "SpannedDeviceStore":
+    def load(cls, path: str, span_rows: int = 0,
+             stacked: bool = False) -> "SpannedDeviceStore":
         """Rebuild a store from :meth:`save` output — upload only, no
         sorting.  ``span_rows`` (default: as saved) may differ: every
         saved span is itself sorted, so re-slicing it into smaller spans
-        preserves the per-span sorted invariant.  A consolidated store
-        loads in the per-span layout; call :meth:`consolidate` again for
-        the stacked serving layout."""
+        preserves the per-span sorted invariant.
+
+        ``stacked=True`` builds the :meth:`consolidate` serving layout
+        DIRECTLY from the snapshot: same upload bytes, but the per-span
+        source columns never exist on device, so peak HBM is the stacked
+        layout alone.  ``consolidate()`` of a live store needs catalog +
+        one extra column + copy transients — past this chip's headroom
+        at the 436M-hash scale (measured: RESOURCE_EXHAUSTED); loading
+        stacked is the way to serve such snapshots.  A stacked store is
+        terminal for ingest, like any consolidated store."""
         with np.load(path) as z:
             meta = z["spanned_meta"]
             saved_rows, stride, n_songs, max_off = (int(x) for x in meta)
             span_rows = span_rows or saved_rows
             store = cls(span_rows, n_songs, max_off, max(stride, 1))
             store.spans = []
+            # (saved span, start, rows) per device span — each saved
+            # span re-sliced independently (concatenations of two saved
+            # spans are not sorted)
+            rows = []
             i = 0
             while f"s{i:05d}_hi" in z:
-                cols_np = [np.asarray(z[f"s{i:05d}_{n}"])
-                           for n in cls._COL_NAMES]
-                n = cols_np[0].shape[0]
+                n = int(z[f"s{i:05d}_hi"].shape[0])
                 for start in range(0, n, span_rows):
-                    m = min(span_rows, n - start)
-                    pad = span_rows - m
-                    cols = tuple(
-                        jnp.asarray(np.concatenate(
-                            [c[start:start + m],
-                             np.full(pad, SENTINEL, np.uint32)]))
-                        for c in cols_np)
-                    store.spans.append(DeviceIndex(
-                        cols, m, n_songs, max_off, store.stride))
+                    rows.append((i, start, min(span_rows, n - start)))
                 i += 1
+            if stacked and rows:
+                stacked_cols = []
+                for name in cls._COL_NAMES:
+                    big = np.full((len(rows), span_rows), SENTINEL,
+                                  np.uint32)
+                    for r, (i, start, m) in enumerate(rows):
+                        big[r, :m] = z[f"s{i:05d}_{name}"][start:start + m]
+                    stacked_cols.append(jnp.asarray(big))
+                jax.block_until_ready(stacked_cols[-1])
+                store._stacked = tuple(stacked_cols)
+                store._stacked_valids = [m for (_, _, m) in rows]
+                return store
+            last_i, cols_np = -1, None
+            for i, start, m in rows:
+                if i != last_i:   # one npz read per saved span + column
+                    cols_np = [np.asarray(z[f"s{i:05d}_{n}"])
+                               for n in cls._COL_NAMES]
+                    last_i = i
+                pad = span_rows - m
+                cols = tuple(
+                    jnp.asarray(np.concatenate(
+                        [c[start:start + m],
+                         np.full(pad, SENTINEL, np.uint32)]))
+                    for c in cols_np)
+                store.spans.append(DeviceIndex(
+                    cols, m, n_songs, max_off, store.stride))
             if not store.spans:
                 store.spans = [store._new_span()]
             return store
@@ -724,23 +752,74 @@ class SpannedDeviceStore:
         stacked = []
         try:
             self._consolidate_columns(live, stacked)
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                self._restore_spans(live, stacked)
+                raise
+            # HBM can't fit sources + a stacked column + copy transients
+            # (measured at 436M hashes on this 16 GB chip). Stage the
+            # remaining columns through the host: sources release as
+            # they download, so the device never holds more than the
+            # catalog itself. (Serving a snapshot should prefer
+            # load(stacked=True), which skips the download half too.)
+            try:
+                self._consolidate_via_host(live, stacked)
+            except BaseException:
+                self._restore_spans(live, stacked)
+                raise
         except BaseException:
-            # restore any released source columns from their stacked
-            # copies (stacked row i IS span i's column, sentinel-padded)
-            # so a fault during a LATER column still leaves the per-span
-            # layout whole, as the contract above promises — without
-            # this, spans hold None for columns 0..c-1 and every later
-            # operation crashes on them
-            for c_done, big in enumerate(stacked):
-                for i, s in enumerate(live):
-                    if s.cols[c_done] is None:
-                        cols = list(s.cols)
-                        cols[c_done] = big[i]
-                        s.cols = tuple(cols)
+            self._restore_spans(live, stacked)
             raise
         self._stacked = tuple(stacked)
         self._stacked_valids = [s.n_valid for s in live]
         self.spans = []
+
+    def _restore_spans(self, live, stacked) -> None:
+        """Re-materialize released source columns from their stacked
+        copies (stacked row i IS span i's column, sentinel-padded) so a
+        fault leaves the per-span layout whole, as the contract above
+        promises — without this, spans hold None for columns 0..c-1 and
+        every later operation crashes on them.  Each stacked column is
+        downloaded WHOLE and freed before its rows re-upload: per-row
+        device slices would allocate into the very OOM that may have
+        gotten us here (measured: the slice itself raised
+        RESOURCE_EXHAUSTED at 436M hashes)."""
+        for c_done in range(len(stacked)):
+            if not any(s.cols[c_done] is None for s in live):
+                continue
+            big_np = np.asarray(stacked[c_done])
+            stacked[c_done] = None            # free before re-uploading
+            for i, s in enumerate(live):
+                if s.cols[c_done] is None:
+                    cols = list(s.cols)
+                    cols[c_done] = jnp.asarray(big_np[i])
+                    s.cols = tuple(cols)
+
+    def _consolidate_via_host(self, live, stacked) -> None:
+        """Finish consolidation with host staging: download each span's
+        column (releasing its device buffer), then upload the stacked
+        column.  Peak device memory never exceeds the catalog itself;
+        the cost is one tunnel round trip of the remaining columns."""
+        for c in range(len(stacked), len(live[0].cols)):
+            host_rows = []
+            try:
+                for s in live:
+                    host_rows.append(np.asarray(s.cols[c]))   # download
+                    cols = list(s.cols)
+                    cols[c] = None                 # release the source
+                    s.cols = tuple(cols)
+                big = jnp.asarray(np.stack(host_rows))
+                big.block_until_ready()
+            except BaseException:
+                # re-upload what this column released (best effort —
+                # the data is safe in host_rows)
+                for s, row in zip(live, host_rows):
+                    if s.cols[c] is None:
+                        cols = list(s.cols)
+                        cols[c] = jnp.asarray(row)
+                        s.cols = tuple(cols)
+                raise
+            stacked.append(big)
 
     def _consolidate_columns(self, live, stacked) -> None:
         for c in range(len(live[0].cols)):

@@ -504,6 +504,96 @@ def test_consolidate_rollback_on_midway_fault(monkeypatch):
     assert after["results"] == before["results"]
 
 
+def test_stacked_load_equals_consolidate(tmp_path):
+    """load(stacked=True) builds the consolidated serving layout
+    directly from the snapshot — element-identical to load +
+    consolidate() (which needs catalog + one extra column of HBM and
+    OOMs at 436M hashes), including under a re-split span_rows."""
+    import numpy as _np
+    from shazam_tpu.index.devmerge import SpannedDeviceStore
+    from shazam_tpu.index.store import build_index
+
+    hi, lo, ex, sid, off = _random_index(12_000, 6, 512, seed=21)
+    ix = build_index(
+        [(s, hi[sid == s], lo[sid == s], ex[sid == s], off[sid == s])
+         for s in range(6)], n_songs=6)
+    store = SpannedDeviceStore.from_host(ix, span_rows=8192)
+    flat = store.to_host()
+    path = str(tmp_path / "span.npz")
+    store.save(path)
+
+    for rows in (0, 4096):   # saved span_rows and a re-split
+        ref = SpannedDeviceStore.load(path, span_rows=rows)
+        ref.consolidate()
+        got = SpannedDeviceStore.load(path, span_rows=rows, stacked=True)
+        assert got.is_stacked
+        assert got._stacked_valids == ref._stacked_valids
+        assert got.n_valid == store.n_valid
+        for a, b in zip(got.query_cols(), ref.query_cols()):
+            assert _np.array_equal(_np.asarray(a), _np.asarray(b))
+        _index_equal(got.to_host(), flat)
+
+
+def test_stacked_load_api_end_to_end(tmp_path):
+    """SIA.load_index(stacked=True): recognition works against the
+    directly-loaded stacked layout; ingest into it raises (terminal),
+    like any consolidated store."""
+    from shazam_tpu.api import SIA
+
+    songs = _songs(5)
+    sia = SIA(device_span_rows=4096)
+    sia.ingest_arrays(songs)
+    path = str(tmp_path / "ix.npz")
+    sia.save_index(path)
+    clip = songs[2][1][11025: 11025 + 2 * 44100]
+    before = sia.recognize_samples([clip])
+    assert before["results"][0]["song_name"] == "s2"
+
+    fresh = SIA(device_span_rows=4096)
+    fresh.catalog = sia.catalog
+    fresh.load_index(path, stacked=True)
+    assert fresh._dev_store.is_stacked
+    after = fresh.recognize_samples([clip])
+    assert after["results"][0]["song_name"] == "s2"
+    assert after["results"] == before["results"]
+    # fresh CONTENT (same audio would hit the SHA-1 resume dedup and
+    # never reach the store)
+    new_audio = np.concatenate([songs[0][1], songs[1][1]])
+    with pytest.raises(ValueError, match="consolidated"):
+        fresh.ingest_arrays([("s9", new_audio)])
+
+
+def test_consolidate_oom_falls_back_to_host_staging(monkeypatch):
+    """RESOURCE_EXHAUSTED from the device-direct stacking path falls
+    back to host staging (download sources -> release -> upload stacked)
+    and still produces the exact stacked layout."""
+    import jax
+    import numpy as _np
+    from shazam_tpu.index import devmerge
+    from shazam_tpu.index.devmerge import SpannedDeviceStore
+    from shazam_tpu.index.store import build_index
+
+    hi, lo, ex, sid, off = _random_index(9_000, 6, 512, seed=33)
+    ix = build_index(
+        [(s, hi[sid == s], lo[sid == s], ex[sid == s], off[sid == s])
+         for s in range(6)], n_songs=6)
+    ref = SpannedDeviceStore.from_host(ix, span_rows=4096)
+    ref.consolidate()
+
+    store = SpannedDeviceStore.from_host(ix, span_rows=4096)
+
+    def oom(big, row, i):
+        raise jax.errors.JaxRuntimeError(
+            "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)")
+
+    monkeypatch.setattr(devmerge, "_stack_row", oom)
+    store.consolidate()   # device path raises, host staging finishes
+    assert store.is_stacked
+    assert store._stacked_valids == ref._stacked_valids
+    for a, b in zip(store.query_cols(), ref.query_cols()):
+        assert _np.array_equal(_np.asarray(a), _np.asarray(b))
+
+
 def test_spanned_single_dispatch_vote_key_guard():
     """recognize_on_device_spanned raises on int32 vote-key overflow like
     every other matcher entry point (silent wrap = wrong songs)."""
