@@ -101,17 +101,21 @@ qfull = tuple(jnp.asarray(np.asarray(a[:L]) if len(a) >= L
               for a in (q.hi, q.lo, q.ex, q.t, q.valid, q.first))
 
 
+# dev/head threaded as ARGUMENTS, not closed over (CLAUDE.md): a
+# closed-over index serializes into the HLO as a constant and a
+# realistic-catalog rerun would hit the remote-compile tunnel's HTTP
+# 413 body limit.
 @functools.partial(jax.jit, static_argnames=("k", "mode"))
-def chain(qa, k, mode):
+def chain(qa, dev_cols, hd, k, mode):
     def body(i, acc):
         bump = (acc * 1e-30).astype(jnp.uint32)
         args = (qa[0] ^ bump,) + qa[1:]
         if mode == "apriori":
             out = _apriori_device_loop(
-                dev, *args, jnp.int32(n_batches), batch_size=batch_size,
-                topn=2, head=head, **kw)
+                dev_cols, *args, jnp.int32(n_batches),
+                batch_size=batch_size, topn=2, head=hd, **kw)
         else:
-            out = match_query(dev, *args, topn=2, head=head, **kw)
+            out = match_query(dev_cols, *args, topn=2, head=hd, **kw)
         return acc + sum(jnp.sum(l.astype(jnp.float32))
                          for l in jax.tree_util.tree_leaves(out))
     return lax.fori_loop(0, k, body, jnp.float32(0))
@@ -120,11 +124,11 @@ def chain(qa, k, mode):
 def measure(mode, qargs):
     res = {}
     for k in (1, 9):
-        float(chain(qargs, k, mode))
+        float(chain(qargs, dev, head, k, mode))
         best = []
         for _ in range(3):
             t0 = time.time()
-            float(chain(qargs, k, mode))
+            float(chain(qargs, dev, head, k, mode))
             best.append(time.time() - t0)
         res[k] = min(best)
     return (res[9] - res[1]) / 8 * 1000

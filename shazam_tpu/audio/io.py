@@ -316,7 +316,15 @@ def read(path: str, limit: Optional[float] = None):
     elif path.lower().endswith(".mp3") and _mp3_available():
         from .mp3 import decode_mp3
 
-        data, fs, n_channels = decode_mp3(path, limit)
+        try:
+            data, fs, n_channels = decode_mp3(path, limit)
+        except Exception:
+            # mpg123 rejects the stream (corrupt, or a mis-extensioned
+            # container): ffmpeg sniffs by content and previously owned
+            # this route — keep that coverage when it is present.
+            if _FFMPEG is None:
+                raise
+            data, fs, n_channels = _read_via_ffmpeg(path, limit)
     else:
         data, fs, n_channels = _read_via_ffmpeg(path, limit)
     channels = [np.ascontiguousarray(data[c::n_channels]) for c in range(n_channels)]

@@ -750,26 +750,33 @@ class SpannedDeviceStore:
         self.finalize()
         live = [s for s in self.spans if s.n_valid > 0] or [self.spans[-1]]
         stacked = []
+        oom = False
         try:
             self._consolidate_columns(live, stacked)
         except jax.errors.JaxRuntimeError as e:
             if "RESOURCE_EXHAUSTED" not in str(e):
                 self._restore_spans(live, stacked)
                 raise
+            oom = True
+        except BaseException:
+            self._restore_spans(live, stacked)
+            raise
+        if oom:
             # HBM can't fit sources + a stacked column + copy transients
             # (measured at 436M hashes on this 16 GB chip). Stage the
             # remaining columns through the host: sources release as
             # they download, so the device never holds more than the
-            # catalog itself. (Serving a snapshot should prefer
-            # load(stacked=True), which skips the download half too.)
+            # catalog itself. Run OUTSIDE the except block: the active
+            # traceback would pin _consolidate_columns' frame — and the
+            # failed multi-GB stacked column in it — alive for the whole
+            # host-staged pass, re-creating the very pressure that
+            # OOMed. (Serving a snapshot should prefer load(stacked=True),
+            # which skips the download half too.)
             try:
                 self._consolidate_via_host(live, stacked)
             except BaseException:
                 self._restore_spans(live, stacked)
                 raise
-        except BaseException:
-            self._restore_spans(live, stacked)
-            raise
         self._stacked = tuple(stacked)
         self._stacked_valids = [s.n_valid for s in live]
         self.spans = []

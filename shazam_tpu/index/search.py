@@ -354,6 +354,16 @@ def build_unique_view(key_hi, key_lo, key_ex):
                   out=new[1:])
     starts = np.flatnonzero(new)
     u = len(starts)
+    if u * 2 > n and u > (8 << 20):
+        # Near-unique keys at scale: the view would duplicate most of
+        # the key columns on device (>128 MB at this size, plus the
+        # same bytes leaked in host RSS — the tunnel never frees upload
+        # staging copies) while the head path is already fast there (no
+        # hot runs to inflate its while_loop). Small catalogs keep the
+        # view regardless — its fixed-round descent wins and the table
+        # costs KBs-MBs. (Measured duplication: tone-95.3M 16.5
+        # rows/key, music-27M 4.7, music-1M 1.97.)
+        return None, 0
     cdf = np.concatenate([starts, [n]]).astype(np.int32)
     bits = head_bits_for(u)
     head = jax.block_until_ready(build_head(jnp.asarray(hi[starts]),
@@ -372,6 +382,12 @@ def unique_bounds(view: UniqueView, q_hi, q_lo, q_ex, q_valid, *,
     misses return (0, 0) (their spans are zero-width either way — the
     expansion only reads lb where ub > lb).
     """
+    if steps <= 0:
+        # steps is build-time data (log2 of the widest head bucket); a
+        # caller that threads the view but drops the round count would
+        # descend zero rounds and silently match nothing.
+        raise ValueError(
+            "unique_bounds needs the steps returned by build_unique_view")
     u_hi, u_lo, u_ex = view.u_hi, view.u_lo, view.u_ex
     u = u_hi.shape[0]
     lo0, hi0 = _head_spans(view.head, q_hi)

@@ -221,10 +221,14 @@ class MicroBatcher:
             self._finish(p)
         if not batch:
             return
-        # batchable: mono, all the same topn
+        # batchable: mono, all the same topn. Size-1 "batches" go
+        # through recognize_batch too: it is the path the warmup (incl.
+        # capacity_tiers) precompiles — recognize_samples' escalated-
+        # tier single-query programs would compile inside the first
+        # low-concurrency request that clamps.
         mono = [p for p in batch if len(p.channels) == 1]
         topns = {p.topn for p in mono}
-        if len(mono) > 1 and len(topns) == 1:
+        if mono and len(topns) == 1:
             try:
                 # pad_to_pow2: varying micro-batch sizes must not each
                 # compile a fresh device program (minutes per remote
@@ -776,7 +780,10 @@ def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
 
     def warm(clip, q_pad_to=None):
         sia.recognize_samples([clip], q_pad_to=q_pad_to)
-        b = 2
+        # b=1 included: the batcher answers size-1 micro-batches via
+        # recognize_batch as well, so the bq=1 programs (incl. each
+        # capacity tier) must be warm for low-concurrency traffic.
+        b = 1
         while b <= pow2_cap:
             sia.recognize_batch([clip] * min(b, max_batch),
                                 pad_to_pow2=True, q_pad_to=q_pad_to)

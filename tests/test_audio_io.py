@@ -161,3 +161,48 @@ def test_read_wav_bytes_fuzz_untrusted():
         except Exception:  # noqa: BLE001 — clean exception = a 400
             pass
         assert time.time() - t0 < 2.0, f"slow decode on trial {trial}"
+
+
+def test_corrupt_mp3_raises_without_ffmpeg(tmp_path, monkeypatch):
+    """A stream libmpg123 rejects surfaces the decode error when no
+    ffmpeg exists to sniff it by content (and must NOT crash with an
+    unrelated 'ffmpeg missing' error masking the cause)."""
+    from shazam_tpu.audio import io as aio
+
+    if not aio._mp3_available():
+        import pytest
+
+        pytest.skip("libmpg123 not present")
+    bad = tmp_path / "noise.mp3"
+    bad.write_bytes(b"\x00" * 64)   # no MPEG sync anywhere
+    monkeypatch.setattr(aio, "_FFMPEG", None)
+    import pytest
+
+    with pytest.raises(Exception):
+        aio.read(str(bad))
+
+
+def test_corrupt_mp3_falls_back_to_ffmpeg(tmp_path, monkeypatch):
+    """When ffmpeg IS present, an mpg123-rejected .mp3 routes through it
+    (content sniffing covered mis-extensioned files before the
+    libmpg123 path existed — keep that)."""
+    from shazam_tpu.audio import io as aio
+
+    if not aio._mp3_available():
+        import pytest
+
+        pytest.skip("libmpg123 not present")
+    calls = {}
+
+    def fake_ffmpeg(path, limit):
+        calls["path"] = path
+        import numpy as np
+
+        return np.zeros(8, np.int16), 44100, 1
+
+    monkeypatch.setattr(aio, "_FFMPEG", "/usr/bin/ffmpeg")
+    monkeypatch.setattr(aio, "_read_via_ffmpeg", fake_ffmpeg)
+    bad = tmp_path / "noise.mp3"
+    bad.write_bytes(b"\x00" * 64)
+    channels, fs, sha = aio.read(str(bad))
+    assert calls["path"] == str(bad) and fs == 44100

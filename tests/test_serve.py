@@ -621,3 +621,33 @@ def test_warmup_covers_both_stream_engines(server):
     finally:
         stream_mod.StreamRecognizer = real
     assert built == ["host", "device"]
+
+
+def test_single_request_takes_batch_path(server):
+    """Size-1 micro-batches answer via recognize_batch: it is the path
+    the warmup (incl. escalated capacity tiers) precompiles, so a lone
+    low-concurrency request must not fall back to recognize_samples'
+    cold single-query programs."""
+    sia = server.sia
+    calls = {"batch": 0, "samples": 0}
+    orig_batch, orig_samples = sia.recognize_batch, sia.recognize_samples
+
+    def count_batch(*a, **k):
+        calls["batch"] += 1
+        return orig_batch(*a, **k)
+
+    def count_samples(*a, **k):
+        calls["samples"] += 1
+        return orig_samples(*a, **k)
+
+    sia.recognize_batch = count_batch
+    sia.recognize_samples = count_samples
+    try:
+        url = f"http://127.0.0.1:{server.port}/recognize"
+        code, out = _post(url, _wav_bytes(_clip(2)))
+        assert code == 200
+        assert out["results"][0]["song_name"] == "s2"
+    finally:
+        sia.recognize_batch = orig_batch
+        sia.recognize_samples = orig_samples
+    assert calls["batch"] == 1 and calls["samples"] == 0

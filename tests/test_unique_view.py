@@ -156,3 +156,26 @@ def test_api_end_to_end_with_view():
     assert uview2 is not uview
     out = sia.recognize_clip(songs[9][1][44100: 44100 * 6])
     assert out["results"][0]["song_name"] == "t9"
+
+
+def test_steps_guard_raises(setup):
+    """Passing a view without its build-time round count is a bug, not a
+    silent no-match: unique_bounds refuses steps<=0 (a fori_loop of zero
+    rounds would leave every lane at its bucket start and match
+    nothing, violating the never-silent invariant)."""
+    index, dev, head, uview, usteps, uniq = setup
+    q = _queries(uniq)
+    with pytest.raises(ValueError, match="steps"):
+        unique_bounds(uview, q[0], q[1], q[2], q[4], steps=0)
+
+
+def test_near_unique_at_scale_skips_view():
+    """A near-unique key set past the size cutoff declines the view:
+    duplicating >128 MB of key columns (plus the tunnel's host-RSS
+    staging leak) buys nothing when there are no hot runs for the head
+    path's while_loop to trip on."""
+    n = (8 << 20) * 2 + 2
+    hi = np.arange(n, dtype=np.uint32)          # all keys unique
+    zeros = np.zeros(n, np.uint32)
+    uview, usteps = build_unique_view(hi, zeros, zeros)
+    assert uview is None and usteps == 0
