@@ -1172,9 +1172,26 @@ class SIA:
         raw = run(cap)
         total = int(raw.total_rows)   # exact even when expansion clamps
         if total > cap:
+            if self._decided(raw):
+                # provably-exact early accept (see config.decision_
+                # escalation): the escalated tier would return the same
+                # top-1 song and offset — report a capacity that keeps
+                # align_results' overflow check reading "result
+                # unaffected by capacity"
+                return raw, max(total, cap)
             cap = next((c for c in caps if c >= total), caps[-1])
             raw = run(cap)
         return raw, cap
+
+    def _decided(self, raw) -> bool:
+        """True iff a capacity-clamped RawMatch is PROVABLY the full
+        answer: every excluded run adds <= 1 vote to any (song, delta)
+        bin, so a top-1 margin over the strongest challenger larger
+        than the excluded-run count cannot be overturned."""
+        if not self.config.decision_escalation:
+            return False
+        return (int(raw.top_votes[0]) - int(raw.runner_votes)
+                > int(raw.n_dropped))
 
     def _match_tiers(self):
         caps = [self.config.match_capacity_fast, self.config.match_capacity]
@@ -1216,6 +1233,8 @@ class SIA:
         cap = caps[0]
         raw, span_max = run(cap)
         if int(span_max) > cap:
+            if self._decided(raw):
+                return raw, max(int(raw.total_rows), cap)
             cap = next((c for c in caps if c >= int(span_max)), caps[-1])
             raw, span_max = run(cap)
         if int(span_max) <= cap:
@@ -1278,17 +1297,22 @@ class SIA:
         device_time = time.time() - t0
         if (
             int(n_peaks) > self.config.peak_capacity
-            or int(raw.total_rows) > self.config.match_capacity_fast
+            or (int(raw.total_rows) > self.config.match_capacity_fast
+                and not self._decided(raw))
             or int(n_hashes) > q_cap
         ):
-            # rare overflow (peaks, matches, or query lanes): take the
+            # overflow (peaks, query lanes, or an UNdecided clamped
+            # match — see _decided: a clamped result whose top-1 margin
+            # beats the excluded-run count is provably the full answer
+            # and stays on this single-dispatch path): take the
             # two-dispatch path with full capacities
             return self.recognize_samples([samples], topn=topn)
 
         t0 = time.time()
         matched = align_results(
             raw, int(n_pairs), catalog=self.catalog, config=self.config,
-            match_capacity=self.config.match_capacity_fast,
+            match_capacity=max(int(raw.total_rows),
+                               self.config.match_capacity_fast),
         )
         align_time = time.time() - t0
         return {
@@ -1327,11 +1351,14 @@ class SIA:
         device_time = time.time() - t0
         if (
             int(n_peaks) > self.config.peak_capacity
-            or int(span_max) > self.config.match_capacity_fast
+            or (int(span_max) > self.config.match_capacity_fast
+                and not self._decided(raw))
             or int(n_hashes) > q_cap
         ):
-            # overflow (peaks, any span's expansion, or query lanes):
-            # the two-dispatch spanned path retries with escalating tiers
+            # overflow (peaks, an UNdecided clamped span expansion, or
+            # query lanes): the two-dispatch spanned path retries with
+            # escalating tiers. A decided clamp (see _decided) is
+            # provably the full answer and stays single-dispatch.
             return self.recognize_samples([samples], topn=topn)
 
         t0 = time.time()
@@ -1476,12 +1503,26 @@ class SIA:
         # re-dispatch at the fitting tier replaces the pile of solo
         # retries — serving latency stays ~one device program per batch.
         retried: Dict[int, Tuple] = {}
+        decided_ids: set = set()
         batch_cap = match_capacity or self.config.match_capacity
         tiers = self._match_tiers()
+
+        def undecided(clamped_ids):
+            # provably-exact early accept per clip (see _decided): a
+            # clamped clip whose top-1 margin beats its excluded-run
+            # count needs no re-dispatch
+            if not self.config.decision_escalation:
+                return clamped_ids
+            margin_ok = (np.asarray(raw.top_votes)[:, 0]
+                         - np.asarray(raw.runner_votes)
+                         > np.asarray(raw.n_dropped))[:n_real]
+            decided_ids.update(int(i) for i in clamped_ids if margin_ok[i])
+            return clamped_ids[~margin_ok[clamped_ids]]
+
         if tiers[-1] > batch_cap:
             clamp = (np.asarray(span_maxes) if span_maxes is not None
                      else np.asarray(raw.total_rows))[:n_real]
-            over = np.nonzero(clamp > batch_cap)[0]
+            over = undecided(np.nonzero(clamp > batch_cap)[0])
             if len(over) > max(n_real // 2, 1):
                 need = int(clamp.max())
                 batch_cap = next((c for c in tiers if c >= need),
@@ -1498,7 +1539,8 @@ class SIA:
                         dev, *q_args, head=self._ensure_head(dev),
                         uview=uview, u_steps=usteps, **kw))
                     clamp = np.asarray(raw.total_rows)[:n_real]
-                over = np.nonzero(clamp > batch_cap)[0]
+                decided_ids.clear()   # judged against the old dispatch
+                over = undecided(np.nonzero(clamp > batch_cap)[0])
             for i in over:
                 retried[int(i)] = self._match_prepared(
                     queries[i], len(clips[i]), topn=topn,
@@ -1524,8 +1566,11 @@ class SIA:
                 # keeps align_results' total>capacity check honest.
                 sig = (int(span_maxes[i]) if span_maxes is not None
                        else int(one.total_rows))
+                # decided clips are provably the full answer — report
+                # them unaffected by capacity like fitting clips
                 cap_i = (max(int(one.total_rows), batch_cap)
-                         if sig <= batch_cap else batch_cap)
+                         if sig <= batch_cap or i in decided_ids
+                         else batch_cap)
             matched = align_results(
                 one, queries[i].n_pairs, catalog=self.catalog,
                 config=self.config, match_capacity=cap_i,

@@ -49,6 +49,16 @@ class FingerprintConfig:
     # single query to hundreds of thousands of rows; the reference
     # expands ALL rows via SQL, so parity demands counting them
     match_capacity_max: int = 1 << 22
+    # provably-exact early accept: the expansion includes whole runs
+    # shortest-first within the tier budget and counts excluded runs,
+    # each of which can add at most ONE vote to any (song, delta) bin —
+    # when top1 - strongest_challenger > n_dropped, the top-1 song and
+    # its offset are EXACTLY what the escalated full expansion would
+    # return, so the re-dispatch is skipped (match/lookup.RawMatch).
+    # Reported vote/row counts then reflect the included runs (lower
+    # bounds), like the reference's own apriori partial-scan mode; set
+    # False to force full-expansion counts on every overflow.
+    decision_escalation: bool = True
     # --- matching / results ---
     topn: int = 2                     # TOPN (recognizer.py:68)
     # --- numerics ---

@@ -32,11 +32,11 @@ from .prepare import QueryPairs
 )
 def _apriori_step(
     index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
-    hist, rows_hist, total,
+    hist, rows_hist, total, n_dropped,
     *, n_songs: int, delta_min: int, delta_range: int, match_capacity: int,
     offset_stride: int = 0, head=None,
 ):
-    h, r, t = match_local(
+    h, r, t, nd = match_local(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
         match_capacity=match_capacity, offset_stride=offset_stride,
@@ -45,6 +45,7 @@ def _apriori_step(
     hist = hist + h
     rows_hist = rows_hist + r
     total = total + t
+    n_dropped = n_dropped + nd
     # the reference ranks the partial result by aligned votes and then
     # compares the top-2 songs' dedup row counts (HASHES_MATCHED of the
     # align_matches output, recognizer_apriori.py:296-310) — NOT the two
@@ -55,14 +56,16 @@ def _apriori_step(
     top2 = jnp.take(rows_hist, top_songs)
     if k < 2:
         top2 = jnp.pad(top2, (0, 2 - k))
-    return hist, rows_hist, total, top2
+    return hist, rows_hist, total, n_dropped, top2
 
 
 @functools.partial(
     jax.jit, static_argnames=("delta_min", "topn"),
 )
-def _apriori_rank(hist, rows_hist, total, *, delta_min: int, topn: int):
-    return rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)
+def _apriori_rank(hist, rows_hist, total, n_dropped, *, delta_min: int,
+                  topn: int):
+    return rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn,
+                      n_dropped=n_dropped)
 
 
 def match_query_apriori(
@@ -97,6 +100,7 @@ def match_query_apriori(
     hist = jnp.zeros((n_songs, delta_range), jnp.int32)
     rows_hist = jnp.zeros(n_songs, jnp.int32)
     total = jnp.int32(0)
+    n_dropped = jnp.int32(0)
 
     n_batches = max(1, -(-n // batch_size))
     used = 0
@@ -111,11 +115,11 @@ def match_query_apriori(
                 chunk = np.pad(chunk, (0, batch_size - len(chunk)))
             return jnp.asarray(chunk)
 
-        hist, rows_hist, total, top2 = _apriori_step(
+        hist, rows_hist, total, n_dropped, top2 = _apriori_step(
             index_arrays,
             pad(q.hi), pad(q.lo), pad(q.ex), pad(q.t),
             pad(q.valid), pad(q.first),
-            hist, rows_hist, total,
+            hist, rows_hist, total, n_dropped,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             match_capacity=match_capacity, offset_stride=offset_stride,
             head=head,
@@ -132,7 +136,8 @@ def match_query_apriori(
         if top2_host[0] / 2.0 > top2_host[1] and used < n_batches:
             break
 
-    raw = _apriori_rank(hist, rows_hist, total, delta_min=delta_min, topn=topn)
+    raw = _apriori_rank(hist, rows_hist, total, n_dropped,
+                        delta_min=delta_min, topn=topn)
     return jax.device_get(raw), used, clamped
 
 
@@ -170,8 +175,8 @@ def _apriori_device_loop(
         return jnp.logical_and(st[0] < n_batches, jnp.logical_not(st[1]))
 
     def body(st):
-        b, _stop, hist, rows_hist, total, used, clamped = st
-        h, r, t = match_local(
+        b, _stop, hist, rows_hist, total, nd_acc, used, clamped = st
+        h, r, t, nd = match_local(
             index_arrays,
             batch_of(q_hi, b), batch_of(q_lo, b), batch_of(q_ex, b),
             batch_of(q_t, b), batch_of(q_valid, b), batch_of(q_first, b),
@@ -182,6 +187,7 @@ def _apriori_device_loop(
         hist = hist + h
         rows_hist = rows_hist + r
         total = total + t
+        nd_acc = nd_acc + nd
         clamped = jnp.logical_or(clamped, t > match_capacity)
         # reference margin rule on the partial result: vote-ranked top-2
         # songs' dedup row counts, leader halved still ahead
@@ -192,17 +198,18 @@ def _apriori_device_loop(
         if k < 2:
             top2 = jnp.pad(top2, (0, 2 - k))
         stop = top2[0] / 2.0 > top2[1]
-        return b + 1, stop, hist, rows_hist, total, used + 1, clamped
+        return b + 1, stop, hist, rows_hist, total, nd_acc, used + 1, clamped
 
     init = (
         jnp.int32(0), jnp.bool_(False),
         jnp.zeros((n_songs, delta_range), jnp.int32),
         jnp.zeros(n_songs, jnp.int32), jnp.int32(0), jnp.int32(0),
-        jnp.bool_(False),
+        jnp.int32(0), jnp.bool_(False),
     )
-    _, _, hist, rows_hist, total, used, clamped = lax.while_loop(
+    _, _, hist, rows_hist, total, nd_acc, used, clamped = lax.while_loop(
         cond, body, init)
-    raw = rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)
+    raw = rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn,
+                     n_dropped=nd_acc)
     return raw, used, clamped
 
 

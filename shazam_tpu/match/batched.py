@@ -57,14 +57,14 @@ def match_queries_batched(
                 topn=topn, offset_stride=offset_stride, head=head,
                 uview=uview, u_steps=u_steps,
             )
-        hist, rows_hist, total = match_local(
+        hist, rows_hist, total, n_dropped = match_local(
             index_arrays, hi, lo, ex, t, valid, first,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             match_capacity=match_capacity, offset_stride=offset_stride,
             head=head, uview=uview, u_steps=u_steps,
         )
         return rank_votes(hist, rows_hist, total, delta_min=delta_min,
-                          topn=topn)
+                          topn=topn, n_dropped=n_dropped)
 
     return jax.vmap(one)(q_hi, q_lo, q_ex, q_t, q_valid, q_first)
 

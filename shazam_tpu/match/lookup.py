@@ -49,7 +49,20 @@ def check_vote_key(n_songs: int, delta_range: int) -> None:
 
 
 class RawMatch(NamedTuple):
-    """Device-side match result (fixed shapes)."""
+    """Device-side match result (fixed shapes).
+
+    ``n_dropped``/``runner_votes`` power the PROVABLY-EXACT early accept
+    (api._match_prepared): the expansion includes whole runs shortest-
+    first within match_capacity, so each of the ``n_dropped`` excluded
+    runs (one run = one query hash's contiguous row bucket, all rows
+    DISTINCT (song, offset)) can add at most ONE vote to any
+    (song, delta) bin.  Hence when
+    ``top_votes[0] - runner_votes > n_dropped`` the top-1 song AND its
+    best delta are the same as a full (uncapped) expansion would
+    report, and the escalated re-dispatch is skipped.  ``runner_votes``
+    is max(second-ranked song's votes, the top song's second-best
+    delta-bin votes) — covering both ways a dropped vote could flip the
+    answer."""
 
     top_songs: jnp.ndarray     # int32 (topn,)
     top_deltas: jnp.ndarray    # int32 (topn,) best db_offset - q_offset per song
@@ -57,6 +70,8 @@ class RawMatch(NamedTuple):
     row_counts: jnp.ndarray    # int32 (topn,) dedup_hashes per top song
     total_rows: jnp.ndarray    # int32 scalar — true expanded match count
     n_ranked: jnp.ndarray      # int32 scalar — songs with >= 1 vote
+    n_dropped: jnp.ndarray     # int32 scalar — runs excluded by the budget
+    runner_votes: jnp.ndarray  # int32 scalar — strongest challenger count
 
 
 def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
@@ -64,14 +79,29 @@ def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
             uview=None, u_steps: int = 0):
     """Search + fixed-capacity row expansion (shared by the matchers).
 
-    Returns (sid, delta, p, valid, total): per expanded vote slot, the
-    song id, offset delta, owning query-pair index, validity, and the
-    TRUE total match count (exact even when expansion clamps).
+    Returns (sid, delta, p, valid, total, n_dropped): per expanded vote
+    slot, the song id, offset delta, owning query-pair index, validity,
+    the TRUE total match count (exact even when expansion clamps), and
+    the number of runs the capacity budget excluded.
     ``head`` is an optional ``search.build_head`` bucket CDF giving
     exact per-lane search windows (distribution-proof fast bounds);
     ``uview``/``u_steps`` (a ``search.UniqueView`` + its static round
     count) replace the two-descent search entirely with one fixed-round
     descent over the unique-key table — preferred when available.
+
+    Capacity policy: WHOLE runs, shortest first.  When the total match
+    count exceeds ``match_capacity`` the old prefix clamp kept the
+    first capacity rows in lane order — all the evidence from the first
+    few query hashes, none from the rest.  Instead the runs are sorted
+    by length and included whole until the budget is spent: a dropped
+    run can contribute at most one vote to any (song, delta) bin (its
+    rows are distinct (song, offset) under one query offset), so
+    ``n_dropped`` is an exact upper bound on how many votes any bin is
+    missing — the foundation of the provably-exact early accept (see
+    ``RawMatch``).  The longest (= least informative, most expensive)
+    runs are the ones excluded.  When nothing clamps the vote set is
+    identical to before (order permuted; every consumer is
+    order-independent).
     """
     if uview is not None:
         lb, ub = unique_bounds(uview, q_hi, q_lo, q_ex, q_valid,
@@ -81,22 +111,34 @@ def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
         lb, ub = lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex,
                              head=head, q_valid=q_valid)
     lens = jnp.where(q_valid, ub - lb, 0)
+    total = jnp.sum(lens) if lens.shape[0] else jnp.int32(0)
 
-    cum = jnp.cumsum(lens)
-    total = cum[-1] if lens.shape[0] else jnp.int32(0)
+    # shortest-first run budget (stable sort: equal lengths keep lane
+    # order — deterministic programs)
+    order = jnp.argsort(lens)
+    lens_s = jnp.take(lens, order)
+    lb_s = jnp.take(lb, order)
+    cum = jnp.cumsum(lens_s)
+    included = cum <= match_capacity
+    n_dropped = jnp.sum(((lens_s > 0) & ~included).astype(jnp.int32))
+    lens_inc = jnp.where(included, lens_s, 0)
+    cum_inc = jnp.cumsum(lens_inc)
+    total_inc = cum_inc[-1] if lens.shape[0] else jnp.int32(0)
 
-    # expand: slot v -> owning pair p. p[v] = #{i: cum[i] <= v}, computed
-    # as a scatter of ones at the bucket boundaries + one prefix sum —
-    # a searchsorted here costs match_capacity * log2(n_pairs) random
-    # HBM gathers (TPU has no data cache), ~3x the search descent's
+    # expand: slot v -> owning (sorted-space) run p_s. p_s[v] =
+    # #{i: cum_inc[i] <= v}, computed as a scatter of ones at the bucket
+    # boundaries + one prefix sum — a searchsorted here costs
+    # match_capacity * log2(n_pairs) random HBM gathers (TPU has no
+    # data cache), ~3x the search descent's
     v = jnp.arange(match_capacity, dtype=jnp.int32)
-    marks = jnp.zeros(match_capacity, jnp.int32).at[cum].add(
+    marks = jnp.zeros(match_capacity, jnp.int32).at[cum_inc].add(
         1, mode="drop")
     p = jnp.cumsum(marks)
     p = jnp.minimum(p, lens.shape[0] - 1)
-    prev = jnp.where(p > 0, jnp.take(cum, p - 1), 0)
-    row = jnp.take(lb, p) + (v - prev)
-    valid = v < total
+    prev = jnp.where(p > 0, jnp.take(cum_inc, p - 1), 0)
+    row = jnp.take(lb_s, p) + (v - prev)
+    valid = v < total_inc
+    p = jnp.take(order, p)   # back to the caller's lane indexing
 
     safe_row = jnp.where(valid, row, 0)
     if offset_stride:
@@ -108,7 +150,7 @@ def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
         doff = jnp.take(index_arrays[4], safe_row).astype(jnp.int32)
     qoff = jnp.take(q_t, p).astype(jnp.int32)
     delta = doff - qoff
-    return sid, delta, p, valid, total
+    return sid, delta, p, valid, total, n_dropped
 
 
 def match_local(
@@ -131,13 +173,15 @@ def match_local(
     gather per matched row), or the 5-tuple (... song_id, offset) with
     ``offset_stride`` == 0 for catalogs too large to pack.
 
-    Returns (hist, rows_hist, total): the dense (n_songs, delta_range)
-    vote histogram, per-song dedup row counts, and the true expanded
-    match count. Pure function of the local index slice — the sharded
-    path psums these across devices before ranking.
+    Returns (hist, rows_hist, total, n_dropped): the dense (n_songs,
+    delta_range) vote histogram, per-song dedup row counts, the true
+    expanded match count, and the count of budget-excluded runs. Pure
+    function of the local index slice — the sharded path psums these
+    across devices before ranking (n_dropped sums correctly: each
+    excluded run anywhere adds <= 1 vote to any global bin).
     """
     check_vote_key(n_songs, delta_range)
-    sid, delta, p, valid, total = _expand(
+    sid, delta, p, valid, total, n_dropped = _expand(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
         head=head, uview=uview, u_steps=u_steps,
@@ -160,11 +204,19 @@ def match_local(
     rows_hist = rows_hist.at[sid].add(
         (valid & first).astype(jnp.int32), mode="drop"
     )
-    return hist, rows_hist, total
+    return hist, rows_hist, total, n_dropped
 
 
-def rank_votes(hist, rows_hist, total, *, delta_min: int, topn: int) -> RawMatch:
-    """Per-song best delta + top-N ranking with the reference tie rules."""
+def rank_votes(hist, rows_hist, total, *, delta_min: int, topn: int,
+               n_dropped=None) -> RawMatch:
+    """Per-song best delta + top-N ranking with the reference tie rules.
+
+    ``n_dropped`` (int32 scalar) flows through from the expansion;
+    ``runner_votes`` — the strongest challenger to (top-1 song, its best
+    delta): max(second-ranked song's votes, top-1's second-best bin) —
+    is computed here so every dense matcher gets the early-accept
+    decision inputs (see ``RawMatch``).
+    """
     votes_per_song = jnp.max(hist, axis=1)
     best_bin = jnp.argmax(hist, axis=1)  # first max => smallest delta
 
@@ -177,6 +229,21 @@ def rank_votes(hist, rows_hist, total, *, delta_min: int, topn: int) -> RawMatch
     row_counts = jnp.take(rows_hist, top_songs)
     n_ranked = jnp.sum((votes_per_song > 0).astype(jnp.int32))
 
+    # strongest challenger: 2nd-ranked song (computed at k=2 regardless
+    # of topn) and the winner's own 2nd-best delta bin (a tie within the
+    # song makes the reported delta fragile too)
+    k2 = min(2, votes_per_song.shape[0])
+    tv2 = jax.lax.top_k(votes_per_song, k2)[0]
+    second_song = tv2[1] if k2 == 2 else jnp.int32(0)
+    top_row = jax.lax.dynamic_index_in_dim(hist, top_songs[0], 0,
+                                           keepdims=False)
+    bins = jnp.arange(top_row.shape[0], dtype=jnp.int32)
+    second_bin = jnp.max(jnp.where(bins == best_bin[top_songs[0]],
+                                   jnp.int32(-1), top_row))
+    runner = jnp.maximum(second_song, second_bin).astype(jnp.int32)
+    if n_dropped is None:
+        n_dropped = jnp.int32(0)
+
     return RawMatch(
         top_songs.astype(jnp.int32),
         top_deltas,
@@ -184,6 +251,8 @@ def rank_votes(hist, rows_hist, total, *, delta_min: int, topn: int) -> RawMatch
         row_counts,
         total,
         n_ranked,
+        jnp.asarray(n_dropped, jnp.int32),
+        runner,
     )
 
 
@@ -220,13 +289,14 @@ def match_query(
         distinct hash (for dedup row counting).
     :param delta_min: smallest representable delta (-max query offset).
     """
-    hist, rows_hist, total = match_local(
+    hist, rows_hist, total, n_dropped = match_local(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
         match_capacity=match_capacity, offset_stride=offset_stride,
         head=head, uview=uview, u_steps=u_steps,
     )
-    return rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)
+    return rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn,
+                      n_dropped=n_dropped)
 
 
 @functools.partial(
@@ -266,28 +336,29 @@ def match_query_sparse(
     the smallest song id).
     """
     check_vote_key(n_songs, delta_range)
-    sid, delta, p, valid, total = _expand(
+    sid, delta, p, valid, total, n_dropped = _expand(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
         head=head, uview=uview, u_steps=u_steps,
     )
     first = jnp.take(q_first, p)
     return _sparse_vote_rank(
-        sid, delta, first, valid, total,
+        sid, delta, first, valid, total, n_dropped,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
         topn=topn,
     )
 
 
-def _sparse_vote_rank(sid, delta, first, valid, total, *, n_songs: int,
-                      delta_min: int, delta_range: int,
+def _sparse_vote_rank(sid, delta, first, valid, total, n_dropped=None, *,
+                      n_songs: int, delta_min: int, delta_range: int,
                       topn: int) -> RawMatch:
     """Sort + run-length vote count + rank over flat expanded vote slots.
 
     Shared by ``match_query_sparse`` (one expansion) and the spanned
     matcher (concatenated expansions from several sorted spans — vote
     keys from different spans for the same (song, delta) coalesce in the
-    sort exactly as if they came from one index).
+    sort exactly as if they came from one index; per-span ``n_dropped``
+    sums: a run excluded in any span adds <= 1 vote to any global bin).
     """
     cap = sid.shape[0]
     dbin = delta - delta_min
@@ -333,9 +404,23 @@ def _sparse_vote_rank(sid, delta, first, valid, total, *, n_songs: int,
     row_counts = jnp.take(rows_hist, top_songs)
     n_ranked = jnp.sum((votes_per_song > 0).astype(jnp.int32))
 
+    # strongest challenger (see rank_votes): 2nd-ranked song + the
+    # winner's 2nd-best delta bin, from the same segment arrays
+    k2 = min(2, n_songs)
+    tv2 = jax.lax.top_k(votes_per_song, k2)[0]
+    second_song = tv2[1] if k2 == 2 else jnp.int32(0)
+    win = top_songs[0]
+    win_best = jnp.take(best_bin, win)
+    is_second = (song_seg == win) & (dbin_seg != win_best)
+    second_bin = jnp.max(jnp.where(is_second, counts_seg, jnp.int32(0)))
+    runner = jnp.maximum(second_song, second_bin).astype(jnp.int32)
+    if n_dropped is None:
+        n_dropped = jnp.int32(0)
+
     return RawMatch(
         top_songs.astype(jnp.int32), top_deltas, top_votes,
         row_counts, total, n_ranked,
+        jnp.asarray(n_dropped, jnp.int32), runner,
     )
 
 
@@ -343,29 +428,33 @@ def _expand_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
                   q_first, *, match_capacity: int, offset_stride: int):
     """Expand a query against every span; concatenate the vote streams.
 
-    Returns (sid, delta, first, valid, total, span_max): flat arrays of
-    length n_spans * match_capacity, the exact global match count, and
-    the largest single-span count (the overflow/retry signal — each
-    span's expansion clamps independently at match_capacity).
+    Returns (sid, delta, first, valid, total, span_max, n_dropped): flat
+    arrays of length n_spans * match_capacity, the exact global match
+    count, the largest single-span count (the overflow/retry signal —
+    each span's expansion clamps independently at match_capacity), and
+    the summed budget-excluded run count across spans.
     """
     parts = []
     totals = []
+    drops = []
     for i, arrs in enumerate(span_arrays):
         head = heads[i] if heads is not None else None
-        sid, delta, p, valid, total = _expand(
+        sid, delta, p, valid, total, nd = _expand(
             arrs, q_hi, q_lo, q_ex, q_t, q_valid,
             match_capacity=match_capacity, offset_stride=offset_stride,
             head=head,
         )
         parts.append((sid, delta, jnp.take(q_first, p), valid))
         totals.append(total)
+        drops.append(nd)
     sid = jnp.concatenate([x[0] for x in parts])
     delta = jnp.concatenate([x[1] for x in parts])
     first = jnp.concatenate([x[2] for x in parts])
     valid = jnp.concatenate([x[3] for x in parts])
     total = functools.reduce(jnp.add, totals)
     span_max = functools.reduce(jnp.maximum, totals)
-    return sid, delta, first, valid, total, span_max
+    n_dropped = functools.reduce(jnp.add, drops)
+    return sid, delta, first, valid, total, span_max, n_dropped
 
 
 def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
@@ -385,13 +474,14 @@ def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
                        offset_stride=offset_stride, head=head)
 
     if heads is None:
-        sid, delta, p, valid, totals = jax.vmap(
+        sid, delta, p, valid, totals, drops = jax.vmap(
             lambda c: one(c, None))(stacked_arrays)
     else:
-        sid, delta, p, valid, totals = jax.vmap(one)(stacked_arrays, heads)
+        sid, delta, p, valid, totals, drops = jax.vmap(one)(
+            stacked_arrays, heads)
     first = jnp.take(q_first, p.reshape(-1))
     return (sid.reshape(-1), delta.reshape(-1), first, valid.reshape(-1),
-            jnp.sum(totals), jnp.max(totals))
+            jnp.sum(totals), jnp.max(totals), jnp.sum(drops))
 
 
 def _expand_any_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
@@ -452,12 +542,13 @@ def match_query_sparse_spanned(
     ``match_capacity``.
     """
     check_vote_key(n_songs, delta_range)
-    sid, delta, first, valid, total, span_max = _expand_any_spans(
-        span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
-        match_capacity=match_capacity, offset_stride=offset_stride,
-    )
+    sid, delta, first, valid, total, span_max, n_dropped = \
+        _expand_any_spans(
+            span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
+            match_capacity=match_capacity, offset_stride=offset_stride,
+        )
     raw = _sparse_vote_rank(
-        sid, delta, first, valid, total,
+        sid, delta, first, valid, total, n_dropped,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
         topn=topn,
     )

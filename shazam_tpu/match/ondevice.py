@@ -165,14 +165,14 @@ def recognize_on_device(
             uview=uview, u_steps=u_steps,
         )
     else:
-        hist, rows_hist, total = match_local(
+        hist, rows_hist, total, n_dropped = match_local(
             index_arrays, sort_hi, lo, ex, t1, q_valid, q_first,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             match_capacity=match_capacity, offset_stride=offset_stride,
             head=head, uview=uview, u_steps=u_steps,
         )
         raw = rank_votes(hist, rows_hist, total, delta_min=delta_min,
-                         topn=topn)
+                         topn=topn, n_dropped=n_dropped)
     return raw, n_pairs, n_peaks, n_hashes_total
 
 
@@ -225,12 +225,13 @@ def recognize_on_device_spanned(
         peak_capacity=peak_capacity, use_fused=use_fused,
         query_capacity=query_capacity,
     )
-    sid, delta, first, valid, total, span_max = _expand_any_spans(
-        span_arrays, heads, sort_hi, lo, ex, t1, q_valid, q_first,
-        match_capacity=match_capacity, offset_stride=offset_stride,
-    )
+    sid, delta, first, valid, total, span_max, n_dropped = \
+        _expand_any_spans(
+            span_arrays, heads, sort_hi, lo, ex, t1, q_valid, q_first,
+            match_capacity=match_capacity, offset_stride=offset_stride,
+        )
     raw = _sparse_vote_rank(
-        sid, delta, first, valid, total,
+        sid, delta, first, valid, total, n_dropped,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
         topn=topn,
     )

@@ -120,7 +120,7 @@ def _match_by_song_program(
         idx = tuple(a[0] for a in args[:n_idx])
         head = args[n_idx][0] if with_head else None
         q = args[n_idx + (1 if with_head else 0):]
-        hist, rows_hist, total = match_local(
+        hist, rows_hist, total, n_dropped = match_local(
             idx, *q,
             n_songs=n_local_songs, delta_min=delta_min,
             delta_range=delta_range, match_capacity=match_capacity,
@@ -166,6 +166,13 @@ def _match_by_song_program(
         order = jnp.argsort(g_s)
         g_v, g_s, g_d, g_r = (jnp.take(a, order) for a in (g_v, g_s, g_d, g_r))
         sel_v, sel_i = lax.top_k(g_v, topn)
+        # n_dropped sums across shards (each excluded run adds <= 1 vote
+        # to any bin, wherever its rows live). runner_votes must include
+        # the winner's own 2nd-best delta bin for the early accept to be
+        # sound, but that bin lives only on the winner's owning shard
+        # and is not gathered here — report runner = sel_v[0] (margin 0,
+        # never decided) so this path always escalates conservatively.
+        n_dropped = lax.psum(n_dropped, axis)
         return RawMatch(
             jnp.take(g_s, sel_i),
             jnp.take(g_d, sel_i),
@@ -173,6 +180,8 @@ def _match_by_song_program(
             jnp.take(g_r, sel_i),
             total,
             n_ranked,
+            n_dropped,
+            sel_v[0],
         )
 
     shard_spec = P(axis, None)
@@ -182,7 +191,7 @@ def _match_by_song_program(
         local_fn,
         mesh=mesh,
         in_specs=(shard_spec,) * n_sharded + (rep,) * 6,
-        out_specs=RawMatch(rep, rep, rep, rep, rep, rep),
+        out_specs=RawMatch(rep, rep, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
     return jax.jit(fn)

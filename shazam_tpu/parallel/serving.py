@@ -153,6 +153,18 @@ class ShardedCatalog:
             # shard under its own cap is exact, not an overflow
             if total <= self._effective_cap(cap) or cap >= cap_max:
                 break
+            if (self.config.decision_escalation
+                    and int(raw.top_votes[0]) - int(raw.runner_votes)
+                    > int(raw.n_dropped)):
+                # provably-exact early accept (api.SIA._decided): the
+                # escalated tier cannot change the top-1 song or offset.
+                # Key-range ranks from the psum'd global histogram so
+                # runner_votes is sound; the by-song regime reports a
+                # zero margin by construction and always escalates.
+                return align_results(
+                    raw, q.n_pairs, catalog=self.catalog,
+                    config=self.config,
+                    match_capacity=max(total, self._effective_cap(cap)))
             while self._effective_cap(cap) < total and cap < cap_max:
                 cap *= 4
             cap = min(cap, cap_max)

@@ -55,7 +55,7 @@ def _match_query_program(
         head = args[n_index_arrays][0] if with_head else None
         q = args[n_index_arrays + (1 if with_head else 0):]
         local = tuple(a[0] for a in idx)
-        hist, rows_hist, total = match_local(
+        hist, rows_hist, total, n_dropped = match_local(
             local, *q,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             match_capacity=per_shard_cap, offset_stride=offset_stride,
@@ -72,12 +72,16 @@ def _match_query_program(
         hist = jax.lax.psum(hist, axis)
         rows_hist = jax.lax.psum(rows_hist, axis)
         total = jax.lax.psum(total, axis)
+        # a run excluded on ANY shard adds <= 1 vote to any global bin,
+        # so the early-accept bound is the psum of local drop counts
+        n_dropped = jax.lax.psum(n_dropped, axis)
         any_over = jax.lax.psum(local_over, axis)
         eff_cap = min(per_shard_cap * mesh.devices.size, 2 ** 31 - 2)
         total = jnp.where(
             any_over > 0, jnp.maximum(total, eff_cap + 1), total
         )
-        return rank_votes(hist, rows_hist, total, delta_min=delta_min, topn=topn)
+        return rank_votes(hist, rows_hist, total, delta_min=delta_min,
+                          topn=topn, n_dropped=n_dropped)
 
     shard_spec = P(axis, None)
     rep = P()
@@ -86,7 +90,7 @@ def _match_query_program(
         local_fn,
         mesh=mesh,
         in_specs=(shard_spec,) * n_sharded + (rep,) * 6,
-        out_specs=RawMatch(rep, rep, rep, rep, rep, rep),
+        out_specs=RawMatch(rep, rep, rep, rep, rep, rep, rep, rep),
         check_vma=False,
     )
     return jax.jit(fn)

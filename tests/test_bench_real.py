@@ -65,12 +65,17 @@ def test_bench_real_index_headline(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "REAL_DB_PREFIXES", [prefix])
     out = bench.bench_query_latency_real(jax, jnp, chain=3)
     assert out is not None
-    per_query, max_rows, n_hashes, n_songs, cap = out
+    per_query, max_rows, n_hashes, n_songs, cap, esc, t_fast, t_fit = out
     assert per_query > 0
     assert n_songs == 6
     assert n_hashes > 1000
     assert max_rows > 0
     assert cap >= 16384
+    assert 0.0 <= esc <= 1.0
+    assert t_fast > 0
+    # a tiny build fits the fast tier: nothing escalates, the policy
+    # p50 IS the fast-tier time
+    assert esc == 0.0 and t_fit == 0.0 and per_query == t_fast
 
 
 def test_bench_real_index_absent(tmp_path, monkeypatch):
