@@ -15,6 +15,10 @@ Env knobs:
   SERVE_CLIENTS concurrent closed-loop clients (default 16)
   SERVE_REQS    requests per client (default 8)
   SERVE_MAX_BATCH / SERVE_WAIT_MS   batcher knobs (default 16 / 10)
+  SERVE_ACC_MIN accuracy floor (default 1.0 — every clip must top-1
+                its song; lower it ONLY for corpora with verified
+                5 s near-collisions, e.g. the 95.3M tone build's two
+                deterministic colliding clips — see probe_wrong.py)
 
 Latency here includes host RTT to the TPU tunnel; on-chip cost is the
 exp_qps number.  Accuracy is asserted (every clip must top-1 its song).
@@ -136,6 +140,7 @@ def main():
     sweep = [int(c) for c in
              os.environ.get("SERVE_SWEEP", str(CLIENTS)).split(",")]
     all_wrong = []
+    worst_acc = 1.0
     for n_clients in sweep:
         lat, wrong = [], []
         lock = threading.Lock()
@@ -180,6 +185,7 @@ def main():
                               "errors": len(errors)}), flush=True)
             print("ERRORS:", errors[:5], flush=True)
             all_wrong.append(("all-errors", n_clients))
+            worst_acc = 0.0
             continue
         stats = srv.batcher.stats
         batches = stats["batches"] - b0.get("batches", 0)
@@ -203,9 +209,14 @@ def main():
         if errors:
             print("ERRORS:", errors[:5], flush=True)
         all_wrong.extend(wrong)
+        worst_acc = min(worst_acc, 1.0 - len(wrong) / n)
     srv.close()
     if all_wrong:
         print("WRONG:", all_wrong[:10])
+    acc_min = float(os.environ.get("SERVE_ACC_MIN", 1.0))
+    print(f"worst sweep accuracy {worst_acc:.4f} (floor {acc_min})",
+          flush=True)
+    if worst_acc < acc_min:
         raise SystemExit(1)
 
 
