@@ -459,29 +459,77 @@ def _expand_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
 
 def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
                     q_first, *, match_capacity: int, offset_stride: int):
-    """``_expand_spans`` over a CONSOLIDATED (n_spans, span_rows) layout.
+    """``_expand_spans`` over a CONSOLIDATED (n_spans, span_rows) layout,
+    with ONE global ``match_capacity`` budget shared across spans.
 
-    The unrolled per-span loop serializes n_spans dynamic search
-    descents and expansion gathers; vmapping over the stacked span axis
-    issues every span's gathers in one batched round — the descent is
-    latency-bound random HBM access, so S x the lanes in flight
-    amortizes it (the same reason the by-song sharded regime stacks its
-    shards, parallel/bigcatalog.py).
+    The per-span variant pays n_spans x match_capacity expansion gathers
+    and hands the vote rank an n_spans-x-longer stream even though the
+    real row count is the same catalog split S ways (measured: 32.3 ms
+    recognize_clip at 436.7M in 4 spans vs 4.0 ms at 95.3M in one — the
+    known lever).  Here the descents stay vmapped over the span axis
+    (S x the lanes in one latency-bound random-HBM round), but the runs
+    of ALL spans then share one shortest-first budget (the _expand
+    policy) and gather through the flat (n_spans * span_rows) view of
+    the stacked columns — expansion cost and vote-stream length match
+    the single-index path regardless of span count.
+
+    Returns (sid, delta, first, valid, total, clamp_signal, n_dropped);
+    the clamp signal is the global total (the budget is global, so
+    "needs escalation" is exactly ``total > match_capacity`` — callers
+    compare it to the capacity just like the per-span max).
     """
-    def one(span_cols, head):
-        return _expand(span_cols, q_hi, q_lo, q_ex, q_t, q_valid,
-                       match_capacity=match_capacity,
-                       offset_stride=offset_stride, head=head)
+    n_spans, span_rows = stacked_arrays[0].shape
+    n_pairs = q_hi.shape[0]
+
+    def bounds(span_cols, head):
+        return lexi_bounds(span_cols[0], span_cols[1], span_cols[2],
+                           q_hi, q_lo, q_ex, head=head, q_valid=q_valid)
 
     if heads is None:
-        sid, delta, p, valid, totals, drops = jax.vmap(
-            lambda c: one(c, None))(stacked_arrays)
+        lb, ub = jax.vmap(lambda c: bounds(c, None))(stacked_arrays)
     else:
-        sid, delta, p, valid, totals, drops = jax.vmap(one)(
-            stacked_arrays, heads)
-    first = jnp.take(q_first, p.reshape(-1))
-    return (sid.reshape(-1), delta.reshape(-1), first, valid.reshape(-1),
-            jnp.sum(totals), jnp.max(totals), jnp.sum(drops))
+        lb, ub = jax.vmap(bounds)(stacked_arrays, heads)
+
+    # flatten runs span-major: run r = s * n_pairs + pair
+    lens = jnp.where(q_valid[None, :], ub - lb, 0).reshape(-1)
+    base = (jnp.arange(n_spans, dtype=jnp.int32)[:, None] * span_rows
+            + lb).reshape(-1)
+    total = jnp.sum(lens)
+
+    # global shortest-first run budget (see _expand)
+    order = jnp.argsort(lens)
+    lens_s = jnp.take(lens, order)
+    base_s = jnp.take(base, order)
+    cum = jnp.cumsum(lens_s)
+    included = cum <= match_capacity
+    n_dropped = jnp.sum(((lens_s > 0) & ~included).astype(jnp.int32))
+    lens_inc = jnp.where(included, lens_s, 0)
+    cum_inc = jnp.cumsum(lens_inc)
+    total_inc = cum_inc[-1]
+
+    v = jnp.arange(match_capacity, dtype=jnp.int32)
+    marks = jnp.zeros(match_capacity, jnp.int32).at[cum_inc].add(
+        1, mode="drop")
+    p = jnp.cumsum(marks)
+    p = jnp.minimum(p, lens.shape[0] - 1)
+    prev = jnp.where(p > 0, jnp.take(cum_inc, p - 1), 0)
+    row = jnp.take(base_s, p) + (v - prev)
+    valid = v < total_inc
+    pair = jnp.take(order, p) % n_pairs
+
+    safe_row = jnp.where(valid, row, 0)
+    if offset_stride:
+        packed = jnp.take(stacked_arrays[3].reshape(-1), safe_row)
+        sid = (packed // offset_stride).astype(jnp.int32)
+        doff = (packed % offset_stride).astype(jnp.int32)
+    else:
+        sid = jnp.take(stacked_arrays[3].reshape(-1),
+                       safe_row).astype(jnp.int32)
+        doff = jnp.take(stacked_arrays[4].reshape(-1),
+                        safe_row).astype(jnp.int32)
+    delta = doff - jnp.take(q_t, pair).astype(jnp.int32)
+    first = jnp.take(q_first, pair)
+    return sid, delta, first, valid, total, total, n_dropped
 
 
 def _expand_any_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
@@ -537,9 +585,12 @@ def match_query_sparse_spanned(
     a tuple of per-span heads or one (n_spans, 2^bits + 1) stack.
 
     Returns (RawMatch, span_max): ``total_rows`` sums the spans' exact
-    counts; ``span_max`` is the largest per-span count — the caller's
-    retry trigger, since each span clamps its expansion independently at
-    ``match_capacity``.
+    counts; ``span_max`` is the clamp/retry signal the caller compares
+    against ``match_capacity`` — the largest per-span count for the
+    per-span-tuple layout (each span clamps independently), the global
+    total for the stacked layout (one shared budget, see
+    ``_expand_stacked``).  Either way "``span_max`` <= capacity" means
+    the expansion was exhaustive and a larger capacity fits everything.
     """
     check_vote_key(n_songs, delta_range)
     sid, delta, first, valid, total, span_max, n_dropped = \

@@ -639,3 +639,80 @@ def test_spanned_torn_delete_reconciles_on_load(tmp_path):
     clip1 = songs[1][1][11025: 11025 + 2 * 44100]
     out1 = fresh.recognize_samples([clip1])
     assert out1["results"][0]["song_name"] == "s1"
+
+
+def test_stacked_joint_budget_clamp_and_escalation():
+    """The stacked layout shares ONE match_capacity budget across spans
+    (lookup._expand_stacked): the clamp signal is the global total, the
+    shortest-first run budget drops whole runs (n_dropped counts them),
+    and escalating to a capacity that fits the total reproduces the flat
+    matcher exactly."""
+    import jax
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import build_head, stacked_head_bits, \
+        maybe_build_head
+    from shazam_tpu.match.lookup import (match_query_sparse,
+                                         match_query_sparse_spanned)
+
+    n_rows, n_songs, stride, n_spans = 30000, 40, 4096, 3
+    hi, lo, ex, sid, off = _random_index(n_rows, n_songs, stride, seed=3)
+    # hot keys: repeat one key across many rows so runs are long enough
+    # that a small budget must drop some
+    hot = n_rows // 4
+    hi[:hot] = hi[hot]
+    lo[:hot] = lo[hot]
+    ex[:hot] = ex[hot]
+    order = np.lexsort((off, sid, ex, lo, hi))
+    hi, lo, ex, sid, off = (a[order] for a in (hi, lo, ex, sid, off))
+    packed = sid * np.uint32(stride) + off
+    flat = tuple(jnp.asarray(a) for a in (hi, lo, ex, packed))
+
+    span_rows = -(-n_rows // n_spans)
+
+    def spanify(a):
+        rows = []
+        for k in range(n_spans):
+            part = a[k::n_spans]
+            rows.append(np.concatenate(
+                [part, np.full(span_rows - len(part), 0xFFFFFFFF,
+                               np.uint32)]))
+        return jnp.asarray(np.stack(rows))
+
+    stacked = tuple(spanify(a) for a in (hi, lo, ex, packed))
+    bits = stacked_head_bits(span_rows)
+    heads = jax.vmap(lambda h: build_head(h, bits=bits))(stacked[0])
+
+    rng = np.random.default_rng(11)
+    q_n = 128
+    pick = rng.integers(0, n_rows, q_n)
+    pick[:8] = hot                     # guarantee hot-run hits
+    q = dict(
+        q_hi=jnp.asarray(hi[pick]), q_lo=jnp.asarray(lo[pick]),
+        q_ex=jnp.asarray(ex[pick]),
+        q_t=jnp.asarray(rng.integers(0, 50, q_n).astype(np.uint32)),
+        q_valid=jnp.asarray(np.ones(q_n, bool)),
+        q_first=jnp.asarray(np.ones(q_n, bool)),
+    )
+    kw = dict(n_songs=n_songs, delta_min=-64, delta_range=stride + 128,
+              topn=5, offset_stride=stride)
+
+    small, clamp = match_query_sparse_spanned(
+        stacked, *q.values(), heads=heads, match_capacity=2048, **kw)
+    total = int(small.total_rows)
+    assert total > 2048, "test setup must overflow the small budget"
+    assert int(clamp) == total          # global-total clamp signal
+    assert int(small.n_dropped) > 0     # whole runs were dropped
+
+    cap = 4096
+    while cap < total:
+        cap *= 2
+    big, clamp2 = match_query_sparse_spanned(
+        stacked, *q.values(), heads=heads, match_capacity=cap, **kw)
+    assert int(clamp2) == total and int(big.n_dropped) == 0
+
+    ref = match_query_sparse(flat, *q.values(),
+                             head=maybe_build_head(flat[0]),
+                             match_capacity=cap, **kw)
+    for f in ("top_songs", "top_votes", "top_deltas", "row_counts"):
+        np.testing.assert_array_equal(np.asarray(getattr(big, f)),
+                                      np.asarray(getattr(ref, f)))
