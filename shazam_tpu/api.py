@@ -42,7 +42,8 @@ from .index.devmerge import DeviceIndex
 from .index.catalog import SongCatalog
 from .match.prepare import prepare_query
 from .index.search import maybe_build_head
-from .match.lookup import match_query, match_query_sparse
+from .match.lookup import (match_query, match_query_pruned,
+                           match_query_sparse)
 from .match.align import align_results
 
 
@@ -1098,7 +1099,7 @@ class SIA:
         # (warn rather than silently change semantics vs the reference's
         # partial-scan apriori mode)
         if early_exit and (self._is_spanned
-                           or n_songs_live * delta_range > 16_000_000):
+                           or n_songs_live * delta_range > self.config.sparse_vote_threshold):
             import warnings
 
             warnings.warn(
@@ -1116,7 +1117,7 @@ class SIA:
                 min_capacity=min_capacity)
         head = self._ensure_head(dev)
         uview, usteps = self._ensure_uview(dev)
-        if early_exit and n_songs_live * delta_range <= 16_000_000:
+        if early_exit and n_songs_live * delta_range <= self.config.sparse_vote_threshold:
             # the single-dispatch while_loop variant: the margin test
             # runs on device, so an early exit actually pays instead of
             # trading batches for ~100 ms tunnel RTTs each
@@ -1153,20 +1154,29 @@ class SIA:
         # costs ~3 passes over n_songs*delta_range*4 bytes per query
         # (~1.5 GB / ~5 ms at 12K songs); the sort-based sparse matcher
         # is O(match_capacity) and element-identical (tested)
-        use_sparse = n_songs * delta_range > 16_000_000
-        matcher = match_query_sparse if use_sparse else match_query
+        use_sparse = n_songs * delta_range > self.config.sparse_vote_threshold
+        # candidate-pruned rank: O(cap) scatters instead of the
+        # O(cap log cap) vote sort that dominates escalated tiers, with
+        # an in-program lax.cond sort fallback when the exactness
+        # certificate fails — element-identical results either way
+        # (tested), one dispatch always
+        n_cand = self.config.rank_candidates
 
         def run(cap):
-            return jax.device_get(matcher(
-                dev,
-                jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
-                jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
-                n_songs=n_songs, delta_min=delta_min,
-                delta_range=delta_range, match_capacity=cap,
-                topn=topn or self.config.topn,
-                offset_stride=self._offset_stride,
-                head=head, uview=uview, u_steps=usteps,
-            ))
+            q_args = (jnp.asarray(q.hi), jnp.asarray(q.lo),
+                      jnp.asarray(q.ex), jnp.asarray(q.t),
+                      jnp.asarray(q.valid), jnp.asarray(q.first))
+            kw = dict(n_songs=n_songs, delta_min=delta_min,
+                      delta_range=delta_range, match_capacity=cap,
+                      topn=topn or self.config.topn,
+                      offset_stride=self._offset_stride,
+                      head=head, uview=uview, u_steps=usteps)
+            if use_sparse and n_cand > 0:
+                raw, _ok = jax.device_get(match_query_pruned(
+                    dev, *q_args, n_candidates=n_cand, **kw))
+                return raw
+            matcher = match_query_sparse if use_sparse else match_query
+            return jax.device_get(matcher(dev, *q_args, **kw))
 
         cap = caps[0]
         raw = run(cap)
@@ -1211,24 +1221,31 @@ class SIA:
         semantics ``align_results`` expects — when no span clamped,
         nothing was dropped even if the summed total exceeds one tier.
         """
-        from .match.lookup import match_query_sparse_spanned
+        from .match.lookup import (match_query_pruned_spanned,
+                                   match_query_sparse_spanned)
 
         heads = self._ensure_heads(dev)
         caps = self._match_tiers()
         if min_capacity is not None:
             caps = [c for c in caps if c >= min_capacity] or caps[-1:]
+        n_cand = self.config.rank_candidates
 
         def run(cap):
+            q_args = (jnp.asarray(q.hi), jnp.asarray(q.lo),
+                      jnp.asarray(q.ex), jnp.asarray(q.t),
+                      jnp.asarray(q.valid), jnp.asarray(q.first))
+            kw = dict(n_songs=n_songs, delta_min=delta_min,
+                      delta_range=delta_range, match_capacity=cap,
+                      topn=topn or self.config.topn,
+                      offset_stride=self._offset_stride,
+                      heads=heads)
+            if n_cand > 0:
+                raw, span_max, _ok = jax.device_get(
+                    match_query_pruned_spanned(
+                        dev, *q_args, n_candidates=n_cand, **kw))
+                return raw, span_max
             return jax.device_get(match_query_sparse_spanned(
-                dev,
-                jnp.asarray(q.hi), jnp.asarray(q.lo), jnp.asarray(q.ex),
-                jnp.asarray(q.t), jnp.asarray(q.valid), jnp.asarray(q.first),
-                n_songs=n_songs, delta_min=delta_min,
-                delta_range=delta_range, match_capacity=cap,
-                topn=topn or self.config.topn,
-                offset_stride=self._offset_stride,
-                heads=heads,
-            ))
+                dev, *q_args, **kw))
 
         cap = caps[0]
         raw, span_max = run(cap)
@@ -1293,6 +1310,8 @@ class SIA:
             use_fused=_fused_ok(self.config),
             query_capacity=q_cap,
             head=head, uview=uview, u_steps=usteps,
+            rank_candidates=self.config.rank_candidates,
+            sparse_threshold=self.config.sparse_vote_threshold,
         ))
         device_time = time.time() - t0
         if (
@@ -1347,6 +1366,7 @@ class SIA:
                 use_fused=_fused_ok(self.config),
                 query_capacity=q_cap,
                 heads=heads,
+                rank_candidates=self.config.rank_candidates,
             ))
         device_time = time.time() - t0
         if (
@@ -1481,16 +1501,51 @@ class SIA:
             offset_stride=self._offset_stride,
         )
         span_maxes = None
+        use_sparse = (kw["n_songs"] * delta_range
+                      > self.config.sparse_vote_threshold)
+        n_cand = self.config.rank_candidates if use_sparse else 0
         if self._is_spanned:
             from .match.batched import match_queries_batched_spanned
-
-            raw, span_maxes = jax.device_get(match_queries_batched_spanned(
-                dev, *q_args, heads=self._ensure_heads(dev), **kw))
         else:
             uview, usteps = self._ensure_uview(dev)
-            raw = jax.device_get(match_queries_batched(
-                dev, *q_args, head=self._ensure_head(dev),
-                uview=uview, u_steps=usteps, **kw))
+
+        def dispatch(cap, pruned=True):
+            """One batched device program; returns (raw, span_maxes,
+            oks, clamp).  ``oks`` is the per-clip pruned-rank exactness
+            certificate (None on the sort path): under vmap the
+            in-program cond fallback would execute both branches, so
+            failed clips are instead re-dispatched solo below."""
+            kw2 = dict(kw, match_capacity=cap)
+            want = pruned and n_cand > 0
+            if self._is_spanned:
+                heads = self._ensure_heads(dev)
+                if want:
+                    r, sm, oks = jax.device_get(
+                        match_queries_batched_spanned(
+                            dev, *q_args, heads=heads,
+                            rank_candidates=n_cand, **kw2))
+                else:
+                    r, sm = jax.device_get(match_queries_batched_spanned(
+                        dev, *q_args, heads=heads, **kw2))
+                    oks = None
+                cl = np.asarray(sm)[:n_real]
+            else:
+                hd = self._ensure_head(dev)
+                if want:
+                    r, oks = jax.device_get(match_queries_batched(
+                        dev, *q_args, head=hd, uview=uview,
+                        u_steps=usteps, sparse=True,
+                        rank_candidates=n_cand, **kw2))
+                else:
+                    r, oks = jax.device_get(match_queries_batched(
+                        dev, *q_args, head=hd, uview=uview,
+                        u_steps=usteps, sparse=use_sparse, **kw2)), None
+                sm = None
+                cl = np.asarray(r.total_rows)[:n_real]
+            return r, sm, oks, cl
+
+        raw, span_maxes, oks, clamp = dispatch(
+            match_capacity or self.config.match_capacity)
 
         # per-clip escalation: the batch runs at the base tier; a clip
         # whose expansion clamped (largest per-span count when spanned,
@@ -1507,44 +1562,56 @@ class SIA:
         batch_cap = match_capacity or self.config.match_capacity
         tiers = self._match_tiers()
 
+        # mass certificate failure (e.g. a batch of clips that are not
+        # in the catalog): ONE whole-batch sort re-dispatch replaces a
+        # pile of solo retries
+        if oks is not None:
+            failed = np.nonzero(~np.asarray(oks)[:n_real])[0]
+            if len(failed) > max(n_real // 2, 1):
+                raw, span_maxes, oks, clamp = dispatch(batch_cap,
+                                                       pruned=False)
+
         def undecided(clamped_ids):
             # provably-exact early accept per clip (see _decided): a
             # clamped clip whose top-1 margin beats its excluded-run
-            # count needs no re-dispatch
+            # count needs no re-dispatch.  A cert-failed pruned row is
+            # NOT exact — its margins must never accept.
             if not self.config.decision_escalation:
                 return clamped_ids
             margin_ok = (np.asarray(raw.top_votes)[:, 0]
                          - np.asarray(raw.runner_votes)
                          > np.asarray(raw.n_dropped))[:n_real]
+            if oks is not None:
+                margin_ok = margin_ok & np.asarray(oks)[:n_real]
             decided_ids.update(int(i) for i in clamped_ids if margin_ok[i])
             return clamped_ids[~margin_ok[clamped_ids]]
 
         if tiers[-1] > batch_cap:
-            clamp = (np.asarray(span_maxes) if span_maxes is not None
-                     else np.asarray(raw.total_rows))[:n_real]
             over = undecided(np.nonzero(clamp > batch_cap)[0])
             if len(over) > max(n_real // 2, 1):
                 need = int(clamp.max())
                 batch_cap = next((c for c in tiers if c >= need),
                                  tiers[-1])
                 kw["match_capacity"] = batch_cap
-                if self._is_spanned:
-                    raw, span_maxes = jax.device_get(
-                        match_queries_batched_spanned(
-                            dev, *q_args, heads=self._ensure_heads(dev),
-                            **kw))
-                    clamp = np.asarray(span_maxes)[:n_real]
-                else:
-                    raw = jax.device_get(match_queries_batched(
-                        dev, *q_args, head=self._ensure_head(dev),
-                        uview=uview, u_steps=usteps, **kw))
-                    clamp = np.asarray(raw.total_rows)[:n_real]
+                raw, span_maxes, oks, clamp = dispatch(batch_cap)
                 decided_ids.clear()   # judged against the old dispatch
                 over = undecided(np.nonzero(clamp > batch_cap)[0])
             for i in over:
                 retried[int(i)] = self._match_prepared(
                     queries[i], len(clips[i]), topn=topn,
                     min_capacity=int(clamp[i]))
+
+        # solo re-dispatch for remaining cert-failed rows (their pruned
+        # RawMatch is not exact); the solo path's in-program cond
+        # fallback makes the retry exact in one dispatch
+        if oks is not None:
+            okarr = np.asarray(oks)[:n_real]
+            for i in np.nonzero(~okarr)[0]:
+                ii = int(i)
+                if ii not in retried and ii not in peak_over:
+                    retried[ii] = self._match_prepared(
+                        queries[ii], len(clips[ii]), topn=topn,
+                        min_capacity=max(int(clamp[ii]), 1))
         query_time = time.time() - t0
 
         out = []

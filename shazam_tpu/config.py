@@ -59,6 +59,21 @@ class FingerprintConfig:
     # bounds), like the reference's own apriori partial-scan mode; set
     # False to force full-expansion counts on every overflow.
     decision_escalation: bool = True
+    # candidate-pruned vote rank (big catalogs): hashed vote-count
+    # upper bounds select the top-rank_candidates songs, the exact dense
+    # histogram is built only for those, and an exactness certificate
+    # selects between the pruned result and an in-program sort-rank
+    # fallback (match/lookup._pruned_vote_rank) — element-identical to
+    # the full sort either way, but the O(cap log cap) vote sort that
+    # dominates escalated capacities is only paid when the certificate
+    # fails (weak, tie-heavy top votes).  0 disables (always sort).
+    rank_candidates: int = 256
+    # dense-histogram cutoff: past n_songs * delta_range vote bins the
+    # dense (n_songs, delta_range) table costs more than the
+    # O(match_capacity) sparse/pruned ranks (measured ~1.5 GB/query at
+    # 12K songs).  Exposed mainly so tests can force the big-catalog
+    # paths on small corpora; every matcher is element-identical.
+    sparse_vote_threshold: int = 16_000_000
     # --- matching / results ---
     topn: int = 2                     # TOPN (recognizer.py:68)
     # --- numerics ---

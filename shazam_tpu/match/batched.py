@@ -15,14 +15,16 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .lookup import (match_local, match_query_sparse, rank_votes,
-                     RawMatch)
+from .lookup import (match_local, match_query_pruned, match_query_sparse,
+                     rank_votes, RawMatch, _expand, _expand_any_spans,
+                     _pruned_vote_rank)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
-                     "topn", "offset_stride", "sparse", "u_steps"),
+                     "topn", "offset_stride", "sparse", "u_steps",
+                     "rank_candidates"),
 )
 def match_queries_batched(
     index_arrays,
@@ -38,17 +40,39 @@ def match_queries_batched(
     head=None,
     uview=None,
     u_steps: int = 0,
+    rank_candidates: int = 0,
 ) -> RawMatch:
     """Match a (Bq, Q) batch of padded queries; returns batched RawMatch.
 
     ``sparse`` (default: auto past 16M histogram bins) vmaps the
     sort-based matcher instead of the dense histogram — a (Bq, n_songs,
     delta_range) histogram stack is ~4 GB per batch at 12K songs.
+
+    ``rank_candidates`` > 0 (sparse only) vmaps the candidate-pruned
+    rank instead of the vote sort and returns ``(RawMatch, oks)`` where
+    ``oks`` is the per-clip exactness certificate.  Under vmap an
+    in-program cond would execute BOTH branches, so there is no fused
+    fallback here: a clip whose certificate fails must be re-dispatched
+    through the solo matcher by the caller (api.recognize_batch does) —
+    its RawMatch row is NOT exact.
     """
     if sparse is None:
         sparse = n_songs * delta_range > 16_000_000
 
     def one(hi, lo, ex, t, valid, first):
+        if sparse and rank_candidates > 0:
+            sid, delta, p, valid_s, total, n_dropped = _expand(
+                index_arrays, hi, lo, ex, t, valid,
+                match_capacity=match_capacity,
+                offset_stride=offset_stride, head=head,
+                uview=uview, u_steps=u_steps,
+            )
+            return _pruned_vote_rank(
+                sid, delta, jnp.take(first, p), valid_s, total, n_dropped,
+                n_songs=n_songs, delta_min=delta_min,
+                delta_range=delta_range, topn=topn,
+                n_candidates=rank_candidates,
+            )
         if sparse:
             return match_query_sparse(
                 index_arrays, hi, lo, ex, t, valid, first,
@@ -72,7 +96,7 @@ def match_queries_batched(
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
-                     "topn", "offset_stride"),
+                     "topn", "offset_stride", "rank_candidates"),
 )
 def match_queries_batched_spanned(
     span_arrays,
@@ -85,15 +109,36 @@ def match_queries_batched_spanned(
     topn: int = 2,
     offset_stride: int = 0,
     heads=None,
+    rank_candidates: int = 0,
 ):
     """``match_queries_batched`` against a spanned index (per-span tuples
     or the consolidated stacked layout — lookup.match_query_sparse_spanned
     dispatches).  Returns (batched RawMatch, (Bq,) span_max): the retry /
     overflow signal is per clip, since every span clamps its expansion
-    independently at ``match_capacity``."""
+    independently at ``match_capacity`` (the global total for the
+    stacked layout's shared budget).
+
+    ``rank_candidates`` > 0 returns (RawMatch, span_max, oks) with the
+    per-clip exactness certificate — same contract as
+    ``match_queries_batched``: a failed clip's row is NOT exact and the
+    caller re-dispatches it solo."""
     from .lookup import match_query_sparse_spanned
 
     def one(hi, lo, ex, t, valid, first):
+        if rank_candidates > 0:
+            sid, delta, first_s, valid_s, total, span_max, n_dropped = \
+                _expand_any_spans(
+                    span_arrays, heads, hi, lo, ex, t, valid, first,
+                    match_capacity=match_capacity,
+                    offset_stride=offset_stride,
+                )
+            raw, ok = _pruned_vote_rank(
+                sid, delta, first_s, valid_s, total, n_dropped,
+                n_songs=n_songs, delta_min=delta_min,
+                delta_range=delta_range, topn=topn,
+                n_candidates=rank_candidates,
+            )
+            return raw, span_max, ok
         return match_query_sparse_spanned(
             span_arrays, hi, lo, ex, t, valid, first,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,

@@ -424,6 +424,214 @@ def _sparse_vote_rank(sid, delta, first, valid, total, n_dropped=None, *,
     )
 
 
+def _pruned_vote_rank(sid, delta, first, valid, total, n_dropped=None, *,
+                      n_songs: int, delta_min: int, delta_range: int,
+                      topn: int, n_candidates: int):
+    """Candidate-pruned dense vote rank: O(cap) scatters, no vote sort.
+
+    At escalated capacities the sparse rank's ``lax.sort(cap)`` dominates
+    the whole match (measured: 32.75 ms of the 36.98 ms fitting tier at
+    262144 rows vs the 95.3M-hash production index — exp_decided.py).
+    This path exploits the bound that a song's best (song, delta) bin
+    can hold at most as many votes as the song has expanded rows:
+
+    1. scatter votes into a HASHED bin table (size >= 16x capacity, so
+       collisions are rare); a (song, delta) bin's hashed count can only
+       be inflated by collisions, so the per-song maximum of the hashed
+       counts its rows land in is a TIGHT UPPER BOUND on the song's true
+       best-bin votes (per-song row counts were tried first and are far
+       too loose: at production scale hot keys give every song tens of
+       rows while real vote bins hold a handful);
+    2. take the top ``n_candidates`` songs by vote upper bound; any
+       EXCLUDED song's true votes are bounded by ``excluded_max``, the
+       largest excluded upper bound;
+    3. build the exact dense histogram only for the candidates
+       ((C, delta_range) — a few MB instead of the full
+       n_songs x delta_range table the sparse path exists to avoid);
+    4. certify: when ``excluded_max`` is strictly below the reported
+       topn-th vote count (and <= ``runner_votes``), no excluded song
+       could place in the top-n or change the strongest challenger, so
+       the result is ELEMENT-IDENTICAL to the full sort rank.  When
+       ``excluded_max == 0`` the pruned result is the exact dense rank
+       outright (every excluded song truly has zero votes).
+
+    Returns (RawMatch, rank_exact).  ``rank_exact`` False means the
+    certificate failed (weak, tie-heavy top votes — e.g. a clip not in
+    the catalog) and the RawMatch must not be used — the wrappers
+    ``match_query_pruned``/``match_query_pruned_spanned`` fall back to
+    the sort rank IN-PROGRAM via ``lax.cond``, so their results are
+    unconditionally exact.  Correctness never depends on the heuristic
+    candidate choice or the hash function.
+
+    Certificate soundness: true votes <= hashed upper bound for every
+    song (collisions only add), so excluded songs' votes are <=
+    ``excluded_max``.  STRICTLY below the reported topn-th count means
+    no excluded song can enter the top-n, and ties cannot reorder it
+    (equality is rejected: an excluded song with equal votes and a
+    smaller id would displace under the smallest-id tie rule).
+    ``<= runner_votes`` keeps the challenger maximum exact (implied by
+    the first condition when topn >= 2; binding for topn == 1).
+    """
+    cap = sid.shape[0]
+    dbin = delta - delta_min
+    in_range = (dbin >= 0) & (dbin < delta_range)
+    vote_ok = valid & in_range
+
+    # hashed vote-count upper bound per song. Fibonacci multiplicative
+    # hash of the flat (song, delta) key into 2^m buckets; >= 16x the
+    # stream length keeps expected collision inflation per bin << 1.
+    # table memory capped at 2^24 bins (64 MB): past that the stream is
+    # >= 1M rows and 4-16x headroom still keeps collisions rare
+    m = min(24, max(18, (cap * 16 - 1).bit_length()))
+    flat_key = (jnp.asarray(sid, jnp.uint32) * jnp.uint32(delta_range)
+                + jnp.asarray(dbin, jnp.uint32))
+    bucket = ((flat_key * jnp.uint32(0x9E3779B1))
+              >> jnp.uint32(32 - m)).astype(jnp.int32)
+    bucket = jnp.where(vote_ok, bucket, -1)      # mode="drop" discards
+    hashed = jnp.zeros(1 << m, jnp.int32).at[bucket].add(
+        vote_ok.astype(jnp.int32), mode="drop")
+    row_ub = jnp.take(hashed, jnp.maximum(bucket, 0))
+    ub_song = jnp.zeros(n_songs, jnp.int32).at[sid].max(
+        jnp.where(vote_ok, row_ub, 0), mode="drop")
+
+    C = min(n_candidates, n_songs)
+    if n_songs > C:
+        cr, cs = jax.lax.top_k(ub_song, C + 1)
+        cand_songs = cs[:C]
+        excluded_max = cr[C]
+    else:
+        cand_songs = jnp.arange(C, dtype=jnp.int32)
+        excluded_max = jnp.int32(0)
+
+    cand_slot = jnp.full(n_songs, C, jnp.int32).at[cand_songs].set(
+        jnp.arange(C, dtype=jnp.int32), mode="drop")
+    cslot = jnp.take(cand_slot, jnp.minimum(sid, n_songs - 1))
+    live = vote_ok & (cslot < C)
+    flat = jnp.where(live, cslot * delta_range + dbin, 0)
+    hist = jnp.zeros(C * delta_range, jnp.int32).at[flat].add(
+        live.astype(jnp.int32), mode="drop").reshape(C, delta_range)
+
+    votes_per_cand = jnp.max(hist, axis=1)
+    best_bin_cand = jnp.argmax(hist, axis=1)  # first max => smallest delta
+
+    # scatter candidate results back onto song ids: top_k ties then keep
+    # the smallest SONG id (the dense matcher's rule), not the
+    # row-count-ordered candidate slot
+    votes_full = jnp.zeros(n_songs, jnp.int32).at[cand_songs].set(
+        votes_per_cand, mode="drop")
+    best_bin_full = jnp.zeros(n_songs, jnp.int32).at[cand_songs].set(
+        best_bin_cand.astype(jnp.int32), mode="drop")
+
+    rows_hist = jnp.zeros(n_songs, jnp.int32).at[sid].add(
+        (valid & first).astype(jnp.int32), mode="drop")
+
+    k = min(topn, n_songs)
+    top_votes, top_songs = jax.lax.top_k(votes_full, k)
+    if k < topn:
+        top_votes = jnp.pad(top_votes, (0, topn - k))
+        top_songs = jnp.pad(top_songs, (0, topn - k))
+    # zero-vote songs report delta_min, like the dense argmax on an
+    # all-zero row (best_bin_full is 0 there by construction)
+    top_deltas = jnp.take(best_bin_full, top_songs).astype(jnp.int32) \
+        + delta_min
+    row_counts = jnp.take(rows_hist, top_songs)
+    # ub_song > 0 iff the song received >= 1 in-range vote — exact
+    n_ranked = jnp.sum((ub_song > 0).astype(jnp.int32))
+
+    # strongest challenger (see rank_votes): 2nd-ranked song + the
+    # winner's 2nd-best delta bin from its candidate histogram row
+    k2 = min(2, n_songs)
+    tv2 = jax.lax.top_k(votes_full, k2)[0]
+    second_song = tv2[1] if k2 == 2 else jnp.int32(0)
+    win_slot = jnp.take(cand_slot, top_songs[0])
+    top_row = jax.lax.dynamic_index_in_dim(
+        hist, jnp.minimum(win_slot, C - 1), 0, keepdims=False)
+    bins = jnp.arange(delta_range, dtype=jnp.int32)
+    win_best = jnp.take(best_bin_full, top_songs[0])
+    second_bin = jnp.max(jnp.where(bins == win_best, jnp.int32(-1),
+                                   top_row))
+    runner = jnp.maximum(second_song, second_bin).astype(jnp.int32)
+    if n_dropped is None:
+        n_dropped = jnp.int32(0)
+
+    # exactness certificate. excluded_max == 0: every excluded song has
+    # zero votes, votes_full IS the dense votes-per-song array.
+    # Otherwise: strictly below the topn-th vote count means no excluded
+    # song can enter (or tie into) the reported top-n, and <= runner
+    # means the challenger maximum is unaffected (topn >= 2 implies the
+    # second condition; it matters for topn == 1).
+    rank_exact = (excluded_max == 0) | (
+        (excluded_max < top_votes[k - 1]) & (excluded_max <= runner))
+
+    raw = RawMatch(
+        top_songs.astype(jnp.int32), top_deltas, top_votes,
+        row_counts, total, n_ranked,
+        jnp.asarray(n_dropped, jnp.int32), runner,
+    )
+    return raw, rank_exact
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
+                     "topn", "offset_stride", "u_steps", "n_candidates"),
+)
+def match_query_pruned(
+    index_arrays,
+    q_hi: jnp.ndarray,
+    q_lo: jnp.ndarray,
+    q_ex: jnp.ndarray,
+    q_t: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    q_first: jnp.ndarray,
+    *,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 65536,
+    topn: int = 2,
+    offset_stride: int = 0,
+    head=None,
+    uview=None,
+    u_steps: int = 0,
+    n_candidates: int = 256,
+):
+    """``match_query_sparse`` with the candidate-pruned rank.
+
+    ALWAYS element-identical to ``match_query_sparse`` at the same
+    capacity (tested): the exactness certificate selects between the
+    pruned result and an in-program ``lax.cond`` sort-rank fallback over
+    the SAME expansion — one dispatch either way, and the ~O(cap log
+    cap) vote sort is only paid when the certificate fails (weak,
+    tie-heavy top votes).  Returns (RawMatch, rank_exact) where
+    ``rank_exact`` reports which branch ran (telemetry only).
+
+    NB under ``vmap`` the cond degrades to executing both branches —
+    the batched matcher keeps the plain sort path for that reason.
+    """
+    check_vote_key(n_songs, delta_range)
+    sid, delta, p, valid, total, n_dropped = _expand(
+        index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
+        match_capacity=match_capacity, offset_stride=offset_stride,
+        head=head, uview=uview, u_steps=u_steps,
+    )
+    first = jnp.take(q_first, p)
+    raw_p, ok = _pruned_vote_rank(
+        sid, delta, first, valid, total, n_dropped,
+        n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+        topn=topn, n_candidates=n_candidates,
+    )
+    raw = jax.lax.cond(
+        ok,
+        lambda: raw_p,
+        lambda: _sparse_vote_rank(
+            sid, delta, first, valid, total, n_dropped,
+            n_songs=n_songs, delta_min=delta_min,
+            delta_range=delta_range, topn=topn),
+    )
+    return raw, ok
+
+
 def _expand_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
                   q_first, *, match_capacity: int, offset_stride: int):
     """Expand a query against every span; concatenate the vote streams.
@@ -604,3 +812,57 @@ def match_query_sparse_spanned(
         topn=topn,
     )
     return raw, span_max
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
+                     "topn", "offset_stride", "n_candidates"),
+)
+def match_query_pruned_spanned(
+    span_arrays,
+    q_hi: jnp.ndarray,
+    q_lo: jnp.ndarray,
+    q_ex: jnp.ndarray,
+    q_t: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    q_first: jnp.ndarray,
+    *,
+    n_songs: int,
+    delta_min: int,
+    delta_range: int,
+    match_capacity: int = 65536,
+    topn: int = 2,
+    offset_stride: int = 0,
+    heads=None,
+    n_candidates: int = 256,
+):
+    """``match_query_sparse_spanned`` with the candidate-pruned rank.
+
+    ALWAYS element-identical to ``match_query_sparse_spanned`` (same
+    in-program ``lax.cond`` sort fallback as ``match_query_pruned``);
+    the concatenated span vote streams feed ``_pruned_vote_rank``
+    exactly as they feed the sort rank — votes for one (song, delta)
+    coalesce in the candidate histogram regardless of which span
+    produced them.  Returns (RawMatch, span_max, rank_exact).
+    """
+    check_vote_key(n_songs, delta_range)
+    sid, delta, first, valid, total, span_max, n_dropped = \
+        _expand_any_spans(
+            span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
+            match_capacity=match_capacity, offset_stride=offset_stride,
+        )
+    raw_p, ok = _pruned_vote_rank(
+        sid, delta, first, valid, total, n_dropped,
+        n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+        topn=topn, n_candidates=n_candidates,
+    )
+    raw = jax.lax.cond(
+        ok,
+        lambda: raw_p,
+        lambda: _sparse_vote_rank(
+            sid, delta, first, valid, total, n_dropped,
+            n_songs=n_songs, delta_min=delta_min,
+            delta_range=delta_range, topn=topn),
+    )
+    return raw, span_max, ok

@@ -25,8 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fingerprint import fingerprint_batch_fused, fingerprint_batch
-from .lookup import (match_local, match_query_sparse, rank_votes, RawMatch,
-                     check_vote_key, _expand_any_spans, _sparse_vote_rank)
+from .lookup import (match_local, match_query_pruned, match_query_sparse,
+                     rank_votes, RawMatch, check_vote_key,
+                     _expand_any_spans, _pruned_vote_rank,
+                     _sparse_vote_rank)
 
 
 def _fingerprint_dedup(samples, n_valid, *, fs, wsize, hop, amp_min,
@@ -110,7 +112,7 @@ def _fingerprint_dedup(samples, n_valid, *, fs, wsize, hop, amp_min,
                      "min_dt", "max_dt", "peak_capacity", "n_songs",
                      "delta_min", "delta_range", "match_capacity", "topn",
                      "offset_stride", "use_fused", "query_capacity",
-                     "u_steps"),
+                     "u_steps", "rank_candidates", "sparse_threshold"),
 )
 def recognize_on_device(
     samples: jnp.ndarray,          # (1, padded_len) float32
@@ -137,6 +139,8 @@ def recognize_on_device(
     head=None,
     uview=None,
     u_steps: int = 0,
+    rank_candidates: int = 0,
+    sparse_threshold: int = 16_000_000,
 ):
     """One jitted program: mono clip -> (RawMatch, n_pairs, n_peaks, n_hash).
 
@@ -154,16 +158,27 @@ def recognize_on_device(
         query_capacity=query_capacity,
     )
 
-    if n_songs * delta_range > 16_000_000:
-        # big catalogs: sort-based sparse matcher (O(match_capacity),
-        # element-identical — see lookup.match_query_sparse)
-        raw = match_query_sparse(
-            index_arrays, sort_hi, lo, ex, t1, q_valid, q_first,
-            n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-            match_capacity=match_capacity, topn=topn,
-            offset_stride=offset_stride, head=head,
-            uview=uview, u_steps=u_steps,
-        )
+    if n_songs * delta_range > sparse_threshold:
+        # big catalogs: candidate-pruned rank with in-program sort
+        # fallback when rank_candidates > 0, else the sort-based sparse
+        # matcher — all element-identical (see lookup.match_query_pruned)
+        if rank_candidates > 0:
+            raw, _ok = match_query_pruned(
+                index_arrays, sort_hi, lo, ex, t1, q_valid, q_first,
+                n_songs=n_songs, delta_min=delta_min,
+                delta_range=delta_range, match_capacity=match_capacity,
+                topn=topn, offset_stride=offset_stride, head=head,
+                uview=uview, u_steps=u_steps,
+                n_candidates=rank_candidates,
+            )
+        else:
+            raw = match_query_sparse(
+                index_arrays, sort_hi, lo, ex, t1, q_valid, q_first,
+                n_songs=n_songs, delta_min=delta_min,
+                delta_range=delta_range, match_capacity=match_capacity,
+                topn=topn, offset_stride=offset_stride, head=head,
+                uview=uview, u_steps=u_steps,
+            )
     else:
         hist, rows_hist, total, n_dropped = match_local(
             index_arrays, sort_hi, lo, ex, t1, q_valid, q_first,
@@ -181,7 +196,8 @@ def recognize_on_device(
     static_argnames=("fs", "wsize", "hop", "amp_min", "radius", "fan_value",
                      "min_dt", "max_dt", "peak_capacity", "n_songs",
                      "delta_min", "delta_range", "match_capacity", "topn",
-                     "offset_stride", "use_fused", "query_capacity"),
+                     "offset_stride", "use_fused", "query_capacity",
+                     "rank_candidates"),
 )
 def recognize_on_device_spanned(
     samples: jnp.ndarray,          # (1, padded_len) float32
@@ -206,6 +222,7 @@ def recognize_on_device_spanned(
     use_fused: bool = True,
     query_capacity: int = 4096,
     heads=None,
+    rank_candidates: int = 0,
 ):
     """``recognize_on_device`` against a spanned index (SpannedDeviceStore).
 
@@ -230,9 +247,25 @@ def recognize_on_device_spanned(
             span_arrays, heads, sort_hi, lo, ex, t1, q_valid, q_first,
             match_capacity=match_capacity, offset_stride=offset_stride,
         )
-    raw = _sparse_vote_rank(
-        sid, delta, first, valid, total, n_dropped,
-        n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-        topn=topn,
-    )
+    if rank_candidates > 0:
+        raw_p, ok = _pruned_vote_rank(
+            sid, delta, first, valid, total, n_dropped,
+            n_songs=n_songs, delta_min=delta_min,
+            delta_range=delta_range, topn=topn,
+            n_candidates=rank_candidates,
+        )
+        raw = jax.lax.cond(
+            ok,
+            lambda: raw_p,
+            lambda: _sparse_vote_rank(
+                sid, delta, first, valid, total, n_dropped,
+                n_songs=n_songs, delta_min=delta_min,
+                delta_range=delta_range, topn=topn),
+        )
+    else:
+        raw = _sparse_vote_rank(
+            sid, delta, first, valid, total, n_dropped,
+            n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
+            topn=topn,
+        )
     return raw, span_max, n_pairs, n_peaks, n_hashes_total

@@ -103,3 +103,54 @@ def test_metadata_roundtrip(engine):
     md = engine.get_metadata(1)
     assert md["track_title"] == "T"
     assert md["artist_name"] == "X"
+
+
+def test_sparse_and_pruned_paths_match_dense_end_to_end(corpus):
+    """Force the big-catalog matchers on a small corpus
+    (sparse_vote_threshold=0) and check the whole API surface returns
+    results identical to the default dense path: recognize_samples (the
+    tiered host path), recognize_clip (single dispatch), and
+    recognize_batch (vmapped + certificate solo retries) — with the
+    pruned rank on (default) and off (rank_candidates=0)."""
+    files = [f for f, _ in corpus]
+    clips = [_clip(i, start_s=2.0 + i) for i in range(N_SONGS)]
+    clips.append(np.zeros(44100 * 3, np.float32))  # silence: no match
+    miss = synth_song(999, duration_s=5.0, seed=123)  # not in catalog
+    clips.append(miss)
+
+    def run(cfg):
+        sia = SIA(config=cfg)
+        sia.ingest_files(files, batch_size=4)
+        outs = {
+            "samples": [sia.recognize_samples([c]) for c in clips],
+            "clip": [sia.recognize_clip(c) for c in clips],
+            "batch": sia.recognize_batch(clips),
+        }
+        return outs
+
+    def strip(res):
+        # timings differ run to run; compare the semantic payload
+        return [
+            (r["results"][0]["song_name"] if r["results"] else None,
+             r["results"][0]["offset"] if r["results"] else None,
+             r["results"][0]["hashes_matched_in_input"] if r["results"]
+             else None,
+             r["total_matches"])
+            for r in (res if isinstance(res, list) else [res])
+        ]
+
+    base = run(FingerprintConfig())
+    forced = run(FingerprintConfig(sparse_vote_threshold=0))
+    pruned_off = run(FingerprintConfig(sparse_vote_threshold=0,
+                                       rank_candidates=0))
+    tiny_c = run(FingerprintConfig(sparse_vote_threshold=0,
+                                   rank_candidates=2))
+
+    for key in ("samples", "clip", "batch"):
+        want = strip(base[key])
+        assert strip(forced[key]) == want, key
+        assert strip(pruned_off[key]) == want, key
+        assert strip(tiny_c[key]) == want, key
+    # sanity: the planted clips actually recognized
+    names = [s for s, *_ in strip(base["batch"])]
+    assert names[:N_SONGS] == [f"track{i:06d}" for i in range(N_SONGS)]

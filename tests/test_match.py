@@ -433,3 +433,130 @@ def test_sparse_matcher_equals_dense():
     s2 = match_query_sparse(*args, **kw2)
     for a, b in zip(s2, d2):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pruned_matcher_equals_sparse():
+    """match_query_pruned (candidate-pruned dense rank with an
+    in-program lax.cond sort fallback) must be ELEMENT-IDENTICAL to the
+    sort path UNCONDITIONALLY — whichever branch the exactness
+    certificate selects."""
+    import jax.numpy as jnp
+    import numpy as np
+    from shazam_tpu.match.lookup import (match_query, match_query_pruned,
+                                         match_query_sparse)
+
+    rng = np.random.default_rng(12)
+    n, n_songs, stride = 200_000, 4000, 1024
+    hi = rng.integers(0, 1 << 12, n, dtype=np.uint32)
+    lo = rng.integers(0, 1 << 4, n, dtype=np.uint32)
+    ex = rng.integers(0, 1 << 2, n, dtype=np.uint32)
+    sid = rng.integers(0, n_songs, n, dtype=np.uint32)
+    off = rng.integers(0, 1000, n, dtype=np.uint32)
+    # two planted songs: a strong winner and a clear runner-up, so the
+    # strict certificate has a real gap to certify at topn=2
+    plant = rng.choice(n, 400, replace=False)
+    sid[plant] = 1234
+    off[plant] = np.sort(rng.integers(60, 900, 400)).astype(np.uint32)
+    plant2 = rng.choice(np.setdiff1d(np.arange(n), plant), 120,
+                        replace=False)
+    sid[plant2] = 777
+    off[plant2] = (rng.integers(60, 900, 120) * 0 + 500).astype(np.uint32)
+    order = np.lexsort((off, sid, ex, lo, hi))
+    cols = tuple(jnp.asarray(a[order]) for a in (hi, lo, ex))
+    cols = cols + (jnp.asarray(
+        sid[order] * np.uint32(stride) + off[order]),)
+
+    Q = 512
+    q_hi, q_lo, q_ex = hi[plant], lo[plant], ex[plant]
+    q_t = (off[plant].astype(np.int64) - 40).astype(np.uint32)
+
+    def padq(a):
+        out = np.zeros(Q, a.dtype)
+        out[:400] = a
+        return jnp.asarray(out)
+
+    qv = jnp.asarray(np.arange(Q) < 400)
+    kw = dict(n_songs=n_songs, delta_min=-256, delta_range=1536,
+              match_capacity=65536, topn=2, offset_stride=stride)
+    args = (cols, padq(q_hi), padq(q_lo), padq(q_ex), padq(q_t), qv, qv)
+
+    sparse = match_query_sparse(*args, **kw)
+    oks = {}
+    for n_cand in (1, 64, 256, n_songs):
+        pruned, ok = match_query_pruned(*args, n_candidates=n_cand, **kw)
+        oks[n_cand] = bool(ok)
+        for a, b in zip(pruned, sparse):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), n_cand
+    assert int(pruned.top_songs[0]) == 1234
+    # C = 1: only one candidate, top_votes[1] is forced to 0 while other
+    # songs own votes — the certificate must fail closed (sort branch)
+    assert not oks[1]
+    # n_candidates >= n_songs degenerates to the exact dense rank and
+    # the certificate is unconditionally true
+    assert oks[n_songs]
+    # dense parity too (three-way agreement)
+    dense = match_query(*args, **kw)
+    for a, b in zip(sparse, dense):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # clamped expansion must agree too (truncated vote streams)
+    kw2 = dict(kw, match_capacity=1024)
+    s2 = match_query_sparse(*args, **kw2)
+    p2, _ = match_query_pruned(*args, n_candidates=256, **kw2)
+    for a, b in zip(p2, s2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # topn=1: the certificate needs the runner bound; results must agree
+    kw1 = dict(kw, topn=1)
+    s1 = match_query_sparse(*args, **kw1)
+    p1, _ = match_query_pruned(*args, n_candidates=256, **kw1)
+    for a, b in zip(p1, s1):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # no-hit query: zero votes everywhere -> excluded_max == 0 path,
+    # certificate true, result equals the sparse rank
+    q_miss = jnp.asarray(np.full(Q, 0xFFFFFFF0, np.uint32))
+    margs = (cols, q_miss, padq(q_lo), padq(q_ex), padq(q_t), qv, qv)
+    pm, okm = match_query_pruned(*margs, n_candidates=64, **kw)
+    sm = match_query_sparse(*margs, **kw)
+    assert bool(okm)
+    for a, b in zip(pm, sm):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pruned_matcher_randomized_parity():
+    """Randomized adversarial parity: many small random indexes / query
+    mixes (hits, misses, ties), pruned == sparse element-identical at
+    several candidate counts."""
+    import jax.numpy as jnp
+    import numpy as np
+    from shazam_tpu.match.lookup import match_query_pruned, match_query_sparse
+
+    for seed in range(6):
+        rng = np.random.default_rng(100 + seed)
+        n, n_songs, stride = 20_000, 64, 1024
+        hi = rng.integers(0, 1 << 6, n, dtype=np.uint32)   # heavy ties
+        lo = rng.integers(0, 1 << 2, n, dtype=np.uint32)
+        ex = np.zeros(n, np.uint32)
+        sid = rng.integers(0, n_songs, n, dtype=np.uint32)
+        off = rng.integers(0, 400, n, dtype=np.uint32)
+        order = np.lexsort((off, sid, ex, lo, hi))
+        cols = tuple(jnp.asarray(a[order]) for a in (hi, lo, ex))
+        cols = cols + (jnp.asarray(
+            sid[order] * np.uint32(stride) + off[order]),)
+
+        Q = 256
+        pick = rng.integers(0, n, Q)
+        q = (hi[pick], lo[pick], ex[pick],
+             rng.integers(0, 100, Q).astype(np.uint32))
+        qv = jnp.asarray(rng.random(Q) < 0.9)
+        qf = jnp.asarray(rng.random(Q) < 0.7)
+        kw = dict(n_songs=n_songs, delta_min=-128, delta_range=1280,
+                  match_capacity=8192, topn=3, offset_stride=stride)
+        args = (cols, *(jnp.asarray(a) for a in q), qv, qf)
+        sparse = match_query_sparse(*args, **kw)
+        for n_cand in (2, 16, 64):
+            pruned, _ = match_query_pruned(*args, n_candidates=n_cand, **kw)
+            for a, b in zip(pruned, sparse):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), (
+                    seed, n_cand)

@@ -716,3 +716,14 @@ def test_stacked_joint_budget_clamp_and_escalation():
     for f in ("top_songs", "top_votes", "top_deltas", "row_counts"):
         np.testing.assert_array_equal(np.asarray(getattr(big, f)),
                                       np.asarray(getattr(ref, f)))
+
+    # the candidate-pruned spanned matcher (in-program cond fallback)
+    # must agree element-identically at every candidate count
+    from shazam_tpu.match.lookup import match_query_pruned_spanned
+    for n_cand in (2, 16, n_songs):
+        pruned, clamp_p, _ok = match_query_pruned_spanned(
+            stacked, *q.values(), heads=heads, match_capacity=cap,
+            n_candidates=n_cand, **kw)
+        assert int(clamp_p) == total
+        for a, b in zip(pruned, big):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
