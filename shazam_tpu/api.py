@@ -1038,6 +1038,7 @@ class SIA:
             # the reference returns no matches, not a crash
             return {
                 "results": [], "total_matches": 0, "overflowed": False,
+                "partial_counts": False,
                 "input_hashes": 0, "fingerprint_time": 0.0,
                 "query_time": 0.0, "align_time": 0.0, "total_time": 0.0,
             }
@@ -1066,6 +1067,7 @@ class SIA:
             "results": matched.results,
             "total_matches": matched.total_matches,
             "overflowed": matched.overflowed,
+            "partial_counts": matched.partial_counts,
             "input_hashes": q.n_pairs,
             "fingerprint_time": fingerprint_time,
             "query_time": query_time,
@@ -1338,6 +1340,7 @@ class SIA:
             "results": matched.results,
             "total_matches": matched.total_matches,
             "overflowed": matched.overflowed,
+            "partial_counts": matched.partial_counts,
             "input_hashes": int(n_pairs),
             "fingerprint_time": device_time,  # one fused dispatch
             "query_time": 0.0,
@@ -1392,6 +1395,7 @@ class SIA:
             "results": matched.results,
             "total_matches": matched.total_matches,
             "overflowed": matched.overflowed,
+            "partial_counts": matched.partial_counts,
             "input_hashes": int(n_pairs),
             "fingerprint_time": device_time,  # one fused dispatch
             "query_time": 0.0,
@@ -1590,12 +1594,23 @@ class SIA:
             over = undecided(np.nonzero(clamp > batch_cap)[0])
             if len(over) > max(n_real // 2, 1):
                 need = int(clamp.max())
-                batch_cap = next((c for c in tiers if c >= need),
-                                 tiers[-1])
-                kw["match_capacity"] = batch_cap
-                raw, span_maxes, oks, clamp = dispatch(batch_cap)
-                decided_ids.clear()   # judged against the old dispatch
-                over = undecided(np.nonzero(clamp > batch_cap)[0])
+                cand_cap = next((c for c in tiers if c >= need),
+                                tiers[-1])
+                # HBM guard: under vmap every clip carries a hashed
+                # candidate table (<= 2^24 int32 = 64 MB) plus ~6
+                # expansion arrays of cap int32 — a 64-clip batch at
+                # match_capacity_max approaches the 16 GB chip alongside
+                # a production index. Past ~4 GB estimated footprint the
+                # whole-batch re-dispatch loses to solo retries anyway
+                # (it would page), so fall through to them.
+                m_bits = min(24, max(18, (cand_cap * 16 - 1).bit_length()))
+                per_clip = (1 << m_bits) * 4 + 6 * cand_cap * 4
+                if n_real * per_clip <= (4 << 30):
+                    batch_cap = cand_cap
+                    kw["match_capacity"] = batch_cap
+                    raw, span_maxes, oks, clamp = dispatch(batch_cap)
+                    decided_ids.clear()  # judged against the old dispatch
+                    over = undecided(np.nonzero(clamp > batch_cap)[0])
             for i in over:
                 retried[int(i)] = self._match_prepared(
                     queries[i], len(clips[i]), topn=topn,
@@ -1647,6 +1662,7 @@ class SIA:
                 "results": matched.results,
                 "total_matches": matched.total_matches,
                 "overflowed": matched.overflowed,
+                "partial_counts": matched.partial_counts,
                 "input_hashes": queries[i].n_pairs,
                 # clips are fingerprinted/matched in ONE device program,
                 # so per-clip stage times are the measured batch times

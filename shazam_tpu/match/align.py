@@ -31,6 +31,13 @@ class MatchResult(NamedTuple):
     results: List[Dict]
     total_matches: int
     overflowed: bool
+    # True when the expansion budget excluded runs (n_dropped > 0): the
+    # top-1 song/offset may still be provably exact (the early-accept
+    # certificate — see RawMatch), but HASHES_MATCHED / vote-count /
+    # n_ranked style fields are LOWER BOUNDS, not the full-expansion
+    # counts the reference reports. Serving clients use this to tell
+    # bounded counts from exact ones.
+    partial_counts: bool = False
 
 
 def align_results(
@@ -55,6 +62,10 @@ def align_results(
     n_ranked = int(raw.n_ranked)
     cap = match_capacity or config.match_capacity
     overflowed = total > cap
+    # n_dropped > 0 <=> the expansion budget excluded runs, so count
+    # fields are lower bounds (early-accepted clamps report a fitting
+    # capacity and read overflowed=False — this flag still marks them)
+    partial = int(getattr(raw, "n_dropped", 0)) > 0
 
     results = []
     for rank in range(min(len(top_songs), n_ranked)):
@@ -81,4 +92,4 @@ def align_results(
             FIELD_FILE_SHA1: song["file_sha1"] if song else None,
         }
         results.append(record)
-    return MatchResult(results, total, overflowed)
+    return MatchResult(results, total, overflowed, partial)

@@ -687,6 +687,11 @@ def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
     compare it to the capacity just like the per-span max).
     """
     n_spans, span_rows = stacked_arrays[0].shape
+    if n_spans * span_rows >= 2 ** 31:
+        raise ValueError(
+            f"stacked layout {n_spans} x {span_rows} rows >= 2^31: flat "
+            "int32 row indices would overflow — split the catalog across "
+            "devices/hosts instead of stacking past ~2.1B rows")
     n_pairs = q_hi.shape[0]
 
     def bounds(span_cols, head):

