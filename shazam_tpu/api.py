@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,21 @@ def _bucket_len(n: int, step: int = 1 << 18) -> int:
 
 def _batch_fingerprints(fp: Fingerprints, i: int) -> Fingerprints:
     return Fingerprints(*(np.asarray(a)[i] for a in fp))
+
+
+class _PreparedBatch(NamedTuple):
+    """``SIA.prepare_batch`` output: everything ``match_prepared_batch``
+    needs, host-resident, so a serving pipeline can hand it between
+    threads (fingerprint batch k+1 while batch k's match dispatch is in
+    flight — serve.MicroBatcher)."""
+
+    clips: List[np.ndarray]        # original clips (retry paths need them)
+    queries: List                  # per-lane QueryPairs (align needs n_pairs)
+    stack: Dict[str, np.ndarray]   # padded (B, q_cap) query columns
+    peak_over: set                 # clip ids whose peaks overflowed
+    topn: Optional[int]
+    match_capacity: Optional[int]  # base-tier override
+    fingerprint_time: float
 
 
 def _fused_ok(config: FingerprintConfig) -> bool:
@@ -1431,13 +1446,35 @@ class SIA:
         programs before the listener opens instead of inside a live
         request (measured: 28-49 s p95/p99 tails at the 95.3M tone
         build were exactly these compiles).
-        """
-        from .match.batched import match_queries_batched
 
+        Internally this is ``prepare_batch`` (fingerprint + host query
+        prep) followed by ``match_prepared_batch`` (match dispatch +
+        escalation + align) — a serving daemon can run the two stages on
+        a two-deep pipeline so batch k+1 fingerprints while batch k's
+        match round-trips the device (serve.MicroBatcher does).
+        """
+        pb = self.prepare_batch(clips, topn=topn, pad_to_pow2=pad_to_pow2,
+                                q_pad_to=q_pad_to,
+                                match_capacity=match_capacity)
+        if pb is None:
+            return []
+        return self.match_prepared_batch(pb)
+
+    def prepare_batch(
+        self,
+        clips: Sequence[np.ndarray],
+        topn: Optional[int] = None,
+        pad_to_pow2: bool = False,
+        q_pad_to: Optional[int] = None,
+        match_capacity: Optional[int] = None,
+    ) -> Optional["_PreparedBatch"]:
+        """Stage 1 of ``recognize_batch``: fingerprint the clips as one
+        fused device batch and build the stacked host query arrays.
+        Returns None for an empty batch."""
         t0 = time.time()
         n_real = len(clips)
         if n_real == 0:
-            return []
+            return None
         n_clips = n_real
         if pad_to_pow2:
             n_clips = 1
@@ -1489,13 +1526,31 @@ class SIA:
             for name in ("hi", "lo", "ex", "t", "valid", "first")
         }
         fingerprint_time = time.time() - t0
+        return _PreparedBatch(
+            clips=[np.asarray(c) for c in clips], queries=queries,
+            stack=stack, peak_over=peak_over, topn=topn,
+            match_capacity=match_capacity,
+            fingerprint_time=fingerprint_time)
+
+    def match_prepared_batch(self, pb: "_PreparedBatch") -> List[Dict]:
+        """Stage 2 of ``recognize_batch``: one vmapped match dispatch
+        over the prepared query stack, per-clip capacity escalation,
+        host-side alignment. See ``recognize_batch`` for semantics."""
+        from .match.batched import match_queries_batched
+
+        clips, queries = pb.clips, pb.queries
+        n_real = len(clips)
+        topn = pb.topn
+        match_capacity = pb.match_capacity
+        peak_over = pb.peak_over
+        fingerprint_time = pb.fingerprint_time
 
         t0 = time.time()
         dev = self._ensure_device_index()
         delta_min, delta_range = self._delta_params_for(
             max(len(c) for c in clips)
         )
-        q_args = tuple(jnp.asarray(stack[n]) for n in
+        q_args = tuple(jnp.asarray(pb.stack[n]) for n in
                        ("hi", "lo", "ex", "t", "valid", "first"))
         kw = dict(
             n_songs=max(self._live_n_songs(), 1),

@@ -181,6 +181,7 @@ def cmd_serve(args):
         persist_path=(args.db + ".npz") if args.persist else None,
         max_streams=args.max_streams, stream_ttl_s=args.stream_ttl,
         auth_token=args.auth_token or os.environ.get("SHAZAM_SERVE_TOKEN"),
+        pipeline=not args.no_pipeline,
     )
     print(json.dumps({"serving": f"http://{args.host}:{server.port}",
                       "songs": sia.catalog.counts()["n_songs"],
@@ -295,6 +296,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="largest micro-batch per device dispatch")
     s.add_argument("--max-wait-ms", type=float, default=10.0,
                    help="how long the first request waits for companions")
+    s.add_argument("--no-pipeline", action="store_true",
+                   help="disable the two-stage fingerprint/match "
+                        "pipeline (one batch in flight at a time)")
     s.add_argument("--warmup", type=float, default=5.0, metavar="SECONDS",
                    help="pre-compile serving programs with clips this long "
                         "(0 disables)")

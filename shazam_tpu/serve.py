@@ -45,9 +45,14 @@ Catalog mutations can be gated behind a bearer token
 ``SHAZAM_SERVE_TOKEN``): recognition stays open, but /ingest, /delete
 and /save then require ``Authorization: Bearer <token>``.
 
-Every SIA/device interaction happens on the single batcher thread —
-HTTP handler threads only decode audio and wait on an event — so the
-engine needs no locking and device programs never interleave.
+Threading model: HTTP handler threads only decode audio and wait on an
+event. The batcher thread owns every engine MUTATION (ingest/delete/
+save/streams) and stage 1 of recognition (fingerprint + query prep);
+a second match thread runs stage 2 (match dispatch + align) on a
+depth-1 pipeline, so batch k+1 fingerprints while batch k's match
+round-trips the device (``pipeline=False`` restores the single-thread
+round-robin). Mutations quiesce the pipeline first, so the engine
+still never sees concurrent mutation.
 """
 
 from __future__ import annotations
@@ -103,7 +108,7 @@ class MicroBatcher:
 
     def __init__(self, sia, max_batch: int = 16, max_wait_ms: float = 10.0,
                  persist_path: Optional[str] = None, max_streams: int = 8,
-                 stream_ttl_s: float = 300.0):
+                 stream_ttl_s: float = 300.0, pipeline: bool = True):
         self.sia = sia
         self.persist_path = persist_path
         self.max_batch = int(max_batch)
@@ -118,10 +123,25 @@ class MicroBatcher:
                       "max_batch": 0, "errors": 0, "ingests": 0}
         # rolling queue->response latencies (seconds); /stats summarizes
         self._lat: deque = deque(maxlen=4096)
+        self._slock = threading.Lock()  # stats/_lat cross two threads now
         self._stop = threading.Event()
+        # two-stage pipeline: the batcher thread decodes + fingerprints
+        # (SIA.prepare_batch) and hands prepared batches to the match
+        # thread (SIA.match_prepared_batch), so batch k+1's fingerprint
+        # dispatch overlaps batch k's match round trip — the ~100 ms
+        # device RTT per dispatch no longer serializes the whole daemon
+        # (round-3 listener peaked ~10x under the device rate).
+        # maxsize=1 = exactly one batch in flight behind the matcher.
+        self.pipeline = bool(pipeline) and hasattr(sia, "prepare_batch")
+        self._pipe: "queue.Queue" = queue.Queue(maxsize=1)
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="sia-batcher")
         self._thread.start()
+        self._mthread = None
+        if self.pipeline:
+            self._mthread = threading.Thread(target=self._match_loop,
+                                             daemon=True, name="sia-matcher")
+            self._mthread.start()
 
     def submit(self, p: _Pending) -> None:
         self.q.put(p)
@@ -130,6 +150,8 @@ class MicroBatcher:
         self._stop.set()
         self.q.put(None)  # wake the loop
         self._thread.join(timeout=5)
+        if self._mthread is not None:
+            self._mthread.join(timeout=5)
 
     # ---- batcher thread -------------------------------------------------
     def _collect(self, first: _Pending) -> List[_Pending]:
@@ -151,17 +173,62 @@ class MicroBatcher:
     def _finish(self, p: _Pending) -> None:
         """Attach metadata and release the waiter — called per request
         the moment its result exists, so batched answers never wait on
-        slower requests from the same collection round."""
+        slower requests from the same collection round. Called from the
+        batcher AND the match thread (pipeline), hence the lock."""
         if p.result is not None and p.result.get("results"):
             p.result["metadata"] = self._metadata_for(
                 p.result["results"][0]["song_name"])
-        self.stats["requests"] += 1
-        self._lat.append(time.monotonic() - p.t0)
+        with self._slock:
+            self.stats["requests"] += 1
+            self._lat.append(time.monotonic() - p.t0)
         p.event.set()
+
+    def _batch_stats(self, n: int) -> None:
+        with self._slock:
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += n
+            self.stats["max_batch"] = max(self.stats["max_batch"], n)
+
+    def _flush(self) -> None:
+        """Quiesce the pipeline: wait until the match thread has drained
+        every handed-off batch (no-op when the pipeline is off/empty)."""
+        self._pipe.join()
+
+    def _match_loop(self) -> None:
+        """Stage-2 thread: match dispatch + escalation + align for
+        prepared batches. Device dispatch from two threads is safe (JAX
+        serializes programs); engine MUTATIONS stay on the batcher
+        thread, which flushes this pipe first."""
+        while True:
+            try:
+                item = self._pipe.get(timeout=0.25)
+            except queue.Empty:
+                if self._stop.is_set():
+                    return
+                continue
+            try:
+                pb, mono = item
+                try:
+                    outs = self.sia.match_prepared_batch(pb)
+                    for p, out in zip(mono, outs):
+                        p.result = out
+                except Exception as e:  # noqa: BLE001 — per request
+                    with self._slock:
+                        self.stats["errors"] += len(mono)
+                    for p in mono:
+                        p.error = f"{type(e).__name__}: {e}"
+                self._batch_stats(len(mono))
+                for p in mono:
+                    self._finish(p)
+            except Exception:  # noqa: BLE001 — the matcher must survive
+                pass
+            finally:
+                self._pipe.task_done()
 
     def latency_summary(self) -> Dict:
         """count/mean/p50/p99 of recent queue->response latencies (ms)."""
-        lats = sorted(self._lat)
+        with self._slock:
+            lats = sorted(self._lat)
         if not lats:
             return {"count": 0}
         n = len(lats)
@@ -174,9 +241,13 @@ class MicroBatcher:
 
     def _answer(self, batch: List[_Pending]) -> None:
         # catalog mutations (ingest/delete) run individually on this
-        # same thread (the engine is single-threaded by construction)
+        # same thread; with the pipeline on, the engine is quiesced
+        # first (the match thread reads index state mid-batch — a
+        # concurrent mutation could hand it inconsistent device arrays)
         admin = [p for p in batch if p.kind != "recognize"]
         batch = [p for p in batch if p.kind == "recognize"]
+        if any(p.kind in ("ingest", "delete") for p in admin):
+            self._flush()
         for p in admin:
             try:
                 if p.kind == "save":
@@ -216,7 +287,8 @@ class MicroBatcher:
                     # per mutation — size the flag to your catalog.
                     self.sia.save_index(self.persist_path)
             except Exception as e:  # noqa: BLE001 — reported per request
-                self.stats["errors"] += 1
+                with self._slock:
+                    self.stats["errors"] += 1
                 p.error = f"{type(e).__name__}: {e}"
             self._finish(p)
         if not batch:
@@ -229,24 +301,40 @@ class MicroBatcher:
         mono = [p for p in batch if len(p.channels) == 1]
         topns = {p.topn for p in mono}
         if mono and len(topns) == 1:
-            try:
-                # pad_to_pow2: varying micro-batch sizes must not each
-                # compile a fresh device program (minutes per remote
-                # TPU compile) — O(log max_batch) shapes total
-                outs = self.sia.recognize_batch(
-                    [p.channels[0] for p in mono], topn=mono[0].topn,
-                    pad_to_pow2=True)
-                for p, out in zip(mono, outs):
-                    p.result = out
-            except Exception as e:  # noqa: BLE001 — reported per request
-                self.stats["errors"] += len(mono)
+            if self.pipeline:
+                # stage 1 here (fingerprint dispatch + host query prep),
+                # stage 2 on the match thread: while batch k round-trips
+                # its match dispatch, this thread is already collecting
+                # and fingerprinting batch k+1
+                try:
+                    pb = self.sia.prepare_batch(
+                        [p.channels[0] for p in mono], topn=mono[0].topn,
+                        pad_to_pow2=True)
+                    self._pipe.put((pb, mono))  # blocks at depth 1
+                except Exception as e:  # noqa: BLE001 — per request
+                    with self._slock:
+                        self.stats["errors"] += len(mono)
+                    for p in mono:
+                        p.error = f"{type(e).__name__}: {e}"
+                        self._finish(p)
+            else:
+                try:
+                    # pad_to_pow2: varying micro-batch sizes must not
+                    # each compile a fresh device program (minutes per
+                    # remote TPU compile) — O(log max_batch) shapes
+                    outs = self.sia.recognize_batch(
+                        [p.channels[0] for p in mono], topn=mono[0].topn,
+                        pad_to_pow2=True)
+                    for p, out in zip(mono, outs):
+                        p.result = out
+                except Exception as e:  # noqa: BLE001 — per request
+                    with self._slock:
+                        self.stats["errors"] += len(mono)
+                    for p in mono:
+                        p.error = f"{type(e).__name__}: {e}"
+                self._batch_stats(len(mono))
                 for p in mono:
-                    p.error = f"{type(e).__name__}: {e}"
-            self.stats["batches"] += 1
-            self.stats["batched_requests"] += len(mono)
-            self.stats["max_batch"] = max(self.stats["max_batch"], len(mono))
-            for p in mono:
-                self._finish(p)
+                    self._finish(p)
             rest = [p for p in batch if len(p.channels) != 1]
         else:
             rest = batch
@@ -254,7 +342,8 @@ class MicroBatcher:
             try:
                 p.result = self.sia.recognize_samples(p.channels, topn=p.topn)
             except Exception as e:  # noqa: BLE001
-                self.stats["errors"] += 1
+                with self._slock:
+                    self.stats["errors"] += 1
                 p.error = f"{type(e).__name__}: {e}"
             self._finish(p)
 
@@ -346,9 +435,10 @@ class MicroBatcher:
                 # future request into a silent timeout
                 for p in batch:
                     if not p.event.is_set():
-                        self.stats["errors"] += 1
+                        with self._slock:
+                            self.stats["errors"] += 1
+                            self.stats["requests"] += 1
                         p.error = f"{type(e).__name__}: {e}"
-                        self.stats["requests"] += 1
                         p.event.set()
 
 
@@ -672,13 +762,14 @@ class RecognitionServer:
                  max_ingest_seconds: float = 600.0,
                  persist_path: Optional[str] = None,
                  max_streams: int = 8, stream_ttl_s: float = 300.0,
-                 auth_token: Optional[str] = None):
+                 auth_token: Optional[str] = None, pipeline: bool = True):
         self.sia = sia
         self.batcher = MicroBatcher(sia, max_batch=max_batch,
                                     max_wait_ms=max_wait_ms,
                                     persist_path=persist_path,
                                     max_streams=max_streams,
-                                    stream_ttl_s=stream_ttl_s)
+                                    stream_ttl_s=stream_ttl_s,
+                                    pipeline=pipeline)
         handler = _make_handler(self.batcher, sia, request_timeout_s,
                                 max_clip_seconds, max_ingest_seconds,
                                 auth_token=auth_token)

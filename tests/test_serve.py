@@ -173,12 +173,12 @@ def test_batcher_survives_engine_errors(server):
     """A raising engine must produce per-request 500s, not a dead
     batcher thread (every later request would 504 silently)."""
     sia = server.sia
-    orig = sia.recognize_batch
+    orig = sia.prepare_batch  # the pipelined batcher's stage-1 entry
 
     def boom(*a, **k):
         raise RuntimeError("transient device fault")
 
-    sia.recognize_batch = boom
+    sia.prepare_batch = boom
     try:
         url = f"http://127.0.0.1:{server.port}/recognize"
         results = {}
@@ -197,7 +197,7 @@ def test_batcher_survives_engine_errors(server):
         for code, out in results.values():
             assert code in (200, 500)
     finally:
-        sia.recognize_batch = orig
+        sia.prepare_batch = orig
 
     code, out = _post(url, _wav_bytes(_clip(1)))
     assert code == 200 and out["results"][0]["song_name"] == "s1"
@@ -630,17 +630,19 @@ def test_single_request_takes_batch_path(server):
     cold single-query programs."""
     sia = server.sia
     calls = {"batch": 0, "samples": 0}
-    orig_batch, orig_samples = sia.recognize_batch, sia.recognize_samples
+    # the pipelined batcher calls the two stages directly; counting
+    # prepare_batch covers both it and the recognize_batch wrapper
+    orig_prep, orig_samples = sia.prepare_batch, sia.recognize_samples
 
-    def count_batch(*a, **k):
+    def count_prep(*a, **k):
         calls["batch"] += 1
-        return orig_batch(*a, **k)
+        return orig_prep(*a, **k)
 
     def count_samples(*a, **k):
         calls["samples"] += 1
         return orig_samples(*a, **k)
 
-    sia.recognize_batch = count_batch
+    sia.prepare_batch = count_prep
     sia.recognize_samples = count_samples
     try:
         url = f"http://127.0.0.1:{server.port}/recognize"
@@ -648,6 +650,38 @@ def test_single_request_takes_batch_path(server):
         assert code == 200
         assert out["results"][0]["song_name"] == "s2"
     finally:
-        sia.recognize_batch = orig_batch
+        sia.prepare_batch = orig_prep
         sia.recognize_samples = orig_samples
     assert calls["batch"] == 1 and calls["samples"] == 0
+
+
+def test_pipeline_overlap_and_mutation_flush(server):
+    """The pipelined batcher (default) answers back-to-back waves
+    correctly — batch k+1 is prepared while batch k's match is in
+    flight — and an online ingest quiesces the match thread first, so
+    the new song is recognizable immediately after its 200."""
+    assert server.batcher.pipeline is True
+    url = f"http://127.0.0.1:{server.port}/recognize"
+    results = {}
+
+    def fire(i, sid):
+        code, out = _post(url, _wav_bytes(_clip(sid)))
+        results[i] = (code, out["results"][0]["song_name"]
+                      if out.get("results") else None)
+
+    threads = [threading.Thread(target=fire, args=(i, i % N_SONGS))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(8):
+        assert results[i] == (200, f"s{i % N_SONGS}"), (i, results[i])
+
+    new = synth_song(77, duration_s=DUR, seed=5)
+    code, out = _post(
+        f"http://127.0.0.1:{server.port}/ingest?name=live77",
+        _wav_bytes(new))
+    assert code == 200 and out.get("ingested") == 1, out
+    code, out = _post(url, _wav_bytes(new[FS: 6 * FS]))
+    assert code == 200 and out["results"][0]["song_name"] == "live77"
