@@ -930,6 +930,14 @@ class SIA:
             self._uview_src = k_hi
         return self._uview, self._usteps
 
+    def _span_uview(self):
+        """(stacked UniqueView, steps) of a consolidated spanned store,
+        or (None, 0) — the spanned matchers' preferred search table."""
+        store = self._dev_store
+        if store is not None and getattr(store, "is_spanned", False):
+            return store.uview
+        return None, 0
+
     def _ensure_heads(self, devs):
         """Per-span bucket-CDF heads (spanned store), cached by identity.
 
@@ -1241,7 +1249,10 @@ class SIA:
         from .match.lookup import (match_query_pruned_spanned,
                                    match_query_sparse_spanned)
 
-        heads = self._ensure_heads(dev)
+        uviews, usteps = self._span_uview()
+        # the uview supersedes the bucket-CDF heads for the stacked
+        # layout — skip their build (a 134M-row searchsorted per span)
+        heads = None if uviews is not None else self._ensure_heads(dev)
         caps = self._match_tiers()
         if min_capacity is not None:
             caps = [c for c in caps if c >= min_capacity] or caps[-1:]
@@ -1255,7 +1266,7 @@ class SIA:
                       delta_range=delta_range, match_capacity=cap,
                       topn=topn or self.config.topn,
                       offset_stride=self._offset_stride,
-                      heads=heads)
+                      heads=heads, uviews=uviews, u_steps=usteps)
             if n_cand > 0:
                 raw, span_max, _ok = jax.device_get(
                     match_query_pruned_spanned(
@@ -1368,7 +1379,10 @@ class SIA:
         """Single-dispatch recognition against the spanned store."""
         from .match.ondevice import recognize_on_device_spanned
 
-        heads = self._ensure_heads(dev)
+        uviews, usteps = self._span_uview()
+        # the uview supersedes the bucket-CDF heads for the stacked
+        # layout — skip their build (a 134M-row searchsorted per span)
+        heads = None if uviews is not None else self._ensure_heads(dev)
         raw, span_max, n_pairs, n_peaks, n_hashes = jax.device_get(
             recognize_on_device_spanned(
                 jnp.asarray(padded)[None, :],
@@ -1384,6 +1398,8 @@ class SIA:
                 use_fused=_fused_ok(self.config),
                 query_capacity=q_cap,
                 heads=heads,
+                uviews=uviews,
+                u_steps=usteps,
                 rank_candidates=self.config.rank_candidates,
             ))
         device_time = time.time() - t0
@@ -1577,15 +1593,19 @@ class SIA:
             kw2 = dict(kw, match_capacity=cap)
             want = pruned and n_cand > 0
             if self._is_spanned:
-                heads = self._ensure_heads(dev)
+                uviews, usteps = self._span_uview()
+                heads = (None if uviews is not None
+                         else self._ensure_heads(dev))
                 if want:
                     r, sm, oks = jax.device_get(
                         match_queries_batched_spanned(
                             dev, *q_args, heads=heads,
+                            uviews=uviews, u_steps=usteps,
                             rank_candidates=n_cand, **kw2))
                 else:
                     r, sm = jax.device_get(match_queries_batched_spanned(
-                        dev, *q_args, heads=heads, **kw2))
+                        dev, *q_args, heads=heads,
+                        uviews=uviews, u_steps=usteps, **kw2))
                     oks = None
                 cl = np.asarray(sm)[:n_real]
             else:

@@ -454,6 +454,11 @@ class SpannedDeviceStore:
         self.spans: list = [self._new_span()]
         self._stacked = None          # consolidate() serving layout
         self._stacked_valids: list = []
+        # stacked per-span unique-key view (build_unique_view_spans),
+        # built where host key rows pass through (load(stacked=True),
+        # from_host); None = the matchers use the bucket-CDF heads
+        self._uview = None
+        self._usteps = 0
 
     # ---- construction -------------------------------------------------
     @classmethod
@@ -472,6 +477,7 @@ class SpannedDeviceStore:
                 "use DeviceIndex / the by-song sharded regime instead")
         store = cls(span_rows, ix.n_songs, ix.max_offset,
                     stride if stride else 1)
+        key_rows = []
         for start in range(0, ix.n_hashes, span_rows):
             n = min(span_rows, ix.n_hashes - start)
             sl = slice(start, start + n)
@@ -480,10 +486,17 @@ class SpannedDeviceStore:
                 ix.song_id[sl], ix.offset[sl],
                 stride=stride, cap=span_rows)
             span = DeviceIndex(cols, n, ix.n_songs, ix.max_offset, stride)
+            key_rows.append((ix.key_hi[sl], ix.key_lo[sl], ix.key_ex[sl]))
             if store.spans[-1].n_valid == 0:
                 store.spans[-1] = span
             else:
                 store.spans.append(span)
+        # host key columns are in hand: pre-build the stacked unique-key
+        # view so consolidate() can serve through it (the per-span tuple
+        # layout ignores it)
+        from .search import build_unique_view_spans
+
+        store._uview, store._usteps = build_unique_view_spans(key_rows)
         return store
 
     # ---- shared-surface properties ------------------------------------
@@ -494,6 +507,15 @@ class SpannedDeviceStore:
     @property
     def is_stacked(self) -> bool:
         return self._stacked is not None
+
+    @property
+    def uview(self):
+        """(stacked UniqueView, steps) for the CONSOLIDATED layout, or
+        (None, 0). Only meaningful once stacked — the per-span tuple
+        matchers ignore it, and ingest invalidates it."""
+        if self.is_stacked and self._uview is not None:
+            return self._uview, self._usteps
+        return None, 0
 
     @property
     def active(self) -> DeviceIndex:
@@ -544,6 +566,9 @@ class SpannedDeviceStore:
                 f"one addition run ({need_rows} rows incl. padding) "
                 f"exceeds span_rows {self.span_rows}; raise span_rows or "
                 "split the batch")
+        # any ingest invalidates a pre-built unique-key view (from_host
+        # builds one eagerly; the view describes frozen span contents)
+        self._uview, self._usteps = None, 0
         if self.active.n_valid + need_rows > self.span_rows:
             self._seal_active()
         return self.active
@@ -680,15 +705,26 @@ class SpannedDeviceStore:
                 i += 1
             if stacked and rows:
                 stacked_cols = []
+                key_rows = []  # (hi, lo, ex) host prefixes per span
                 for name in cls._COL_NAMES:
                     big = np.full((len(rows), span_rows), SENTINEL,
                                   np.uint32)
                     for r, (i, start, m) in enumerate(rows):
                         big[r, :m] = z[f"s{i:05d}_{name}"][start:start + m]
                     stacked_cols.append(jnp.asarray(big))
+                    if name in ("hi", "lo", "ex"):
+                        key_rows.append([big[r, :m] for r, (_, _, m)
+                                         in enumerate(rows)])
                 jax.block_until_ready(stacked_cols[-1])
                 store._stacked = tuple(stacked_cols)
                 store._stacked_valids = [m for (_, _, m) in rows]
+                # the host key rows are in hand exactly here — build the
+                # stacked unique-key view the serving matchers prefer
+                # (per-span fixed-round descents, free upper bounds)
+                from .search import build_unique_view_spans
+
+                store._uview, store._usteps = build_unique_view_spans(
+                    list(zip(*key_rows)))
                 return store
             last_i, cols_np = -1, None
             for i, start, m in rows:

@@ -374,6 +374,96 @@ def build_unique_view(key_hi, key_lo, key_ex):
     return view, steps
 
 
+def build_unique_view_spans(spans):
+    """Stacked per-span UniqueView for a consolidated spanned store.
+
+    ``spans`` is a list of (hi, lo, ex) HOST key-column tuples — each
+    span's valid sorted prefix. Returns (view, steps) where the view's
+    arrays carry a leading span axis:
+
+    - ``u_hi/u_lo/u_ex``: (S, u_cap) uint32, sentinel-padded (all-ones
+      pad keys only "hit" an all-ones query, which ``q_valid`` masks;
+      their cdf span is zero-width anyway);
+    - ``cdf``: (S, u_cap + 1) int32, padded entries = the span's valid
+      row count (lb == ub for any pad position);
+    - ``head``: (S, 2^bits + 1) per-span bucket CDFs over the unique
+      keys, one shared resolution;
+    - ``steps``: max over spans of log2(widest head bucket) + 1 — the
+      static round count every span's descent converges within.
+
+    Query via ``unique_bounds_stacked``. Same near-unique scale gate as
+    ``build_unique_view`` (summed across spans): past it the duplicated
+    key columns would cost GBs of HBM while hot runs are too mild for
+    the view to pay.
+    """
+    if not spans:
+        return None, 0
+    total_n = sum(len(s[0]) for s in spans)
+    if total_n < HEAD_MIN_ROWS:
+        return None, 0
+    per = []
+    for hi, lo, ex in spans:
+        hi = np.asarray(hi)
+        lo = np.asarray(lo)
+        ex = np.asarray(ex)
+        n = len(hi)
+        if n == 0:
+            per.append((hi, lo, ex, np.zeros(0, np.int64), 0))
+            continue
+        new = np.empty(n, bool)
+        new[0] = True
+        np.logical_or(hi[1:] != hi[:-1],
+                      np.logical_or(lo[1:] != lo[:-1], ex[1:] != ex[:-1]),
+                      out=new[1:])
+        starts = np.flatnonzero(new)
+        per.append((hi, lo, ex, starts, n))
+    u_total = sum(len(p[3]) for p in per)
+    if u_total * 2 > total_n and u_total > (8 << 20):
+        return None, 0
+    u_cap = max(len(p[3]) for p in per)
+    if u_cap == 0:
+        return None, 0
+    bits = head_bits_for(u_cap)
+    S = len(per)
+    u_hi = np.full((S, u_cap), 0xFFFFFFFF, np.uint32)
+    u_lo = np.full((S, u_cap), 0xFFFFFFFF, np.uint32)
+    u_ex = np.full((S, u_cap), 0xFFFFFFFF, np.uint32)
+    cdf = np.empty((S, u_cap + 1), np.int32)
+    heads = []
+    steps = 1
+    for r, (hi, lo, ex, starts, n) in enumerate(per):
+        u = len(starts)
+        u_hi[r, :u] = hi[starts]
+        u_lo[r, :u] = lo[starts]
+        u_ex[r, :u] = ex[starts]
+        cdf[r, :u] = starts
+        cdf[r, u:] = n
+        if u:
+            h = jax.block_until_ready(
+                build_head(jnp.asarray(u_hi[r, :u]), bits=bits))
+            heads.append(np.asarray(h))
+            steps = max(steps, int(np.max(np.diff(heads[-1]))).bit_length()
+                        + 1)
+        else:
+            heads.append(np.zeros((1 << bits) + 1, np.int32))
+    view = UniqueView(jnp.asarray(u_hi), jnp.asarray(u_lo),
+                      jnp.asarray(u_ex), jnp.asarray(cdf),
+                      jnp.asarray(np.stack(heads)))
+    return view, steps
+
+
+def unique_bounds_stacked(view: UniqueView, q_hi, q_lo, q_ex, q_valid, *,
+                          steps: int):
+    """(lb, ub) per (span, lane) from a ``build_unique_view_spans``
+    view: ``unique_bounds`` vmapped over the leading span axis, one
+    batched gather round per descent step for ALL spans."""
+    return jax.vmap(
+        lambda a, b, c, d, e: unique_bounds(
+            UniqueView(a, b, c, d, e), q_hi, q_lo, q_ex, q_valid,
+            steps=steps)
+    )(view.u_hi, view.u_lo, view.u_ex, view.cdf, view.head)
+
+
 def unique_bounds(view: UniqueView, q_hi, q_lo, q_ex, q_valid, *,
                   steps: int):
     """(lb, ub) payload-row spans from a UniqueView.

@@ -96,7 +96,7 @@ def match_queries_batched(
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
-                     "topn", "offset_stride", "rank_candidates"),
+                     "topn", "offset_stride", "rank_candidates", "u_steps"),
 )
 def match_queries_batched_spanned(
     span_arrays,
@@ -110,6 +110,8 @@ def match_queries_batched_spanned(
     offset_stride: int = 0,
     heads=None,
     rank_candidates: int = 0,
+    uviews=None,
+    u_steps: int = 0,
 ):
     """``match_queries_batched`` against a spanned index (per-span tuples
     or the consolidated stacked layout — lookup.match_query_sparse_spanned
@@ -131,6 +133,7 @@ def match_queries_batched_spanned(
                     span_arrays, heads, hi, lo, ex, t, valid, first,
                     match_capacity=match_capacity,
                     offset_stride=offset_stride,
+                    uviews=uviews, u_steps=u_steps,
                 )
             raw, ok = _pruned_vote_rank(
                 sid, delta, first_s, valid_s, total, n_dropped,
@@ -144,6 +147,7 @@ def match_queries_batched_spanned(
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             match_capacity=match_capacity, topn=topn,
             offset_stride=offset_stride, heads=heads,
+            uviews=uviews, u_steps=u_steps,
         )
 
     return jax.vmap(one)(q_hi, q_lo, q_ex, q_t, q_valid, q_first)

@@ -666,7 +666,8 @@ def _expand_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
 
 
 def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
-                    q_first, *, match_capacity: int, offset_stride: int):
+                    q_first, *, match_capacity: int, offset_stride: int,
+                    uviews=None, u_steps: int = 0):
     """``_expand_spans`` over a CONSOLIDATED (n_spans, span_rows) layout,
     with ONE global ``match_capacity`` budget shared across spans.
 
@@ -698,7 +699,16 @@ def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
         return lexi_bounds(span_cols[0], span_cols[1], span_cols[2],
                            q_hi, q_lo, q_ex, head=head, q_valid=q_valid)
 
-    if heads is None:
+    if uviews is not None:
+        # stacked unique-key view (build_unique_view_spans): ONE
+        # fixed-round descent per span over the deduplicated key table,
+        # upper bounds free from the cdf — hot runs cannot inflate the
+        # round count and the searched bytes shrink ~rows/key-fold
+        from ..index.search import unique_bounds_stacked
+
+        lb, ub = unique_bounds_stacked(uviews, q_hi, q_lo, q_ex, q_valid,
+                                       steps=u_steps)
+    elif heads is None:
         lb, ub = jax.vmap(lambda c: bounds(c, None))(stacked_arrays)
     else:
         lb, ub = jax.vmap(bounds)(stacked_arrays, heads)
@@ -746,22 +756,29 @@ def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
 
 
 def _expand_any_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
-                      q_first, *, match_capacity: int, offset_stride: int):
+                      q_first, *, match_capacity: int, offset_stride: int,
+                      uviews=None, u_steps: int = 0):
     """Dispatch: per-span column tuples vs consolidated stacked layout.
 
     Trace-time structural dispatch — the two layouts are distinct
-    pytrees, so each gets its own compiled program."""
-    expand = (_expand_spans if isinstance(span_arrays[0], (tuple, list))
-              else _expand_stacked)
-    return expand(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
-                  q_first, match_capacity=match_capacity,
-                  offset_stride=offset_stride)
+    pytrees, so each gets its own compiled program. ``uviews`` (a
+    stacked ``build_unique_view_spans`` table) applies to the stacked
+    layout only."""
+    if isinstance(span_arrays[0], (tuple, list)):
+        return _expand_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t,
+                             q_valid, q_first,
+                             match_capacity=match_capacity,
+                             offset_stride=offset_stride)
+    return _expand_stacked(span_arrays, heads, q_hi, q_lo, q_ex, q_t,
+                           q_valid, q_first, match_capacity=match_capacity,
+                           offset_stride=offset_stride, uviews=uviews,
+                           u_steps=u_steps)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
-                     "topn", "offset_stride"),
+                     "topn", "offset_stride", "u_steps"),
 )
 def match_query_sparse_spanned(
     span_arrays,
@@ -779,6 +796,8 @@ def match_query_sparse_spanned(
     topn: int = 2,
     offset_stride: int = 0,
     heads=None,
+    uviews=None,
+    u_steps: int = 0,
 ):
     """``match_query_sparse`` over a spanned index.
 
@@ -810,6 +829,7 @@ def match_query_sparse_spanned(
         _expand_any_spans(
             span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
             match_capacity=match_capacity, offset_stride=offset_stride,
+            uviews=uviews, u_steps=u_steps,
         )
     raw = _sparse_vote_rank(
         sid, delta, first, valid, total, n_dropped,
@@ -822,7 +842,7 @@ def match_query_sparse_spanned(
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
-                     "topn", "offset_stride", "n_candidates"),
+                     "topn", "offset_stride", "n_candidates", "u_steps"),
 )
 def match_query_pruned_spanned(
     span_arrays,
@@ -841,6 +861,8 @@ def match_query_pruned_spanned(
     offset_stride: int = 0,
     heads=None,
     n_candidates: int = 256,
+    uviews=None,
+    u_steps: int = 0,
 ):
     """``match_query_sparse_spanned`` with the candidate-pruned rank.
 
@@ -856,6 +878,7 @@ def match_query_pruned_spanned(
         _expand_any_spans(
             span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
             match_capacity=match_capacity, offset_stride=offset_stride,
+            uviews=uviews, u_steps=u_steps,
         )
     raw_p, ok = _pruned_vote_rank(
         sid, delta, first, valid, total, n_dropped,

@@ -197,7 +197,7 @@ def recognize_on_device(
                      "min_dt", "max_dt", "peak_capacity", "n_songs",
                      "delta_min", "delta_range", "match_capacity", "topn",
                      "offset_stride", "use_fused", "query_capacity",
-                     "rank_candidates"),
+                     "rank_candidates", "u_steps"),
 )
 def recognize_on_device_spanned(
     samples: jnp.ndarray,          # (1, padded_len) float32
@@ -223,6 +223,8 @@ def recognize_on_device_spanned(
     query_capacity: int = 4096,
     heads=None,
     rank_candidates: int = 0,
+    uviews=None,
+    u_steps: int = 0,
 ):
     """``recognize_on_device`` against a spanned index (SpannedDeviceStore).
 
@@ -246,6 +248,7 @@ def recognize_on_device_spanned(
         _expand_any_spans(
             span_arrays, heads, sort_hi, lo, ex, t1, q_valid, q_first,
             match_capacity=match_capacity, offset_stride=offset_stride,
+            uviews=uviews, u_steps=u_steps,
         )
     if rank_candidates > 0:
         raw_p, ok = _pruned_vote_rank(

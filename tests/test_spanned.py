@@ -727,3 +727,95 @@ def test_stacked_joint_budget_clamp_and_escalation():
         assert int(clamp_p) == total
         for a, b in zip(pruned, big):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stacked_uview_matcher_equals_heads():
+    """Stacked unique-key view (build_unique_view_spans): the spanned
+    matcher returns element-identical results through the uview and the
+    bucket-CDF heads."""
+    import jax
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import (build_head, stacked_head_bits,
+                                         build_unique_view_spans)
+    from shazam_tpu.match.lookup import match_query_sparse_spanned
+
+    n_rows, n_songs, stride, n_spans = 30000, 40, 4096, 3
+    hi, lo, ex, sid, off = _random_index(n_rows, n_songs, stride, seed=3)
+    packed = sid * np.uint32(stride) + off
+
+    span_rows = -(-n_rows // n_spans)
+    parts = []
+
+    def spanify(a):
+        rows = []
+        for k in range(n_spans):
+            part = a[k::n_spans]
+            rows.append(np.concatenate(
+                [part, np.full(span_rows - len(part), 0xFFFFFFFF,
+                               np.uint32)]))
+        return jnp.asarray(np.stack(rows))
+
+    stacked = tuple(spanify(a) for a in (hi, lo, ex, packed))
+    for k in range(n_spans):
+        parts.append((hi[k::n_spans], lo[k::n_spans], ex[k::n_spans]))
+    bits = stacked_head_bits(span_rows)
+    heads = jax.vmap(lambda h: build_head(h, bits=bits))(stacked[0])
+    uview, usteps = build_unique_view_spans(parts)
+    assert uview is not None and usteps > 0
+
+    rng = np.random.default_rng(11)
+    q_n = 128
+    pick = rng.integers(0, n_rows, q_n)
+    valid = np.ones(q_n, bool)
+    valid[100:] = False
+    q_hi = hi[pick].copy()
+    q_hi[100:] = 0xFFFFFFFF        # padding lanes: all-ones keys
+    q = dict(
+        q_hi=jnp.asarray(q_hi), q_lo=jnp.asarray(lo[pick]),
+        q_ex=jnp.asarray(ex[pick]),
+        q_t=jnp.asarray(rng.integers(0, 50, q_n).astype(np.uint32)),
+        q_valid=jnp.asarray(valid), q_first=jnp.asarray(valid),
+    )
+    kw = dict(n_songs=n_songs, delta_min=-64, delta_range=stride + 128,
+              match_capacity=16384, topn=5, offset_stride=stride)
+
+    ref, sm_ref = match_query_sparse_spanned(stacked, *q.values(),
+                                             heads=heads, **kw)
+    got, sm_got = match_query_sparse_spanned(stacked, *q.values(),
+                                             uviews=uview, u_steps=usteps,
+                                             **kw)
+    assert int(sm_got) == int(sm_ref)
+    for f in ("top_songs", "top_votes", "top_deltas", "row_counts",
+              "total_rows", "n_ranked", "n_dropped", "runner_votes"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, f)),
+                                      np.asarray(getattr(ref, f)), f)
+
+
+def test_stacked_load_builds_uview(tmp_path):
+    """load_index(stacked=True) builds the stacked unique-key view from
+    the snapshot's host rows, and recognition through it matches the
+    per-span store exactly."""
+    from shazam_tpu.api import SIA
+
+    songs = _songs(8, secs=10.0)
+    sia = SIA(device_span_rows=8192)
+    sia.ingest_arrays(songs)
+    path = str(tmp_path / "ix.npz")
+    sia.save_index(path)
+    clip = songs[3][1][11025: 11025 + 3 * 44100]
+    before = sia.recognize_samples([clip])
+    assert before["results"][0]["song_name"] == "s3"
+
+    fresh = SIA(device_span_rows=8192)
+    fresh.catalog = sia.catalog
+    fresh.load_index(path, stacked=True)
+    view, steps = fresh._dev_store.uview
+    assert view is not None and steps > 0
+    after = fresh.recognize_samples([clip])
+    assert after["results"] == before["results"]
+    # the single-dispatch and batched paths ride the uview too
+    one = fresh.recognize_clip(clip)
+    assert one["results"][0]["song_name"] == "s3"
+    outs = fresh.recognize_batch([clip, songs[1][1][11025: 11025 + 3 * 44100]])
+    assert outs[0]["results"][0]["song_name"] == "s3"
+    assert outs[1]["results"][0]["song_name"] == "s1"
