@@ -217,14 +217,17 @@ def main():
             topn=2)
 
     # PARITY first: block path == sparse path on every pack (nothing
-    # clamps at the fitting tier, so included sets are identical)
+    # clamps at the fitting tier, so included sets are identical).
+    # Index columns/payload are jit ARGUMENTS — closing over them bakes
+    # 100s-of-MB HLO constants and the remote-compile tunnel 413s
+    # (CLAUDE.md; measured here before this was threaded through)
     f_ref = jax.jit(functools.partial(
         match_query_sparse, match_capacity=cap, u_steps=usteps, **kw))
-    got_fn = jax.jit(lambda q: block_sparse(q, (dev, uview, payload2d)))
+    got_fn = jax.jit(block_sparse)
     for i in range(qn):
         q = tuple(a[i] for a in packs)
         want = jax.device_get(f_ref(dev, *q, head=None, uview=uview))
-        got = jax.device_get(got_fn(q))
+        got = jax.device_get(got_fn(q, (dev, uview, payload2d)))
         for a, b in zip(got, want):
             assert np.array_equal(np.asarray(a), np.asarray(b)), i
     print("parity ok: block expansion == scalar expansion (sparse rank)",

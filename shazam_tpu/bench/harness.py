@@ -32,6 +32,7 @@ class BenchConfig:
     noise_kind: str = "file"           # "file" (noise recording) | "awgn"
     noise_file: Optional[str] = None
     channel: bool = False              # synthetic acoustic loop (audio/channel.py)
+    channel_severity: float = 1.0      # 1 = stress rig; see CALIBRATED_SEVERITY
     topn: int = 3                      # TOPN (recognizer_test.py:38)
     seed: int = 1234
     out_dir: str = "bench_out"
@@ -93,7 +94,9 @@ def run_recognition_sweep(
             # physical playback. Seeded per clip from the sweep RNG.
             from ..audio.channel import simulate_channel
 
-            clips = [simulate_channel(c, fs=fs, rng=rng) for c in clips]
+            clips = [simulate_channel(c, fs=fs, rng=rng,
+                                      severity=config.channel_severity)
+                     for c in clips]
 
         if config.add_noise:
             noisy_clips = []

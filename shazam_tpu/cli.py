@@ -84,6 +84,7 @@ def cmd_bench(args):
         noise_kind="awgn" if args.awgn else "file",
         noise_file=args.noise_file,
         channel=args.channel,
+        channel_severity=args.channel_severity,
         topn=args.topn,
         seed=args.seed,
         out_dir=args.out_dir,
@@ -248,6 +249,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pass query clips through the synthetic acoustic "
                         "loop (speaker band-limit, room reverb, soft clip, "
                         "noise floor — audio/channel.py)")
+    s.add_argument("--channel-severity", type=float, default=1.0,
+                   help="how harsh the channel draws are: 1.0 = stress "
+                        "rig (default), audio.channel.CALIBRATED_SEVERITY "
+                        "matches the reference's real loopback band")
     s.add_argument("--topn", type=int, default=3)
     s.add_argument("--seed", type=int, default=1234)
     s.add_argument("--out-dir", default="bench_out")

@@ -172,6 +172,47 @@ class ShardedCatalog:
                              config=self.config,
                              match_capacity=self._effective_cap(cap))
 
+    def match_apriori(self, q: QueryPairs, topn: Optional[int] = None,
+                      batch_size: int = 1024) -> MatchResult:
+        """Partial-scan match with the reference's 2x-leader early exit
+        (``recognizer_apriori.py:245-310``) on the KEY-RANGE regime:
+        each round is one shard_map dispatch (per-shard search + one
+        hist psum) and the exit skips every later round's search AND
+        psum — see ``sharded.sharded_match_apriori`` for the cost
+        model.  The by-song regime has no per-round psum to save (its
+        merge is a tiny all_gather) and falls back to the full match.
+        """
+        from .sharded import sharded_match_apriori
+
+        if self.regime != "key_range":
+            return self.match(q, topn=topn)
+        topn = topn or self.config.topn
+        q_frames = self._q_frames_for(q)
+        if q_frames > self.max_q_frames:
+            raise ValueError(
+                f"query needs q_frames={q_frames} > max_q_frames="
+                f"{self.max_q_frames}")
+        delta_min = -q_frames
+        delta_range = self._delta_range_for(q_frames)
+        cap = self.config.match_capacity
+        raw, used, clamped = sharded_match_apriori(
+            self.mesh, self._shards, q,
+            n_songs=max(self.n_songs, 1),
+            delta_min=delta_min, delta_range=delta_range,
+            match_capacity=cap, topn=topn, batch_size=batch_size,
+            offset_stride=self._stride, sharded_head=self._head,
+        )
+        # clamped: a shard's expansion overflowed -> full-match escalate
+        # (partial counts must come from complete rounds, like SIA's
+        # apriori fallback). total legitimately exceeds one round's cap
+        # on multi-round scans, so overflow is the per-shard signal.
+        if clamped:
+            return self.match(q, topn=topn)
+        return align_results(
+            raw, q.n_pairs, catalog=self.catalog, config=self.config,
+            match_capacity=max(int(raw.total_rows),
+                               self._effective_cap(cap)))
+
     def _effective_cap(self, match_capacity: int) -> int:
         from .bigcatalog import (
             effective_match_capacity as by_song_cap,
@@ -245,16 +286,17 @@ class ShardedRecognizer:
 
         from ..match.prepare import prepare_query
 
-        if early_exit:
-            # same loud fallback SIA uses when the partial-scan mode is
-            # unavailable — silently dropping the kwarg would let the
-            # caller believe a partial scan ran
+        if early_exit and self.cat.regime != "key_range":
+            # loud fallback (matches SIA): the by-song regime has no
+            # partial-scan mode — silently dropping the kwarg would let
+            # the caller believe a partial scan ran
             import warnings
 
             warnings.warn(
-                "early_exit is unavailable on the mesh facade; running a "
+                "early_exit needs the key-range regime; running a "
                 "full match (identical top-1, full-scan vote counts)",
                 stacklevel=2)
+            early_exit = False
         t0 = time.time()
         channels = [np.asarray(ch) for ch in channels if len(ch)]
         if not channels:
@@ -281,7 +323,8 @@ class ShardedRecognizer:
         fingerprint_time = time.time() - t0
 
         t0 = time.time()
-        matched = self.cat.match(q, topn=topn)  # align included
+        matched = (self.cat.match_apriori(q, topn=topn) if early_exit
+                   else self.cat.match(q, topn=topn))  # align included
         query_time = time.time() - t0
         return {
             "results": matched.results,

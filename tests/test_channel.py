@@ -86,3 +86,50 @@ def test_harness_channel_mode(tmp_path):
     s = run_recognition_sweep(sia, files, cfg)
     assert s["n"] == 3
     assert s["accuracy"] >= 2 / 3
+
+
+def test_severity_knob():
+    """severity interpolates the channel harshness: deterministic per
+    (clip, seed, severity); severity=0 stays closer to the input than
+    the stress rig on average (gentler band-limit, dry room, no level
+    swing)."""
+    import numpy as np
+    from shazam_tpu.audio.channel import simulate_channel
+
+    rng = np.random.default_rng(3)
+    clip = (rng.normal(0, 6000, 44100 * 2)).astype(np.int16)
+
+    a = simulate_channel(clip, rng=5, severity=0.3)
+    b = simulate_channel(clip, rng=5, severity=0.3)
+    np.testing.assert_array_equal(a, b)
+    c = simulate_channel(clip, rng=5, severity=0.9)
+    assert not np.array_equal(a, c)
+
+    def err(sev, seeds=range(8)):
+        tot = 0.0
+        for s in seeds:
+            y = simulate_channel(clip, rng=s, severity=sev).astype(np.float64)
+            x = clip.astype(np.float64)
+            tot += np.mean((y - x) ** 2) / np.mean(x ** 2)
+        return tot
+
+    assert err(0.0) < err(1.0)
+
+
+def test_harness_channel_severity(tmp_path):
+    """channel_severity reaches the sweep: severity 0 on a tiny corpus
+    keeps accuracy at least as high as the stress rig."""
+    from shazam_tpu import SIA
+    from shazam_tpu.audio.synth import synth_corpus
+    from shazam_tpu.bench.harness import BenchConfig, run_recognition_sweep
+
+    files = [p for p, _ in synth_corpus(str(tmp_path), 3, duration_s=10.0,
+                                        style="music", seed=9)]
+    sia = SIA(catalog_path=str(tmp_path / "cat.sqlite"))
+    sia.ingest_files(files)
+    cfg = BenchConfig(record_seconds=5.0, channel=True,
+                      channel_severity=0.0,
+                      out_dir=str(tmp_path / "out"), seed=4,
+                      checkpoints=False)
+    s = run_recognition_sweep(sia, files, cfg)
+    assert s["n"] == 3 and s["accuracy"] == 1.0

@@ -216,3 +216,94 @@ def test_warmup_streams_against_sharded(engine):
                         config=engine.config)
     warmup(ShardedRecognizer(sc), seconds=2.0, max_batch=2,
            stream_window_seconds=2.0)
+
+
+def test_sharded_apriori_early_exit(engine):
+    """Key-range apriori: the 2x-leader exit fires on a decisive clip
+    (fewer rounds than the pair count implies), the top-1 matches the
+    full scan, and the mesh facade's early_exit kwarg reaches it."""
+    from shazam_tpu.parallel.mesh import make_mesh
+    from shazam_tpu.parallel.serving import ShardedCatalog, ShardedRecognizer
+    from shazam_tpu.parallel.sharded import sharded_match_apriori
+
+    mesh = make_mesh(8)
+    sc = ShardedCatalog(engine.index, mesh=mesh, catalog=engine.catalog)
+    assert sc.regime == "key_range"
+
+    song = synth_song(1, duration_s=DUR, seed=31)
+    clip = song[int(1.0 * 44100): int(7.0 * 44100)]
+    fp = engine._fingerprint_channel(clip)
+    q = prepare_query([fp])
+
+    full = sc.match(q, topn=3)
+    part = sc.match_apriori(q, topn=3, batch_size=128)
+    assert part.results[0]["song_id"] == full.results[0]["song_id"]
+    # partial-scan contract: the offset may differ from the full scan
+    # (the reference's apriori results "reflect the partial scan",
+    # recognizer_apriori.py:296-310) — exact parity is against the
+    # single-device apriori at the same batch size, below
+
+    # round accounting: a decisive in-catalog clip exits before the
+    # last batch (n_pairs >> 128 here)
+    q_frames = sc._q_frames_for(q)
+    raw, used, clamped = sharded_match_apriori(
+        sc.mesh, sc._shards, q, n_songs=max(sc.n_songs, 1),
+        delta_min=-q_frames, delta_range=sc._delta_range_for(q_frames),
+        match_capacity=sc.config.match_capacity, topn=3, batch_size=128,
+        offset_stride=sc._stride, sharded_head=sc._head)
+    n_batches = -(-q.n_pairs // 128)
+    assert n_batches > 1
+    assert used < n_batches, (used, n_batches)
+    assert int(raw.top_songs[0]) == full.results[0]["song_id"]
+
+    # EXACT parity with the single-device apriori at the same batch
+    # size: identical batches -> identical partial hist per round ->
+    # identical exit round and identical RawMatch
+    from shazam_tpu.match.apriori import match_query_apriori
+    from shazam_tpu.index.search import maybe_build_head
+
+    dev = engine.index.device_arrays()
+    raw1, used1, clamped1 = match_query_apriori(
+        dev, q, n_songs=max(sc.n_songs, 1), delta_min=-q_frames,
+        delta_range=sc._delta_range_for(q_frames),
+        match_capacity=sc.config.match_capacity, topn=3, batch_size=128,
+        offset_stride=engine.index.offset_stride,
+        head=maybe_build_head(dev[0]))
+    assert used1 == used and clamped1 == clamped
+    for f in ("top_songs", "top_deltas", "top_votes", "row_counts",
+              "total_rows", "n_ranked"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(raw, f)), np.asarray(getattr(raw1, f)), f)
+
+    # facade: early_exit now reaches the partial scan on key_range
+    rec = ShardedRecognizer(sc)
+    out = rec.recognize_samples([clip], topn=3, early_exit=True)
+    assert out["results"][0]["song_id"] == full.results[0]["song_id"]
+
+
+def test_sharded_apriori_by_song_falls_back(engine):
+    """The by-song regime has no partial-scan mode: match_apriori runs
+    the full match and the facade warns."""
+    import warnings
+
+    from shazam_tpu.parallel.mesh import make_mesh
+    from shazam_tpu.parallel.serving import ShardedCatalog, ShardedRecognizer
+
+    mesh = make_mesh(8)
+    sc = ShardedCatalog(engine.index, mesh=mesh, catalog=engine.catalog,
+                        dense_limit_bytes=1)
+    assert sc.regime == "by_song"
+    song = synth_song(3, duration_s=DUR, seed=31)
+    clip = song[int(1.0 * 44100): int(6.0 * 44100)]
+    fp = engine._fingerprint_channel(clip)
+    q = prepare_query([fp])
+    full = sc.match(q, topn=3)
+    part = sc.match_apriori(q, topn=3)
+    assert part.results[0]["song_id"] == full.results[0]["song_id"]
+
+    rec = ShardedRecognizer(sc)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = rec.recognize_samples([clip], topn=3, early_exit=True)
+    assert any("key-range" in str(x.message) for x in w)
+    assert out["results"][0]["song_id"] == full.results[0]["song_id"]
