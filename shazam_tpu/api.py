@@ -1593,19 +1593,22 @@ class SIA:
             kw2 = dict(kw, match_capacity=cap)
             want = pruned and n_cand > 0
             if self._is_spanned:
-                uviews, usteps = self._span_uview()
-                heads = (None if uviews is not None
+                # NB distinct names from the flat branch's closure
+                # (uview/usteps) — assigning those here would shadow
+                # them for the whole function
+                s_uviews, s_usteps = self._span_uview()
+                heads = (None if s_uviews is not None
                          else self._ensure_heads(dev))
                 if want:
                     r, sm, oks = jax.device_get(
                         match_queries_batched_spanned(
                             dev, *q_args, heads=heads,
-                            uviews=uviews, u_steps=usteps,
+                            uviews=s_uviews, u_steps=s_usteps,
                             rank_candidates=n_cand, **kw2))
                 else:
                     r, sm = jax.device_get(match_queries_batched_spanned(
                         dev, *q_args, heads=heads,
-                        uviews=uviews, u_steps=usteps, **kw2))
+                        uviews=s_uviews, u_steps=s_usteps, **kw2))
                     oks = None
                 cl = np.asarray(sm)[:n_real]
             else:
