@@ -233,12 +233,54 @@ def main():
     print("parity ok: block expansion == scalar expansion (sparse rank)",
           flush=True)
 
+    from shazam_tpu.match.lookup import _pruned_vote_rank
+
+    def block_pruned(q, a):
+        dv, uv, p2 = a
+        lb, ub = unique_bounds(uv, q[0], q[1], q[2], q[4], steps=usteps)
+        sid, delta, first, valid, total, nd = block_expand(
+            p2, lb, ub, q[3], q[4], q[5], match_capacity=cap,
+            offset_stride=kw["offset_stride"])
+        raw, ok = _pruned_vote_rank(
+            sid.reshape(-1), delta.reshape(-1), first.reshape(-1),
+            valid.reshape(-1), total, nd, n_songs=n_songs,
+            delta_min=kw["delta_min"], delta_range=kw["delta_range"],
+            topn=2, n_candidates=256)
+        return raw, ok
+
+    # rank-phase micro-costs at cap-length streams (random-access HBM is
+    # the suspected wall): one int32 sort, one hashed scatter-add, one
+    # gather — each over `cap` elements passed as ARGUMENTS
+    keys = jnp.asarray(np.random.default_rng(0).integers(
+        0, 1 << 30, cap).astype(np.int32))
+    tbl_bits = min(24, max(18, (cap * 16 - 1).bit_length()))
+
+    def sort_only(q, a):
+        (k,) = a
+        return jax.lax.sort(k + q[3][0].astype(jnp.int32))
+
+    def scatter_only(q, a):
+        (k,) = a
+        b = ((k + q[3][0].astype(jnp.int32)) >> 5) & ((1 << tbl_bits) - 1)
+        return jnp.zeros(1 << tbl_bits, jnp.int32).at[b].add(1, mode="drop")
+
+    def gather_only(q, a):
+        (k,) = a
+        b = ((k + q[3][0].astype(jnp.int32)) >> 5) & ((1 << tbl_bits) - 1)
+        return jnp.take(k, b & (cap - 1) if (cap & (cap - 1)) == 0
+                        else jnp.minimum(b, cap - 1))
+
     timed("bounds only (uview)", bounds_only, dev, uview)
     timed(f"scalar expand @ {cap}", expand_only, dev, uview)
     timed(f"scalar expand + sparse @ {cap}", full_sparse, dev, uview)
     timed(f"BLOCK expand @ {cap}", blocks_only, dev, uview, payload2d)
     timed(f"BLOCK expand + sparse @ {cap}", block_sparse, dev, uview,
           payload2d)
+    timed(f"BLOCK expand + pruned @ {cap}", block_pruned, dev, uview,
+          payload2d)
+    timed(f"sort only @ {cap}", sort_only, keys)
+    timed(f"hashed scatter only @ {cap}", scatter_only, keys)
+    timed(f"gather only @ {cap}", gather_only, keys)
 
 
 if __name__ == "__main__":

@@ -89,10 +89,14 @@ class FingerprintIndex:
             return tuple(jnp.asarray(a) for a in (z, z, z, z))
         from .devmerge import pack_padded_cols  # lazy: devmerge imports us
 
+        # capacity rounded to a 512 multiple: the blocked expansion
+        # (match.lookup._expand_blocked) reads the payload as (N/B, B)
+        # rows, and sentinel tails are inert (device-resident stores
+        # already carry far larger ones)
         return pack_padded_cols(
             self.key_hi, self.key_lo, self.key_ex,
             self.song_id, self.offset,
-            stride=self.offset_stride, cap=self.n_hashes)
+            stride=self.offset_stride, cap=-(-self.n_hashes // 512) * 512)
 
     # ---- persistence ----
     def save(self, path: str) -> None:

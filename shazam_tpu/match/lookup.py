@@ -74,9 +74,100 @@ class RawMatch(NamedTuple):
     runner_votes: jnp.ndarray  # int32 scalar — strongest challenger count
 
 
+def _expand_blocked(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
+                    match_capacity: int, offset_stride: int,
+                    block_size: int, head=None, uview=None,
+                    u_steps: int = 0):
+    """Block-gather expansion: ``_expand``'s contract, sequential DMAs.
+
+    The scalar expansion issues ``match_capacity`` independent payload
+    gathers — ~120 ns each of random-access HBM, the measured wall of
+    every escalated tier (exp_pruned r4: the 4M tier is ~490 ms and the
+    rank choice moves it <1%). Matched rows are CONTIGUOUS runs, so
+    this reads them as aligned ``block_size``-row rows of the payload's
+    (N/B, B) reshape: each gathered element is one sequential DMA, so
+    the expansion moves the same bytes in cap/B transfers.
+
+    Semantics: whole runs, shortest-first (in blocks), ``total`` exact,
+    ``n_dropped`` = runs the budget excluded — the same invariants the
+    early-accept proof needs. The static budget is ``match_capacity //
+    B + 2 * n_lanes`` blocks (alignment can waste up to 2 partial
+    blocks per run), so "row total <= match_capacity => nothing
+    dropped" still holds; under clamp the excluded SET can differ from
+    the scalar path's (both are valid whole-run budgets).
+
+    Returns (sid, delta, p, valid, total, n_dropped) with arrays of
+    length ``cap_blocks * B`` — callers are length-agnostic. Requires
+    the packed payload layout and ``N % block_size == 0`` (device
+    uploads sentinel-pad to block multiples; see pack_padded_cols).
+    """
+    B = block_size
+    payload = index_arrays[3]
+    if offset_stride == 0:
+        raise ValueError("blocked expansion needs the packed payload "
+                         "layout (offset_stride > 0)")
+    if payload.shape[0] % B:
+        raise ValueError(
+            f"payload rows {payload.shape[0]} not a multiple of the "
+            f"block size {B} — pad the device columns (pack_padded_cols "
+            "rounds capacity up)")
+    if uview is not None:
+        lb, ub = unique_bounds(uview, q_hi, q_lo, q_ex, q_valid,
+                               steps=u_steps)
+    else:
+        k_hi, k_lo, k_ex = index_arrays[:3]
+        lb, ub = lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex,
+                             head=head, q_valid=q_valid)
+    lens = jnp.where(q_valid, ub - lb, 0)
+    total = jnp.sum(lens)
+    b0 = lb // B
+    b1 = (ub + B - 1) // B
+    nblk = jnp.where(lens > 0, b1 - b0, 0)
+
+    order = jnp.argsort(nblk)          # shortest-first, in block units
+    nblk_s = jnp.take(nblk, order)
+    b0_s = jnp.take(b0, order)
+    cap_blocks = match_capacity // B + 2 * lens.shape[0]
+    cum = jnp.cumsum(nblk_s)
+    included = cum <= cap_blocks
+    n_dropped = jnp.sum(((nblk_s > 0) & ~included).astype(jnp.int32))
+    nblk_inc = jnp.where(included, nblk_s, 0)
+    cum_inc = jnp.cumsum(nblk_inc)
+    total_blocks = cum_inc[-1]
+
+    v = jnp.arange(cap_blocks, dtype=jnp.int32)
+    marks = jnp.zeros(cap_blocks, jnp.int32).at[cum_inc].add(
+        1, mode="drop")
+    pb = jnp.cumsum(marks)
+    pb = jnp.minimum(pb, lens.shape[0] - 1)
+    prev = jnp.where(pb > 0, jnp.take(cum_inc, pb - 1), 0)
+    blk = jnp.take(b0_s, pb) + (v - prev)
+    blk_valid = v < total_blocks
+    run = jnp.take(order, pb)          # owning lane per block
+
+    safe_blk = jnp.where(blk_valid, blk, 0)
+    rows = jnp.take(payload.reshape(-1, B), safe_blk, axis=0)
+    g = safe_blk[:, None] * B + jnp.arange(B, dtype=jnp.int32)[None, :]
+    lbr = jnp.take(lb, run)[:, None]
+    ubr = jnp.take(ub, run)[:, None]
+    valid = blk_valid[:, None] & (g >= lbr) & (g < ubr)
+
+    sid = (rows // jnp.uint32(offset_stride)).astype(jnp.int32)
+    doff = (rows % jnp.uint32(offset_stride)).astype(jnp.int32)
+    delta = doff - jnp.take(q_t, run).astype(jnp.int32)[:, None]
+    p = jnp.broadcast_to(run[:, None], (cap_blocks, B))
+    # invalid slots must decode in-range like the scalar path's
+    # safe_row=0 (rank scatters mask by `valid`, but sid feeds index
+    # arithmetic before masking)
+    sid = jnp.where(valid, sid, 0)
+    delta = jnp.where(valid, delta, 0)
+    return (sid.reshape(-1), delta.reshape(-1), p.reshape(-1),
+            valid.reshape(-1), total, n_dropped)
+
+
 def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
             match_capacity: int, offset_stride: int, head=None,
-            uview=None, u_steps: int = 0):
+            uview=None, u_steps: int = 0, expand_block: int = 0):
     """Search + fixed-capacity row expansion (shared by the matchers).
 
     Returns (sid, delta, p, valid, total, n_dropped): per expanded vote
@@ -103,6 +194,12 @@ def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
     identical to before (order permuted; every consumer is
     order-independent).
     """
+    if expand_block:
+        return _expand_blocked(
+            index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
+            match_capacity=match_capacity, offset_stride=offset_stride,
+            block_size=expand_block, head=head, uview=uview,
+            u_steps=u_steps)
     if uview is not None:
         lb, ub = unique_bounds(uview, q_hi, q_lo, q_ex, q_valid,
                                steps=u_steps)
@@ -165,6 +262,7 @@ def match_local(
     head=None,
     uview=None,
     u_steps: int = 0,
+    expand_block: int = 0,
 ):
     """Core match against one (shard of the) sorted index.
 
@@ -185,6 +283,7 @@ def match_local(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
         head=head, uview=uview, u_steps=u_steps,
+        expand_block=expand_block,
     )
 
     # dense (n_songs, delta_range) vote histogram; deltas outside the
@@ -302,7 +401,7 @@ def match_query(
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
-                     "topn", "offset_stride", "u_steps"),
+                     "topn", "offset_stride", "u_steps", "expand_block"),
 )
 def match_query_sparse(
     index_arrays,
@@ -322,6 +421,7 @@ def match_query_sparse(
     head=None,
     uview=None,
     u_steps: int = 0,
+    expand_block: int = 0,
 ) -> RawMatch:
     """``match_query`` without the dense histogram — EXACT, for big catalogs.
 
@@ -340,6 +440,7 @@ def match_query_sparse(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
         head=head, uview=uview, u_steps=u_steps,
+        expand_block=expand_block,
     )
     first = jnp.take(q_first, p)
     return _sparse_vote_rank(
@@ -574,7 +675,8 @@ def _pruned_vote_rank(sid, delta, first, valid, total, n_dropped=None, *,
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
-                     "topn", "offset_stride", "u_steps", "n_candidates"),
+                     "topn", "offset_stride", "u_steps", "n_candidates",
+                     "expand_block"),
 )
 def match_query_pruned(
     index_arrays,
@@ -595,6 +697,7 @@ def match_query_pruned(
     uview=None,
     u_steps: int = 0,
     n_candidates: int = 256,
+    expand_block: int = 0,
 ):
     """``match_query_sparse`` with the candidate-pruned rank.
 
@@ -614,6 +717,7 @@ def match_query_pruned(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
         head=head, uview=uview, u_steps=u_steps,
+        expand_block=expand_block,
     )
     first = jnp.take(q_first, p)
     raw_p, ok = _pruned_vote_rank(

@@ -560,3 +560,115 @@ def test_pruned_matcher_randomized_parity():
             for a, b in zip(pruned, sparse):
                 assert np.array_equal(np.asarray(a), np.asarray(b)), (
                     seed, n_cand)
+
+
+def test_blocked_expansion_parity():
+    """expand_block > 0 (block-gather expansion): element-identical
+    RawMatch to the scalar path at a fitting capacity, through both the
+    sparse and pruned matchers, with and without a unique view."""
+    import jax.numpy as jnp
+    from shazam_tpu.index.search import build_unique_view, maybe_build_head
+    from shazam_tpu.match.lookup import (match_query_pruned,
+                                         match_query_sparse)
+
+    rng = np.random.default_rng(17)
+    n, n_songs, stride = 50000, 40, 4096
+    hi = rng.integers(0, 200, n, dtype=np.uint32)      # few keys => runs
+    lo = rng.integers(0, 4, n, dtype=np.uint32)
+    ex = np.zeros(n, np.uint32)
+    sid = rng.integers(0, n_songs, n, dtype=np.uint32)
+    off = rng.integers(0, 3000, n, dtype=np.uint32)
+    order = np.lexsort((off, sid, ex, lo, hi))
+    hi, lo, ex, sid, off = (a[order] for a in (hi, lo, ex, sid, off))
+    keep = np.ones(n, bool)
+    same = (hi[1:] == hi[:-1]) & (lo[1:] == lo[:-1]) \
+        & (sid[1:] == sid[:-1]) & (off[1:] == off[:-1])
+    keep[1:] = ~same
+    hi, lo, ex, sid, off = (a[keep] for a in (hi, lo, ex, sid, off))
+    n = len(hi)
+    npad = -(-n // 512) * 512
+    S = np.uint32(0xFFFFFFFF)
+
+    def padded(a):
+        return jnp.asarray(np.concatenate(
+            [a, np.full(npad - n, S, np.uint32)]))
+
+    packed = sid * np.uint32(stride) + off
+    dev = (padded(hi), padded(lo), padded(ex), padded(packed))
+    head = maybe_build_head(dev[0])
+    uview, usteps = build_unique_view(hi, lo, ex)
+
+    q_n = 128
+    pick = rng.integers(0, n, q_n)
+    valid = np.ones(q_n, bool)
+    valid[100:] = False
+    q_hi = hi[pick].copy()
+    q_hi[100:] = 0xFFFFFFFF
+    q = (jnp.asarray(q_hi), jnp.asarray(lo[pick]), jnp.asarray(ex[pick]),
+         jnp.asarray(rng.integers(0, 50, q_n).astype(np.uint32)),
+         jnp.asarray(valid), jnp.asarray(valid))
+    kw = dict(n_songs=n_songs, delta_min=-64, delta_range=stride + 128,
+              match_capacity=1 << 16, topn=4, offset_stride=stride)
+
+    for uv, us in ((None, 0), (uview, usteps)):
+        ref = match_query_sparse(dev, *q, head=head, uview=uv,
+                                 u_steps=us, **kw)
+        for B in (128, 512):
+            got = match_query_sparse(dev, *q, head=head, uview=uv,
+                                     u_steps=us, expand_block=B, **kw)
+            for f in ref._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(got, f)),
+                    np.asarray(getattr(ref, f)), (f, B, us))
+        gp, ok = match_query_pruned(dev, *q, head=head, uview=uv,
+                                    u_steps=us, expand_block=512,
+                                    n_candidates=64, **kw)
+        for f in ref._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(gp, f)), np.asarray(getattr(ref, f)),
+                (f, "pruned", us))
+
+
+def test_blocked_expansion_clamp_invariants():
+    """Under clamp the blocked path keeps the whole-run contract: total
+    exact, n_dropped counts excluded runs, included runs complete (all
+    their votes present)."""
+    import jax.numpy as jnp
+    from shazam_tpu.match.lookup import _expand
+
+    rng = np.random.default_rng(23)
+    n, n_songs, stride = 40960, 20, 4096
+    hi = np.sort(rng.integers(0, 8, n).astype(np.uint32))  # 8 hot runs
+    lo = np.zeros(n, np.uint32)
+    ex = np.zeros(n, np.uint32)
+    sid = rng.integers(0, n_songs, n, dtype=np.uint32)
+    off = rng.integers(0, 3000, n, dtype=np.uint32)
+    order = np.lexsort((off, sid, ex, lo, hi))
+    packed = (sid * np.uint32(stride) + off)[order]
+    dev = tuple(jnp.asarray(a) for a in
+                (hi, lo[order], ex[order], packed))
+
+    q_n = 16
+    q_hi = np.arange(8, dtype=np.uint32).repeat(2)
+    q = (jnp.asarray(q_hi), jnp.asarray(np.zeros(q_n, np.uint32)),
+         jnp.asarray(np.zeros(q_n, np.uint32)),
+         jnp.asarray(np.arange(q_n, dtype=np.uint32)),
+         jnp.asarray(np.ones(q_n, bool)))
+    cap = 8192   # forces drops: total = 2 * 40960
+    sid_b, delta_b, p_b, valid_b, total_b, nd_b = _expand(
+        dev, *q, match_capacity=cap, offset_stride=stride,
+        expand_block=512)
+    total_b = int(total_b)
+    assert total_b == 2 * n
+    nd = int(nd_b)
+    assert nd > 0
+    # included runs are whole: per-lane kept counts are 0 or the lane's
+    # true run length
+    p_np = np.asarray(p_b)[np.asarray(valid_b)]
+    kept = np.bincount(p_np, minlength=q_n)
+    runs = np.bincount(q_hi[np.arange(q_n)], minlength=8)
+    true_len = np.array([np.sum(hi == k) for k in range(8)])
+    for lane in range(q_n):
+        want = true_len[q_hi[lane]]
+        assert kept[lane] in (0, want), (lane, kept[lane], want)
+    assert int(np.sum(kept == 0)) == nd
