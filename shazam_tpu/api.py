@@ -1180,12 +1180,12 @@ class SIA:
         # (~1.5 GB / ~5 ms at 12K songs); the sort-based sparse matcher
         # is O(match_capacity) and element-identical (tested)
         use_sparse = n_songs * delta_range > self.config.sparse_vote_threshold
-        # candidate-pruned rank: O(cap) scatters instead of the
-        # O(cap log cap) vote sort that dominates escalated tiers, with
-        # an in-program lax.cond sort fallback when the exactness
-        # certificate fails — element-identical results either way
-        # (tested), one dispatch always
+        # vote_rank selects among the element-identical sparse ranks
+        # (config.vote_rank): "pruned" = candidate-pruned with in-program
+        # sort fallback; "sort"; "scan" = scatter-free sort+scan rank
         n_cand = self.config.rank_candidates
+        vrank = self.config.vote_rank
+        eblk = self._expand_block_for(dev)
 
         def run(cap):
             q_args = (jnp.asarray(q.hi), jnp.asarray(q.lo),
@@ -1196,12 +1196,17 @@ class SIA:
                       topn=topn or self.config.topn,
                       offset_stride=self._offset_stride,
                       head=head, uview=uview, u_steps=usteps)
-            if use_sparse and n_cand > 0:
+            if use_sparse and vrank == "pruned" and n_cand > 0:
                 raw, _ok = jax.device_get(match_query_pruned(
-                    dev, *q_args, n_candidates=n_cand, **kw))
+                    dev, *q_args, n_candidates=n_cand,
+                    expand_block=eblk, **kw))
                 return raw
-            matcher = match_query_sparse if use_sparse else match_query
-            return jax.device_get(matcher(dev, *q_args, **kw))
+            if use_sparse:
+                return jax.device_get(match_query_sparse(
+                    dev, *q_args,
+                    vote_rank=vrank if vrank != "pruned" else "sort",
+                    expand_block=eblk, **kw))
+            return jax.device_get(match_query(dev, *q_args, **kw))
 
         cap = caps[0]
         raw = run(cap)
@@ -1217,6 +1222,22 @@ class SIA:
             cap = next((c for c in caps if c >= total), caps[-1])
             raw = run(cap)
         return raw, cap
+
+    def _expand_block_for(self, dev) -> int:
+        """config.expand_block, gated on the layout actually supporting
+        block-gather expansion: packed payload (offset_stride > 0) with
+        device capacity a multiple of the block width (device_arrays
+        pads host-loaded indexes to 512; device-resident stores carry
+        power-of-two capacities). Spanned stores expand through
+        _expand_stacked, which has no blocked variant yet — 0 there."""
+        blk = self.config.expand_block
+        if not blk or self._offset_stride == 0 or self._is_spanned:
+            return 0
+        try:
+            rows = int(dev[3].shape[0])
+        except (TypeError, AttributeError, IndexError):
+            return 0
+        return blk if rows % blk == 0 else 0
 
     def _decided(self, raw) -> bool:
         """True iff a capacity-clamped RawMatch is PROVABLY the full
@@ -1257,6 +1278,7 @@ class SIA:
         if min_capacity is not None:
             caps = [c for c in caps if c >= min_capacity] or caps[-1:]
         n_cand = self.config.rank_candidates
+        vrank = self.config.vote_rank
 
         def run(cap):
             q_args = (jnp.asarray(q.hi), jnp.asarray(q.lo),
@@ -1267,13 +1289,14 @@ class SIA:
                       topn=topn or self.config.topn,
                       offset_stride=self._offset_stride,
                       heads=heads, uviews=uviews, u_steps=usteps)
-            if n_cand > 0:
+            if vrank == "pruned" and n_cand > 0:
                 raw, span_max, _ok = jax.device_get(
                     match_query_pruned_spanned(
                         dev, *q_args, n_candidates=n_cand, **kw))
                 return raw, span_max
             return jax.device_get(match_query_sparse_spanned(
-                dev, *q_args, **kw))
+                dev, *q_args,
+                vote_rank=vrank if vrank != "pruned" else "sort", **kw))
 
         cap = caps[0]
         raw, span_max = run(cap)
@@ -1340,6 +1363,8 @@ class SIA:
             head=head, uview=uview, u_steps=usteps,
             rank_candidates=self.config.rank_candidates,
             sparse_threshold=self.config.sparse_vote_threshold,
+            vote_rank=self.config.vote_rank,
+            expand_block=self._expand_block_for(dev),
         ))
         device_time = time.time() - t0
         if (
@@ -1401,6 +1426,7 @@ class SIA:
                 uviews=uviews,
                 u_steps=usteps,
                 rank_candidates=self.config.rank_candidates,
+                vote_rank=self.config.vote_rank,
             ))
         device_time = time.time() - t0
         if (
@@ -1578,7 +1604,11 @@ class SIA:
         span_maxes = None
         use_sparse = (kw["n_songs"] * delta_range
                       > self.config.sparse_vote_threshold)
-        n_cand = self.config.rank_candidates if use_sparse else 0
+        vrank = self.config.vote_rank
+        n_cand = (self.config.rank_candidates
+                  if use_sparse and vrank == "pruned" else 0)
+        sort_rank = vrank if vrank not in ("pruned",) else "sort"
+        eblk = self._expand_block_for(dev)
         if self._is_spanned:
             from .match.batched import match_queries_batched_spanned
         else:
@@ -1587,9 +1617,10 @@ class SIA:
         def dispatch(cap, pruned=True):
             """One batched device program; returns (raw, span_maxes,
             oks, clamp).  ``oks`` is the per-clip pruned-rank exactness
-            certificate (None on the sort path): under vmap the
-            in-program cond fallback would execute both branches, so
-            failed clips are instead re-dispatched solo below."""
+            certificate (None on the sort/scan paths, which are
+            unconditionally exact): under vmap the in-program cond
+            fallback would execute both branches, so failed clips are
+            instead re-dispatched solo below."""
             kw2 = dict(kw, match_capacity=cap)
             want = pruned and n_cand > 0
             if self._is_spanned:
@@ -1608,7 +1639,8 @@ class SIA:
                 else:
                     r, sm = jax.device_get(match_queries_batched_spanned(
                         dev, *q_args, heads=heads,
-                        uviews=s_uviews, u_steps=s_usteps, **kw2))
+                        uviews=s_uviews, u_steps=s_usteps,
+                        vote_rank=sort_rank, **kw2))
                     oks = None
                 cl = np.asarray(sm)[:n_real]
             else:
@@ -1617,11 +1649,14 @@ class SIA:
                     r, oks = jax.device_get(match_queries_batched(
                         dev, *q_args, head=hd, uview=uview,
                         u_steps=usteps, sparse=True,
-                        rank_candidates=n_cand, **kw2))
+                        rank_candidates=n_cand, expand_block=eblk,
+                        **kw2))
                 else:
                     r, oks = jax.device_get(match_queries_batched(
                         dev, *q_args, head=hd, uview=uview,
-                        u_steps=usteps, sparse=use_sparse, **kw2)), None
+                        u_steps=usteps, sparse=use_sparse,
+                        vote_rank=sort_rank, expand_block=eblk,
+                        **kw2)), None
                 sm = None
                 cl = np.asarray(r.total_rows)[:n_real]
             return r, sm, oks, cl

@@ -68,6 +68,20 @@ class FingerprintConfig:
     # dominates escalated capacities is only paid when the certificate
     # fails (weak, tie-heavy top votes).  0 disables (always sort).
     rank_candidates: int = 256
+    # vote-rank algorithm for the sparse matchers: "pruned" = the
+    # candidate-pruned rank above when rank_candidates > 0 (sort
+    # otherwise); "sort" = the segment-scatter sort rank; "scan" = the
+    # scatter-free sort+scan rank (match/lookup._scan_vote_rank) —
+    # element-identical results in every case (tested); they differ
+    # only in per-element HBM cost at escalated capacities
+    vote_rank: str = "pruned"
+    # block-gather expansion width for the sparse matchers: matched rows
+    # are contiguous runs, read as aligned (N/B, B) payload rows —
+    # sequential DMAs instead of per-row random gathers (measured 60x at
+    # the 1M tier, exp_esc r4). 0 = scalar gathers. Requires the packed
+    # payload layout with capacity a multiple of the width; the api
+    # falls back to scalar when the layout can't support it
+    expand_block: int = 0
     # dense-histogram cutoff: past n_songs * delta_range vote bins the
     # dense (n_songs, delta_range) table costs more than the
     # O(match_capacity) sparse/pruned ranks (measured ~1.5 GB/query at

@@ -24,7 +24,7 @@ from .lookup import (match_local, match_query_pruned, match_query_sparse,
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
                      "topn", "offset_stride", "sparse", "u_steps",
-                     "rank_candidates"),
+                     "rank_candidates", "vote_rank", "expand_block"),
 )
 def match_queries_batched(
     index_arrays,
@@ -41,6 +41,8 @@ def match_queries_batched(
     uview=None,
     u_steps: int = 0,
     rank_candidates: int = 0,
+    vote_rank: str = "pruned",
+    expand_block: int = 0,
 ) -> RawMatch:
     """Match a (Bq, Q) batch of padded queries; returns batched RawMatch.
 
@@ -48,24 +50,28 @@ def match_queries_batched(
     sort-based matcher instead of the dense histogram — a (Bq, n_songs,
     delta_range) histogram stack is ~4 GB per batch at 12K songs.
 
-    ``rank_candidates`` > 0 (sparse only) vmaps the candidate-pruned
-    rank instead of the vote sort and returns ``(RawMatch, oks)`` where
-    ``oks`` is the per-clip exactness certificate.  Under vmap an
-    in-program cond would execute BOTH branches, so there is no fused
-    fallback here: a clip whose certificate fails must be re-dispatched
-    through the solo matcher by the caller (api.recognize_batch does) —
-    its RawMatch row is NOT exact.
+    ``vote_rank="pruned"`` with ``rank_candidates`` > 0 (sparse only)
+    vmaps the candidate-pruned rank instead of the vote sort and returns
+    ``(RawMatch, oks)`` where ``oks`` is the per-clip exactness
+    certificate.  Under vmap an in-program cond would execute BOTH
+    branches, so there is no fused fallback here: a clip whose
+    certificate fails must be re-dispatched through the solo matcher by
+    the caller (api.recognize_batch does) — its RawMatch row is NOT
+    exact.  ``vote_rank="scan"``/``"sort"`` return a plain RawMatch and
+    are unconditionally exact ("scan" also vmaps without the per-clip
+    hashed tables the pruned rank allocates).
     """
     if sparse is None:
         sparse = n_songs * delta_range > 16_000_000
 
     def one(hi, lo, ex, t, valid, first):
-        if sparse and rank_candidates > 0:
+        if sparse and vote_rank == "pruned" and rank_candidates > 0:
             sid, delta, p, valid_s, total, n_dropped = _expand(
                 index_arrays, hi, lo, ex, t, valid,
                 match_capacity=match_capacity,
                 offset_stride=offset_stride, head=head,
                 uview=uview, u_steps=u_steps,
+                expand_block=expand_block,
             )
             return _pruned_vote_rank(
                 sid, delta, jnp.take(first, p), valid_s, total, n_dropped,
@@ -80,6 +86,8 @@ def match_queries_batched(
                 delta_range=delta_range, match_capacity=match_capacity,
                 topn=topn, offset_stride=offset_stride, head=head,
                 uview=uview, u_steps=u_steps,
+                vote_rank=vote_rank if vote_rank != "pruned" else "sort",
+                expand_block=expand_block,
             )
         hist, rows_hist, total, n_dropped = match_local(
             index_arrays, hi, lo, ex, t, valid, first,
@@ -96,7 +104,8 @@ def match_queries_batched(
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
-                     "topn", "offset_stride", "rank_candidates", "u_steps"),
+                     "topn", "offset_stride", "rank_candidates", "u_steps",
+                     "vote_rank"),
 )
 def match_queries_batched_spanned(
     span_arrays,
@@ -112,6 +121,7 @@ def match_queries_batched_spanned(
     rank_candidates: int = 0,
     uviews=None,
     u_steps: int = 0,
+    vote_rank: str = "pruned",
 ):
     """``match_queries_batched`` against a spanned index (per-span tuples
     or the consolidated stacked layout — lookup.match_query_sparse_spanned
@@ -127,7 +137,7 @@ def match_queries_batched_spanned(
     from .lookup import match_query_sparse_spanned
 
     def one(hi, lo, ex, t, valid, first):
-        if rank_candidates > 0:
+        if vote_rank == "pruned" and rank_candidates > 0:
             sid, delta, first_s, valid_s, total, span_max, n_dropped = \
                 _expand_any_spans(
                     span_arrays, heads, hi, lo, ex, t, valid, first,
@@ -148,6 +158,7 @@ def match_queries_batched_spanned(
             match_capacity=match_capacity, topn=topn,
             offset_stride=offset_stride, heads=heads,
             uviews=uviews, u_steps=u_steps,
+            vote_rank=vote_rank if vote_rank != "pruned" else "sort",
         )
 
     return jax.vmap(one)(q_hi, q_lo, q_ex, q_t, q_valid, q_first)

@@ -28,7 +28,7 @@ from ..ops.fingerprint import fingerprint_batch_fused, fingerprint_batch
 from .lookup import (match_local, match_query_pruned, match_query_sparse,
                      rank_votes, RawMatch, check_vote_key,
                      _expand_any_spans, _pruned_vote_rank,
-                     _sparse_vote_rank)
+                     _sparse_vote_rank, _rank_by_name)
 
 
 def _fingerprint_dedup(samples, n_valid, *, fs, wsize, hop, amp_min,
@@ -112,7 +112,8 @@ def _fingerprint_dedup(samples, n_valid, *, fs, wsize, hop, amp_min,
                      "min_dt", "max_dt", "peak_capacity", "n_songs",
                      "delta_min", "delta_range", "match_capacity", "topn",
                      "offset_stride", "use_fused", "query_capacity",
-                     "u_steps", "rank_candidates", "sparse_threshold"),
+                     "u_steps", "rank_candidates", "sparse_threshold",
+                     "vote_rank", "expand_block"),
 )
 def recognize_on_device(
     samples: jnp.ndarray,          # (1, padded_len) float32
@@ -141,6 +142,8 @@ def recognize_on_device(
     u_steps: int = 0,
     rank_candidates: int = 0,
     sparse_threshold: int = 16_000_000,
+    vote_rank: str = "pruned",
+    expand_block: int = 0,
 ):
     """One jitted program: mono clip -> (RawMatch, n_pairs, n_peaks, n_hash).
 
@@ -159,10 +162,11 @@ def recognize_on_device(
     )
 
     if n_songs * delta_range > sparse_threshold:
-        # big catalogs: candidate-pruned rank with in-program sort
-        # fallback when rank_candidates > 0, else the sort-based sparse
-        # matcher — all element-identical (see lookup.match_query_pruned)
-        if rank_candidates > 0:
+        # big catalogs: vote_rank selects between the element-identical
+        # sparse ranks — "pruned" (candidate-pruned with in-program sort
+        # fallback, when rank_candidates > 0), "sort", or the
+        # scatter-free "scan" (see lookup._scan_vote_rank)
+        if vote_rank == "pruned" and rank_candidates > 0:
             raw, _ok = match_query_pruned(
                 index_arrays, sort_hi, lo, ex, t1, q_valid, q_first,
                 n_songs=n_songs, delta_min=delta_min,
@@ -170,6 +174,7 @@ def recognize_on_device(
                 topn=topn, offset_stride=offset_stride, head=head,
                 uview=uview, u_steps=u_steps,
                 n_candidates=rank_candidates,
+                expand_block=expand_block,
             )
         else:
             raw = match_query_sparse(
@@ -178,6 +183,8 @@ def recognize_on_device(
                 delta_range=delta_range, match_capacity=match_capacity,
                 topn=topn, offset_stride=offset_stride, head=head,
                 uview=uview, u_steps=u_steps,
+                vote_rank=vote_rank if vote_rank != "pruned" else "sort",
+                expand_block=expand_block,
             )
     else:
         hist, rows_hist, total, n_dropped = match_local(
@@ -197,7 +204,7 @@ def recognize_on_device(
                      "min_dt", "max_dt", "peak_capacity", "n_songs",
                      "delta_min", "delta_range", "match_capacity", "topn",
                      "offset_stride", "use_fused", "query_capacity",
-                     "rank_candidates", "u_steps"),
+                     "rank_candidates", "u_steps", "vote_rank"),
 )
 def recognize_on_device_spanned(
     samples: jnp.ndarray,          # (1, padded_len) float32
@@ -225,6 +232,7 @@ def recognize_on_device_spanned(
     rank_candidates: int = 0,
     uviews=None,
     u_steps: int = 0,
+    vote_rank: str = "pruned",
 ):
     """``recognize_on_device`` against a spanned index (SpannedDeviceStore).
 
@@ -250,7 +258,7 @@ def recognize_on_device_spanned(
             match_capacity=match_capacity, offset_stride=offset_stride,
             uviews=uviews, u_steps=u_steps,
         )
-    if rank_candidates > 0:
+    if vote_rank == "pruned" and rank_candidates > 0:
         raw_p, ok = _pruned_vote_rank(
             sid, delta, first, valid, total, n_dropped,
             n_songs=n_songs, delta_min=delta_min,
@@ -266,7 +274,9 @@ def recognize_on_device_spanned(
                 delta_range=delta_range, topn=topn),
         )
     else:
-        raw = _sparse_vote_rank(
+        rank = _rank_by_name(vote_rank if vote_rank != "pruned"
+                             else "sort")
+        raw = rank(
             sid, delta, first, valid, total, n_dropped,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
             topn=topn,

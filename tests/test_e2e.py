@@ -145,12 +145,17 @@ def test_sparse_and_pruned_paths_match_dense_end_to_end(corpus):
                                        rank_candidates=0))
     tiny_c = run(FingerprintConfig(sparse_vote_threshold=0,
                                    rank_candidates=2))
+    # scatter-free scan rank + block-gather expansion (the escalated-tier
+    # production combination) through the same three API paths
+    scan_blk = run(FingerprintConfig(sparse_vote_threshold=0,
+                                     vote_rank="scan", expand_block=512))
 
     for key in ("samples", "clip", "batch"):
         want = strip(base[key])
         assert strip(forced[key]) == want, key
         assert strip(pruned_off[key]) == want, key
         assert strip(tiny_c[key]) == want, key
+        assert strip(scan_blk[key]) == want, key
     # sanity: the planted clips actually recognized
     names = [s for s, *_ in strip(base["batch"])]
     assert names[:N_SONGS] == [f"track{i:06d}" for i in range(N_SONGS)]

@@ -562,6 +562,133 @@ def test_pruned_matcher_randomized_parity():
                     seed, n_cand)
 
 
+def test_scan_rank_equals_sparse_randomized():
+    """_scan_vote_rank (sort + cumulative scans, scatter-free) must be
+    ELEMENT-IDENTICAL to _sparse_vote_rank on adversarial vote streams:
+    heavy (song, delta) ties, out-of-range deltas, OUT-OF-RANGE SONG IDS
+    (sid >= n_songs — the scatter ranks drop them, caught live on a
+    1-based-id stream at prod12288), invalid slots, no-vote streams,
+    single-song catalogs, catalogs smaller than topn."""
+    import jax.numpy as jnp
+    from shazam_tpu.match.lookup import _scan_vote_rank, _sparse_vote_rank
+
+    def run(rank, sid, delta, first, valid, **kw):
+        return rank(jnp.asarray(sid), jnp.asarray(delta),
+                    jnp.asarray(first), jnp.asarray(valid),
+                    jnp.int32(int(valid.sum())), jnp.int32(3), **kw)
+
+    for seed in range(8):
+        rng = np.random.default_rng(200 + seed)
+        cap = 4096
+        n_songs = int(rng.choice([1, 2, 3, 64, 500]))
+        delta_range = int(rng.choice([64, 1280]))
+        delta_min = -32
+        topn = int(rng.choice([1, 2, 3, 5]))
+        # heavy ties: few distinct (song, delta) pairs; sid deliberately
+        # overshoots n_songs (1-based-id streams carry sid == n_songs)
+        sid = rng.integers(0, n_songs + int(rng.choice([0, 1, 3])),
+                           cap).astype(np.int32)
+        delta = (rng.integers(-64, delta_range, cap)
+                 + delta_min).astype(np.int32)
+        valid = rng.random(cap) < rng.choice([0.0, 0.05, 0.9])
+        first = rng.random(cap) < 0.6
+        kw = dict(n_songs=n_songs, delta_min=delta_min,
+                  delta_range=delta_range, topn=topn)
+        a = run(_sparse_vote_rank, sid, delta, first, valid, **kw)
+        b = run(_scan_vote_rank, sid, delta, first, valid, **kw)
+        for f in a._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(b, f)), np.asarray(getattr(a, f)),
+                (seed, f, n_songs, topn))
+
+    # targeted edges: all-invalid stream; exact vote tie between two
+    # songs (smallest id wins); within-song delta tie (smallest delta)
+    for sid_v, delta_v in (
+        (np.zeros(64, np.int32), np.zeros(64, np.int32)),
+        (np.array([5, 5, 2, 2] * 8, np.int32),
+         np.array([7, 7, 9, 9] * 8, np.int32)),
+        (np.array([3] * 32 + [3] * 32, np.int32),
+         np.array([10] * 32 + [4] * 32, np.int32)),
+    ):
+        cap = sid_v.shape[0]
+        for valid in (np.zeros(cap, bool), np.ones(cap, bool)):
+            kw = dict(n_songs=8, delta_min=0, delta_range=64, topn=2)
+            first = np.ones(cap, bool)
+            a = run(_sparse_vote_rank, sid_v, delta_v, first, valid, **kw)
+            b = run(_scan_vote_rank, sid_v, delta_v, first, valid, **kw)
+            for f in a._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(b, f)), np.asarray(getattr(a, f)), f)
+
+
+def test_scan_matcher_equals_sparse():
+    """match_query_sparse(vote_rank='scan') end-to-end parity with the
+    sort rank: fitting and clamped capacities, scalar and blocked
+    expansion, and the spanned variant."""
+    import jax.numpy as jnp
+    from shazam_tpu.match.lookup import (match_query_sparse,
+                                         match_query_sparse_spanned)
+
+    rng = np.random.default_rng(31)
+    n, n_songs, stride = 200_000, 4000, 1024
+    hi = rng.integers(0, 1 << 12, n, dtype=np.uint32)
+    lo = rng.integers(0, 1 << 4, n, dtype=np.uint32)
+    ex = rng.integers(0, 1 << 2, n, dtype=np.uint32)
+    sid = rng.integers(0, n_songs, n, dtype=np.uint32)
+    off = rng.integers(0, 1000, n, dtype=np.uint32)
+    plant = rng.choice(n, 400, replace=False)
+    sid[plant] = 1234
+    off[plant] = np.sort(rng.integers(60, 900, 400)).astype(np.uint32)
+    order = np.lexsort((off, sid, ex, lo, hi))
+    # pad to a 512 multiple so blocked expansion applies
+    npad = -(-n // 512) * 512
+    S = np.uint32(0xFFFFFFFF)
+
+    def padded(a, fill):
+        return jnp.asarray(np.concatenate(
+            [a[order], np.full(npad - n, fill, np.uint32)]))
+
+    cols = (padded(hi, S), padded(lo, S), padded(ex, S),
+            padded(sid * np.uint32(stride) + off, 0))
+
+    Q = 512
+    q_hi, q_lo, q_ex = hi[plant], lo[plant], ex[plant]
+    q_t = (off[plant].astype(np.int64) - 40).astype(np.uint32)
+
+    def padq(a):
+        out = np.zeros(Q, a.dtype)
+        out[:400] = a
+        return jnp.asarray(out)
+
+    qv = jnp.asarray(np.arange(Q) < 400)
+    kw = dict(n_songs=n_songs, delta_min=-256, delta_range=1536,
+              topn=2, offset_stride=stride)
+    args = (cols, padq(q_hi), padq(q_lo), padq(q_ex), padq(q_t), qv, qv)
+
+    for cap in (65536, 1024):   # fitting + clamped
+        for blk in (0, 512):
+            ref = match_query_sparse(*args, match_capacity=cap,
+                                     expand_block=blk, **kw)
+            got = match_query_sparse(*args, match_capacity=cap,
+                                     expand_block=blk, vote_rank="scan",
+                                     **kw)
+            for f in ref._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(got, f)),
+                    np.asarray(getattr(ref, f)), (f, cap, blk))
+    assert int(got.top_songs[0]) == 1234
+
+    # spanned variant: split the index into 2 sorted spans
+    half = npad // 2
+    spans = (tuple(c[:half] for c in cols), tuple(c[half:] for c in cols))
+    sargs = (spans,) + args[1:]
+    ref = match_query_sparse_spanned(*sargs, match_capacity=65536, **kw)
+    got = match_query_sparse_spanned(*sargs, match_capacity=65536,
+                                     vote_rank="scan", **kw)
+    for a, b in zip(got[0], ref[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_blocked_expansion_parity():
     """expand_block > 0 (block-gather expansion): element-identical
     RawMatch to the scalar path at a fitting capacity, through both the
