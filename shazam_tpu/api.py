@@ -1187,10 +1187,13 @@ class SIA:
         vrank = self.config.vote_rank
         eblk = self._expand_block_for(dev)
 
-        def run(cap):
+        eruns = self.config.expand_block_runs
+
+        def run(cap, blk=None):
             q_args = (jnp.asarray(q.hi), jnp.asarray(q.lo),
                       jnp.asarray(q.ex), jnp.asarray(q.t),
                       jnp.asarray(q.valid), jnp.asarray(q.first))
+            b = eblk if blk is None else blk
             kw = dict(n_songs=n_songs, delta_min=delta_min,
                       delta_range=delta_range, match_capacity=cap,
                       topn=topn or self.config.topn,
@@ -1199,19 +1202,21 @@ class SIA:
             if use_sparse and vrank == "pruned" and n_cand > 0:
                 raw, _ok = jax.device_get(match_query_pruned(
                     dev, *q_args, n_candidates=n_cand,
-                    expand_block=eblk, **kw))
+                    expand_block=b, expand_runs=eruns, **kw))
                 return raw
             if use_sparse:
                 return jax.device_get(match_query_sparse(
                     dev, *q_args,
                     vote_rank=vrank if vrank != "pruned" else "sort",
-                    expand_block=eblk, **kw))
+                    expand_block=b, expand_runs=eruns, **kw))
             return jax.device_get(match_query(dev, *q_args, **kw))
 
         cap = caps[0]
         raw = run(cap)
         total = int(raw.total_rows)   # exact even when expansion clamps
-        if total > cap:
+        if total > cap or int(raw.n_dropped) > 0:
+            # n_dropped > 0 with total <= cap only happens under the
+            # blocked expansion's nonempty-run budget (expand_block_runs)
             if self._decided(raw):
                 # provably-exact early accept (see config.decision_
                 # escalation): the escalated tier would return the same
@@ -1221,6 +1226,12 @@ class SIA:
                 return raw, max(total, cap)
             cap = next((c for c in caps if c >= total), caps[-1])
             raw = run(cap)
+            if eblk and int(raw.n_dropped) > 0 and total <= cap:
+                # > expand_block_runs nonempty runs: no capacity tier
+                # cures a run-budget drop — the scalar expansion is the
+                # exact terminal fallback (rare: > 1024 distinct matched
+                # hashes in one clip)
+                raw = run(cap, blk=0)
         return raw, cap
 
     def _expand_block_for(self, dev) -> int:
@@ -1365,11 +1376,13 @@ class SIA:
             sparse_threshold=self.config.sparse_vote_threshold,
             vote_rank=self.config.vote_rank,
             expand_block=self._expand_block_for(dev),
+            expand_runs=self.config.expand_block_runs,
         ))
         device_time = time.time() - t0
         if (
             int(n_peaks) > self.config.peak_capacity
-            or (int(raw.total_rows) > self.config.match_capacity_fast
+            or ((int(raw.total_rows) > self.config.match_capacity_fast
+                 or int(raw.n_dropped) > 0)
                 and not self._decided(raw))
             or int(n_hashes) > q_cap
         ):
@@ -1431,7 +1444,8 @@ class SIA:
         device_time = time.time() - t0
         if (
             int(n_peaks) > self.config.peak_capacity
-            or (int(span_max) > self.config.match_capacity_fast
+            or ((int(span_max) > self.config.match_capacity_fast
+                 or int(raw.n_dropped) > 0)
                 and not self._decided(raw))
             or int(n_hashes) > q_cap
         ):
@@ -1650,12 +1664,14 @@ class SIA:
                         dev, *q_args, head=hd, uview=uview,
                         u_steps=usteps, sparse=True,
                         rank_candidates=n_cand, expand_block=eblk,
+                        expand_runs=self.config.expand_block_runs,
                         **kw2))
                 else:
                     r, oks = jax.device_get(match_queries_batched(
                         dev, *q_args, head=hd, uview=uview,
                         u_steps=usteps, sparse=use_sparse,
                         vote_rank=sort_rank, expand_block=eblk,
+                        expand_runs=self.config.expand_block_runs,
                         **kw2)), None
                 sm = None
                 cl = np.asarray(r.total_rows)[:n_real]
@@ -1703,8 +1719,10 @@ class SIA:
             decided_ids.update(int(i) for i in clamped_ids if margin_ok[i])
             return clamped_ids[~margin_ok[clamped_ids]]
 
+        run_drop = np.asarray(raw.n_dropped)[:n_real] > 0
         if tiers[-1] > batch_cap:
-            over = undecided(np.nonzero(clamp > batch_cap)[0])
+            over = undecided(np.nonzero((clamp > batch_cap)
+                                        | run_drop)[0])
             if len(over) > max(n_real // 2, 1):
                 need = int(clamp.max())
                 cand_cap = next((c for c in tiers if c >= need),
@@ -1723,7 +1741,9 @@ class SIA:
                     kw["match_capacity"] = batch_cap
                     raw, span_maxes, oks, clamp = dispatch(batch_cap)
                     decided_ids.clear()  # judged against the old dispatch
-                    over = undecided(np.nonzero(clamp > batch_cap)[0])
+                    run_drop = np.asarray(raw.n_dropped)[:n_real] > 0
+                    over = undecided(np.nonzero((clamp > batch_cap)
+                                                | run_drop)[0])
             for i in over:
                 retried[int(i)] = self._match_prepared(
                     queries[i], len(clips[i]), topn=topn,

@@ -82,6 +82,15 @@ class FingerprintConfig:
     # payload layout with capacity a multiple of the width; the api
     # falls back to scalar when the layout can't support it
     expand_block: int = 0
+    # nonempty-run budget for the blocked expansion's static block
+    # count (cap/B + 2*runs blocks): every rank pass downstream costs
+    # ~9 ns per STREAM element (exp_scan r4) and query packs pad lanes
+    # to a pow2 bucket, so budgeting for all padded lanes (4096 at the
+    # bench packs) more than doubles the escalated-tier stream. Real
+    # 15 s clips hold < 1024 nonempty runs; queries with more get
+    # excess runs DROPPED into n_dropped (never silent) and the api
+    # re-runs them through the scalar expansion. 0 = all lanes
+    expand_block_runs: int = 1024
     # dense-histogram cutoff: past n_songs * delta_range vote bins the
     # dense (n_songs, delta_range) table costs more than the
     # O(match_capacity) sparse/pruned ranks (measured ~1.5 GB/query at

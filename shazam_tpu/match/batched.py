@@ -24,7 +24,8 @@ from .lookup import (match_local, match_query_pruned, match_query_sparse,
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
                      "topn", "offset_stride", "sparse", "u_steps",
-                     "rank_candidates", "vote_rank", "expand_block"),
+                     "rank_candidates", "vote_rank", "expand_block",
+                     "expand_runs"),
 )
 def match_queries_batched(
     index_arrays,
@@ -43,6 +44,7 @@ def match_queries_batched(
     rank_candidates: int = 0,
     vote_rank: str = "pruned",
     expand_block: int = 0,
+    expand_runs: int = 0,
 ) -> RawMatch:
     """Match a (Bq, Q) batch of padded queries; returns batched RawMatch.
 
@@ -71,7 +73,7 @@ def match_queries_batched(
                 match_capacity=match_capacity,
                 offset_stride=offset_stride, head=head,
                 uview=uview, u_steps=u_steps,
-                expand_block=expand_block,
+                expand_block=expand_block, expand_runs=expand_runs,
             )
             return _pruned_vote_rank(
                 sid, delta, jnp.take(first, p), valid_s, total, n_dropped,
@@ -87,7 +89,7 @@ def match_queries_batched(
                 topn=topn, offset_stride=offset_stride, head=head,
                 uview=uview, u_steps=u_steps,
                 vote_rank=vote_rank if vote_rank != "pruned" else "sort",
-                expand_block=expand_block,
+                expand_block=expand_block, expand_runs=expand_runs,
             )
         hist, rows_hist, total, n_dropped = match_local(
             index_arrays, hi, lo, ex, t, valid, first,

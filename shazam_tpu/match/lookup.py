@@ -77,7 +77,7 @@ class RawMatch(NamedTuple):
 def _expand_blocked(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
                     match_capacity: int, offset_stride: int,
                     block_size: int, head=None, uview=None,
-                    u_steps: int = 0):
+                    u_steps: int = 0, max_runs: int = 0):
     """Block-gather expansion: ``_expand``'s contract, sequential DMAs.
 
     The scalar expansion issues ``match_capacity`` independent payload
@@ -91,10 +91,18 @@ def _expand_blocked(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
     Semantics: whole runs, shortest-first (in blocks), ``total`` exact,
     ``n_dropped`` = runs the budget excluded — the same invariants the
     early-accept proof needs. The static budget is ``match_capacity //
-    B + 2 * n_lanes`` blocks (alignment can waste up to 2 partial
-    blocks per run), so "row total <= match_capacity => nothing
-    dropped" still holds; under clamp the excluded SET can differ from
-    the scalar path's (both are valid whole-run budgets).
+    B + 2 * R`` blocks (alignment can waste up to 2 partial blocks per
+    nonempty run), where ``R = min(n_lanes, max_runs or n_lanes)``.
+    ``max_runs`` matters because the rank downstream pays ~9 ns per
+    STREAM element (measured, exp_scan r4) and query packs pad lanes to
+    a pow2 bucket: at 4096 padded lanes / B=128 the default budget adds
+    1.05M stream elements while real 15 s clips hold < 1024 nonempty
+    runs.  Runs past the shortest-first ``max_runs`` budget are DROPPED
+    and counted in ``n_dropped`` (never silent — the early-accept
+    certificate and the caller's escalation/scalar-fallback policy see
+    them), so "row total <= match_capacity AND nonempty runs <= R =>
+    nothing dropped" holds; under clamp the excluded SET can differ
+    from the scalar path's (both are valid whole-run budgets).
 
     Returns (sid, delta, p, valid, total, n_dropped) with arrays of
     length ``cap_blocks * B`` — callers are length-agnostic. Requires
@@ -127,10 +135,18 @@ def _expand_blocked(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
     order = jnp.argsort(nblk)          # shortest-first, in block units
     nblk_s = jnp.take(nblk, order)
     b0_s = jnp.take(b0, order)
-    cap_blocks = match_capacity // B + 2 * lens.shape[0]
+    n_lanes = lens.shape[0]
+    runs_budget = min(n_lanes, max_runs) if max_runs else n_lanes
+    cap_blocks = match_capacity // B + 2 * runs_budget
     cum = jnp.cumsum(nblk_s)
+    nonempty = nblk_s > 0
     included = cum <= cap_blocks
-    n_dropped = jnp.sum(((nblk_s > 0) & ~included).astype(jnp.int32))
+    if runs_budget < n_lanes:
+        # shortest-first rank among nonempty runs; runs past the budget
+        # are dropped exactly like block-budget overflows
+        run_rank = jnp.cumsum(nonempty.astype(jnp.int32))
+        included = included & (run_rank <= runs_budget)
+    n_dropped = jnp.sum((nonempty & ~included).astype(jnp.int32))
     nblk_inc = jnp.where(included, nblk_s, 0)
     cum_inc = jnp.cumsum(nblk_inc)
     total_blocks = cum_inc[-1]
@@ -167,7 +183,8 @@ def _expand_blocked(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
 
 def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
             match_capacity: int, offset_stride: int, head=None,
-            uview=None, u_steps: int = 0, expand_block: int = 0):
+            uview=None, u_steps: int = 0, expand_block: int = 0,
+            expand_runs: int = 0):
     """Search + fixed-capacity row expansion (shared by the matchers).
 
     Returns (sid, delta, p, valid, total, n_dropped): per expanded vote
@@ -199,7 +216,7 @@ def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
             index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
             match_capacity=match_capacity, offset_stride=offset_stride,
             block_size=expand_block, head=head, uview=uview,
-            u_steps=u_steps)
+            u_steps=u_steps, max_runs=expand_runs)
     if uview is not None:
         lb, ub = unique_bounds(uview, q_hi, q_lo, q_ex, q_valid,
                                steps=u_steps)
@@ -417,7 +434,7 @@ def _rank_by_name(vote_rank: str):
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
                      "topn", "offset_stride", "u_steps", "expand_block",
-                     "vote_rank"),
+                     "expand_runs", "vote_rank"),
 )
 def match_query_sparse(
     index_arrays,
@@ -438,6 +455,7 @@ def match_query_sparse(
     uview=None,
     u_steps: int = 0,
     expand_block: int = 0,
+    expand_runs: int = 0,
     vote_rank: str = "sort",
 ) -> RawMatch:
     """``match_query`` without the dense histogram — EXACT, for big catalogs.
@@ -457,7 +475,7 @@ def match_query_sparse(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
         head=head, uview=uview, u_steps=u_steps,
-        expand_block=expand_block,
+        expand_block=expand_block, expand_runs=expand_runs,
     )
     first = jnp.take(q_first, p)
     return _rank_by_name(vote_rank)(
@@ -832,7 +850,7 @@ def _pruned_vote_rank(sid, delta, first, valid, total, n_dropped=None, *,
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
                      "topn", "offset_stride", "u_steps", "n_candidates",
-                     "expand_block"),
+                     "expand_block", "expand_runs"),
 )
 def match_query_pruned(
     index_arrays,
@@ -854,6 +872,7 @@ def match_query_pruned(
     u_steps: int = 0,
     n_candidates: int = 256,
     expand_block: int = 0,
+    expand_runs: int = 0,
 ):
     """``match_query_sparse`` with the candidate-pruned rank.
 
@@ -873,7 +892,7 @@ def match_query_pruned(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
         head=head, uview=uview, u_steps=u_steps,
-        expand_block=expand_block,
+        expand_block=expand_block, expand_runs=expand_runs,
     )
     first = jnp.take(q_first, p)
     raw_p, ok = _pruned_vote_rank(

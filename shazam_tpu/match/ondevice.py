@@ -113,7 +113,7 @@ def _fingerprint_dedup(samples, n_valid, *, fs, wsize, hop, amp_min,
                      "delta_min", "delta_range", "match_capacity", "topn",
                      "offset_stride", "use_fused", "query_capacity",
                      "u_steps", "rank_candidates", "sparse_threshold",
-                     "vote_rank", "expand_block"),
+                     "vote_rank", "expand_block", "expand_runs"),
 )
 def recognize_on_device(
     samples: jnp.ndarray,          # (1, padded_len) float32
@@ -144,6 +144,7 @@ def recognize_on_device(
     sparse_threshold: int = 16_000_000,
     vote_rank: str = "pruned",
     expand_block: int = 0,
+    expand_runs: int = 0,
 ):
     """One jitted program: mono clip -> (RawMatch, n_pairs, n_peaks, n_hash).
 
@@ -174,7 +175,7 @@ def recognize_on_device(
                 topn=topn, offset_stride=offset_stride, head=head,
                 uview=uview, u_steps=u_steps,
                 n_candidates=rank_candidates,
-                expand_block=expand_block,
+                expand_block=expand_block, expand_runs=expand_runs,
             )
         else:
             raw = match_query_sparse(
@@ -184,7 +185,7 @@ def recognize_on_device(
                 topn=topn, offset_stride=offset_stride, head=head,
                 uview=uview, u_steps=u_steps,
                 vote_rank=vote_rank if vote_rank != "pruned" else "sort",
-                expand_block=expand_block,
+                expand_block=expand_block, expand_runs=expand_runs,
             )
     else:
         hist, rows_hist, total, n_dropped = match_local(

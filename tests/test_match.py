@@ -799,3 +799,99 @@ def test_blocked_expansion_clamp_invariants():
         want = true_len[q_hi[lane]]
         assert kept[lane] in (0, want), (lane, kept[lane], want)
     assert int(np.sum(kept == 0)) == nd
+
+
+def test_blocked_expansion_run_budget():
+    """expand_runs caps the blocked expansion's nonempty-run budget:
+    excess runs are DROPPED into n_dropped (never silent), total stays
+    exact, included runs stay whole, and a budget >= the nonempty-run
+    count is a no-op (element-identical stream semantics)."""
+    import jax.numpy as jnp
+    from shazam_tpu.match.lookup import _expand, _sparse_vote_rank
+
+    rng = np.random.default_rng(29)
+    n, n_songs, stride = 40960, 20, 4096
+    hi = np.sort(rng.integers(0, 8, n).astype(np.uint32))  # 8 hot runs
+    lo = np.zeros(n, np.uint32)
+    ex = np.zeros(n, np.uint32)
+    sid = rng.integers(0, n_songs, n, dtype=np.uint32)
+    off = rng.integers(0, 3000, n, dtype=np.uint32)
+    order = np.lexsort((off, sid, ex, lo, hi))
+    packed = (sid * np.uint32(stride) + off)[order]
+    dev = tuple(jnp.asarray(a) for a in (hi, lo[order], ex[order], packed))
+
+    q_n = 64                      # 8 nonempty lanes, 56 padding lanes
+    q_hi = np.full(q_n, 0xFFFFFFFF, np.uint32)
+    q_hi[:8] = np.arange(8)
+    valid = np.zeros(q_n, bool)
+    valid[:8] = True
+    q = (jnp.asarray(q_hi), jnp.asarray(np.zeros(q_n, np.uint32)),
+         jnp.asarray(np.zeros(q_n, np.uint32)),
+         jnp.asarray(np.arange(q_n, dtype=np.uint32)),
+         jnp.asarray(valid))
+    cap = 65536                   # fits all 8 runs (total = 40960)
+    true_len = np.array([np.sum(hi == k) for k in range(8)])
+
+    # budget >= nonempty runs: nothing dropped, stream much SHORTER
+    # (cap/B + 2*8 blocks vs cap/B + 2*64)
+    sid_b, _, p_b, valid_b, total_b, nd_b = _expand(
+        dev, *q, match_capacity=cap, offset_stride=stride,
+        expand_block=512, expand_runs=8)
+    assert int(total_b) == n and int(nd_b) == 0
+    assert sid_b.shape[0] == (cap // 512 + 2 * 8) * 512
+    kept = np.bincount(np.asarray(p_b)[np.asarray(valid_b)],
+                       minlength=q_n)
+    np.testing.assert_array_equal(kept[:8], true_len)
+
+    # budget < nonempty runs: exactly 5 whole runs kept (shortest-first
+    # in BLOCK units — block-count ties break by lane order, so the
+    # kept SET isn't pinned here), 3 dropped into n_dropped
+    sid_s, _, p_s, valid_s, total_s, nd_s = _expand(
+        dev, *q, match_capacity=cap, offset_stride=stride,
+        expand_block=512, expand_runs=5)
+    assert int(total_s) == n
+    assert int(nd_s) == 3
+    kept = np.bincount(np.asarray(p_s)[np.asarray(valid_s)],
+                       minlength=q_n)
+    for lane in range(8):
+        assert kept[lane] in (0, true_len[lane]), (lane, kept[lane])
+    assert int(np.sum(kept[:8] == 0)) == 3
+
+    # rank-level: the budgeted stream feeds the rank with exact
+    # n_dropped so the early-accept margin stays a valid proof
+    raw = _sparse_vote_rank(
+        sid_s, (np.zeros_like(np.asarray(sid_s))
+                + jnp.zeros(sid_s.shape[0], jnp.int32)),
+        jnp.ones(sid_s.shape[0], bool), valid_s, total_s, nd_s,
+        n_songs=n_songs, delta_min=0, delta_range=8, topn=2)
+    assert int(raw.n_dropped) == 3
+
+
+def test_run_budget_api_fallback():
+    """API level: a tiny expand_block_runs forces run drops on every
+    query; the terminal scalar fallback keeps recognition EXACT (same
+    results as the scalar baseline config)."""
+    from shazam_tpu.api import SIA
+    from shazam_tpu.audio import synth_song
+    from shazam_tpu.config import FingerprintConfig
+
+    songs = [np.atleast_2d(synth_song(i, duration_s=6.0, seed=300 + i))
+             for i in range(4)]
+
+    def run(cfg):
+        sia = SIA(config=cfg)
+        sia.ingest_arrays([(f"s{i}", ch[0]) for i, ch in enumerate(songs)])
+        out = []
+        for ch in songs:
+            r = sia.recognize_samples([ch[0][44100:44100 * 5]])
+            out.append((r["results"][0]["song_name"],
+                        r["results"][0]["offset"],
+                        r["results"][0]["hashes_matched_in_input"]))
+        return out
+
+    base = run(FingerprintConfig(sparse_vote_threshold=0))
+    budg = run(FingerprintConfig(sparse_vote_threshold=0,
+                                 vote_rank="scan", expand_block=512,
+                                 expand_block_runs=2))
+    assert budg == base
+    assert [s for s, *_ in base] == [f"s{i}" for i in range(4)]
