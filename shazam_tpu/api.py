@@ -43,7 +43,7 @@ from .index.catalog import SongCatalog
 from .match.prepare import prepare_query
 from .index.search import maybe_build_head
 from .match.lookup import (match_query, match_query_pruned,
-                           match_query_sparse)
+                           match_query_sparse, query_total)
 from .match.align import align_results
 
 
@@ -1181,19 +1181,19 @@ class SIA:
         # is O(match_capacity) and element-identical (tested)
         use_sparse = n_songs * delta_range > self.config.sparse_vote_threshold
         # vote_rank selects among the element-identical sparse ranks
-        # (config.vote_rank): "pruned" = candidate-pruned with in-program
-        # sort fallback; "sort"; "scan" = scatter-free sort+scan rank
+        # per tier (config.vote_rank via _rank_for): "pruned" =
+        # candidate-pruned with in-program sort fallback; "sort";
+        # "scan" = scatter-free sort+scan rank
         n_cand = self.config.rank_candidates
-        vrank = self.config.vote_rank
         eblk = self._expand_block_for(dev)
-
         eruns = self.config.expand_block_runs
 
         def run(cap, blk=None):
             q_args = (jnp.asarray(q.hi), jnp.asarray(q.lo),
                       jnp.asarray(q.ex), jnp.asarray(q.t),
                       jnp.asarray(q.valid), jnp.asarray(q.first))
-            b = eblk if blk is None else blk
+            b = self._eblk_for_cap(eblk, cap) if blk is None else blk
+            vrank = self._rank_for(cap)
             kw = dict(n_songs=n_songs, delta_min=delta_min,
                       delta_range=delta_range, match_capacity=cap,
                       topn=topn or self.config.topn,
@@ -1211,9 +1211,26 @@ class SIA:
                     expand_block=b, expand_runs=eruns, **kw))
             return jax.device_get(match_query(dev, *q_args, **kw))
 
-        cap = caps[0]
+        # bounds-first policy (big indexes): most real queries overflow
+        # the fast tier there, so its program is mostly a wasted ~4 ms —
+        # a ~1.4 ms bounds-only probe reads the EXACT total and the
+        # match dispatches straight to the fitting tier (skipped when
+        # the caller already knows the count via min_capacity)
+        total = None
+        if (use_sparse and min_capacity is None
+                and self.config.bounds_probe_min_rows
+                and self._index_rows(dev)
+                >= self.config.bounds_probe_min_rows):
+            total = int(jax.device_get(query_total(
+                dev, jnp.asarray(q.hi), jnp.asarray(q.lo),
+                jnp.asarray(q.ex), jnp.asarray(q.valid),
+                head=head, uview=uview, u_steps=usteps)))
+            cap = next((c for c in caps if c >= total), caps[-1])
+        else:
+            cap = caps[0]
         raw = run(cap)
-        total = int(raw.total_rows)   # exact even when expansion clamps
+        if total is None:
+            total = int(raw.total_rows)  # exact even when clamped
         if total > cap or int(raw.n_dropped) > 0:
             # n_dropped > 0 with total <= cap only happens under the
             # blocked expansion's nonempty-run budget (expand_block_runs)
@@ -1224,8 +1241,11 @@ class SIA:
                 # align_results' overflow check reading "result
                 # unaffected by capacity"
                 return raw, max(total, cap)
-            cap = next((c for c in caps if c >= total), caps[-1])
-            raw = run(cap)
+            if total > cap:
+                fit = next((c for c in caps if c >= total), caps[-1])
+                if fit != cap:      # not already at the terminal tier
+                    cap = fit
+                    raw = run(cap)
             if eblk and int(raw.n_dropped) > 0 and total <= cap:
                 # > expand_block_runs nonempty runs: no capacity tier
                 # cures a run-budget drop — the scalar expansion is the
@@ -1233,6 +1253,29 @@ class SIA:
                 # hashes in one clip)
                 raw = run(cap, blk=0)
         return raw, cap
+
+    def _rank_for(self, cap: int) -> str:
+        """Resolve config.vote_rank per capacity tier: "auto" = pruned
+        at the fast tier (measured best there), scan at escalated tiers
+        (scatter ranks pay ~10 ns/stream element there — exp_scan r4)."""
+        v = self.config.vote_rank
+        if v == "auto":
+            return ("pruned" if cap <= self.config.match_capacity_fast
+                    else "scan")
+        return v
+
+    def _eblk_for_cap(self, eblk: int, cap: int) -> int:
+        """Blocked expansion only past expand_block_min_capacity: its
+        static run-budget stream (2 * expand_block_runs * B elements)
+        dwarfs the fast tier's own capacity."""
+        return eblk if cap >= self.config.expand_block_min_capacity else 0
+
+    def _index_rows(self, dev) -> int:
+        """Row capacity of the device index columns (0 when unknown)."""
+        try:
+            return int(dev[3].shape[0])
+        except (TypeError, AttributeError, IndexError):
+            return 0
 
     def _expand_block_for(self, dev) -> int:
         """config.expand_block, gated on the layout actually supporting
@@ -1265,7 +1308,8 @@ class SIA:
         if caps[0] >= caps[1]:
             caps = caps[1:]
         while caps[-1] < self.config.match_capacity_max:
-            caps.append(min(caps[-1] * 4, self.config.match_capacity_max))
+            step = 2 if caps[-1] >= self.config.match_tier_fine_from else 4
+            caps.append(min(caps[-1] * step, self.config.match_capacity_max))
         return caps
 
     def _match_prepared_spanned(self, dev, q, *, n_songs, delta_min,
@@ -1289,9 +1333,9 @@ class SIA:
         if min_capacity is not None:
             caps = [c for c in caps if c >= min_capacity] or caps[-1:]
         n_cand = self.config.rank_candidates
-        vrank = self.config.vote_rank
 
         def run(cap):
+            vrank = self._rank_for(cap)
             q_args = (jnp.asarray(q.hi), jnp.asarray(q.lo),
                       jnp.asarray(q.ex), jnp.asarray(q.t),
                       jnp.asarray(q.valid), jnp.asarray(q.first))
@@ -1307,7 +1351,8 @@ class SIA:
                 return raw, span_max
             return jax.device_get(match_query_sparse_spanned(
                 dev, *q_args,
-                vote_rank=vrank if vrank != "pruned" else "sort", **kw))
+                vote_rank=vrank if vrank != "pruned" else "sort",
+                **kw))
 
         cap = caps[0]
         raw, span_max = run(cap)
@@ -1374,8 +1419,10 @@ class SIA:
             head=head, uview=uview, u_steps=usteps,
             rank_candidates=self.config.rank_candidates,
             sparse_threshold=self.config.sparse_vote_threshold,
-            vote_rank=self.config.vote_rank,
-            expand_block=self._expand_block_for(dev),
+            vote_rank=self._rank_for(self.config.match_capacity_fast),
+            expand_block=self._eblk_for_cap(
+                self._expand_block_for(dev),
+                self.config.match_capacity_fast),
             expand_runs=self.config.expand_block_runs,
         ))
         device_time = time.time() - t0
@@ -1439,7 +1486,7 @@ class SIA:
                 uviews=uviews,
                 u_steps=usteps,
                 rank_candidates=self.config.rank_candidates,
-                vote_rank=self.config.vote_rank,
+                vote_rank=self._rank_for(self.config.match_capacity_fast),
             ))
         device_time = time.time() - t0
         if (
@@ -1618,10 +1665,6 @@ class SIA:
         span_maxes = None
         use_sparse = (kw["n_songs"] * delta_range
                       > self.config.sparse_vote_threshold)
-        vrank = self.config.vote_rank
-        n_cand = (self.config.rank_candidates
-                  if use_sparse and vrank == "pruned" else 0)
-        sort_rank = vrank if vrank not in ("pruned",) else "sort"
         eblk = self._expand_block_for(dev)
         if self._is_spanned:
             from .match.batched import match_queries_batched_spanned
@@ -1635,6 +1678,11 @@ class SIA:
             unconditionally exact): under vmap the in-program cond
             fallback would execute both branches, so failed clips are
             instead re-dispatched solo below."""
+            vrank = self._rank_for(cap)
+            n_cand = (self.config.rank_candidates
+                      if use_sparse and vrank == "pruned" else 0)
+            sort_rank = vrank if vrank != "pruned" else "sort"
+            b = self._eblk_for_cap(eblk, cap)
             kw2 = dict(kw, match_capacity=cap)
             want = pruned and n_cand > 0
             if self._is_spanned:
@@ -1663,14 +1711,14 @@ class SIA:
                     r, oks = jax.device_get(match_queries_batched(
                         dev, *q_args, head=hd, uview=uview,
                         u_steps=usteps, sparse=True,
-                        rank_candidates=n_cand, expand_block=eblk,
+                        rank_candidates=n_cand, expand_block=b,
                         expand_runs=self.config.expand_block_runs,
                         **kw2))
                 else:
                     r, oks = jax.device_get(match_queries_batched(
                         dev, *q_args, head=hd, uview=uview,
                         u_steps=usteps, sparse=use_sparse,
-                        vote_rank=sort_rank, expand_block=eblk,
+                        vote_rank=sort_rank, expand_block=b,
                         expand_runs=self.config.expand_block_runs,
                         **kw2)), None
                 sm = None

@@ -71,17 +71,26 @@ class FingerprintConfig:
     # vote-rank algorithm for the sparse matchers: "pruned" = the
     # candidate-pruned rank above when rank_candidates > 0 (sort
     # otherwise); "sort" = the segment-scatter sort rank; "scan" = the
-    # scatter-free sort+scan rank (match/lookup._scan_vote_rank) —
-    # element-identical results in every case (tested); they differ
-    # only in per-element HBM cost at escalated capacities
-    vote_rank: str = "pruned"
+    # scatter-free sort+scan rank (match/lookup._scan_vote_rank);
+    # "auto" = pruned at the fast tier (measured best there, exp_pruned
+    # r4) and scan at escalated tiers (the scatter ranks pay ~10 ns per
+    # stream element there, exp_esc/exp_scan r4) — element-identical
+    # results in every case (tested); they differ only in per-element
+    # HBM cost
+    vote_rank: str = "auto"
     # block-gather expansion width for the sparse matchers: matched rows
     # are contiguous runs, read as aligned (N/B, B) payload rows —
     # sequential DMAs instead of per-row random gathers (measured 60x at
     # the 1M tier, exp_esc r4). 0 = scalar gathers. Requires the packed
     # payload layout with capacity a multiple of the width; the api
     # falls back to scalar when the layout can't support it
-    expand_block: int = 0
+    expand_block: int = 128
+    # blocked expansion only pays past this match capacity: the static
+    # block budget adds 2 * expand_block_runs * expand_block stream
+    # elements, which dwarfs the fast tier's own capacity (the fast
+    # tier's scalar gather cost is already ~2 ms); below this the api
+    # uses scalar expansion
+    expand_block_min_capacity: int = 65536
     # nonempty-run budget for the blocked expansion's static block
     # count (cap/B + 2*runs blocks): every rank pass downstream costs
     # ~9 ns per STREAM element (exp_scan r4) and query packs pad lanes
@@ -91,6 +100,19 @@ class FingerprintConfig:
     # excess runs DROPPED into n_dropped (never silent) and the api
     # re-runs them through the scalar expansion. 0 = all lanes
     expand_block_runs: int = 1024
+    # bounds-first escalation: at indexes this large, most real queries
+    # overflow the fast tier (62-75% measured at 81-95M rows), so the
+    # fast-tier program is mostly a wasted ~4 ms — a ~1.4 ms bounds-only
+    # probe (match/lookup.query_total) reads the EXACT total and the
+    # match dispatches straight to the fitting tier. Below this row
+    # count the fast-tier-first policy (with the provably-exact early
+    # accept) stays, since most queries fit it there. 0 disables
+    bounds_probe_min_rows: int = 1 << 25
+    # capacity tiers grow x4 up to this, x2 after: escalated-tier cost
+    # is linear in capacity, so finer steps past the knee halve the
+    # worst-case overshoot (a 1.35M-row query pays 2M, not 4M) at the
+    # price of a few more warmup compiles
+    match_tier_fine_from: int = 262144
     # dense-histogram cutoff: past n_songs * delta_range vote bins the
     # dense (n_songs, delta_range) table costs more than the
     # O(match_capacity) sparse/pruned ranks (measured ~1.5 GB/query at
@@ -109,6 +131,10 @@ class FingerprintConfig:
             raise ValueError("overlap_ratio must be in [0, 1)")
         if self.fan_value < 1:
             raise ValueError("fan_value must be >= 1")
+        if self.vote_rank not in ("auto", "pruned", "sort", "scan"):
+            raise ValueError(
+                f"vote_rank {self.vote_rank!r} not in "
+                "('auto', 'pruned', 'sort', 'scan')")
 
     # ---- derived quantities ----
     @property

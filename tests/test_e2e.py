@@ -147,8 +147,14 @@ def test_sparse_and_pruned_paths_match_dense_end_to_end(corpus):
                                    rank_candidates=2))
     # scatter-free scan rank + block-gather expansion (the escalated-tier
     # production combination) through the same three API paths
+    # (min_capacity gate dropped so blocks engage at the fast tier too)
     scan_blk = run(FingerprintConfig(sparse_vote_threshold=0,
-                                     vote_rank="scan", expand_block=512))
+                                     vote_rank="scan", expand_block=512,
+                                     expand_block_min_capacity=0))
+    # bounds-first policy (production default past 2^25 rows): the
+    # exact-total probe dispatches straight to the fitting tier
+    bounds1 = run(FingerprintConfig(sparse_vote_threshold=0,
+                                    bounds_probe_min_rows=1))
 
     for key in ("samples", "clip", "batch"):
         want = strip(base[key])
@@ -156,6 +162,7 @@ def test_sparse_and_pruned_paths_match_dense_end_to_end(corpus):
         assert strip(pruned_off[key]) == want, key
         assert strip(tiny_c[key]) == want, key
         assert strip(scan_blk[key]) == want, key
+        assert strip(bounds1[key]) == want, key
     # sanity: the planted clips actually recognized
     names = [s for s, *_ in strip(base["batch"])]
     assert names[:N_SONGS] == [f"track{i:06d}" for i in range(N_SONGS)]

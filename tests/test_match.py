@@ -892,6 +892,7 @@ def test_run_budget_api_fallback():
     base = run(FingerprintConfig(sparse_vote_threshold=0))
     budg = run(FingerprintConfig(sparse_vote_threshold=0,
                                  vote_rank="scan", expand_block=512,
-                                 expand_block_runs=2))
+                                 expand_block_runs=2,
+                                 expand_block_min_capacity=0))
     assert budg == base
     assert [s for s, *_ in base] == [f"s{i}" for i in range(4)]
