@@ -139,19 +139,36 @@ def bench_query_latency_real(jax, jnp, chain=32):
     matcher = (match_query_sparse
                if n_songs * delta_range > 16_000_000 else match_query)
 
-    # measure the PRODUCTION POLICY (api._match_prepared): every query
-    # runs the fast tier; a clamped query whose top-1 margin beats its
-    # excluded-run count is PROVABLY the full answer (see
-    # config.decision_escalation / match/lookup.RawMatch) and is
-    # accepted as-is; only undecided overflows re-dispatch at the tier
-    # their exact row count fits. Per-pack cost is therefore
-    # t_fast + (undecided ? t_fit : 0), and the headline is the p50 of
-    # that over the real query packs.
+    # measure the PRODUCTION POLICY (api._match_prepared). At indexes
+    # past config.bounds_probe_min_rows (2^25) that is BOUNDS-FIRST: a
+    # ~1.4 ms exact-total probe (match/lookup.query_total), then ONE
+    # dispatch at the per-pack fitting tier using the escalated-tier
+    # program (scatter-free scan rank + block-gather expansion with the
+    # nonempty-run budget — element-identical to scalar+sort, tested).
+    # Per-pack cost = t_bounds + (fits fast ? t_fast : t_tier[fit]),
+    # and the headline is the p50 of that over the real query packs.
+    # Smaller indexes keep the fast-tier-first policy with the
+    # provably-exact early accept (config.decision_escalation).
     # NB: dev/head MUST flow through jit as arguments, never closures —
     # closed-over device arrays are baked into the serialized HLO as
     # constants and the remote-compile tunnel 413s past ~100 MB bodies
     # (measured: the 95.3M-row index columns as constants kill compile).
-    fast_cap = 16384
+    from shazam_tpu.config import DEFAULT_CONFIG as _cfg
+    from shazam_tpu.match.lookup import query_total
+
+    fast_cap = _cfg.match_capacity_fast
+    tiers = [fast_cap, _cfg.match_capacity]
+    while tiers[-1] < _cfg.match_capacity_max:
+        step = 2 if tiers[-1] >= _cfg.match_tier_fine_from else 4
+        tiers.append(min(tiers[-1] * step, _cfg.match_capacity_max))
+    n_rows_dev = int(dev[3].shape[0])
+    bounds_first = (matcher is match_query_sparse
+                    and _cfg.bounds_probe_min_rows
+                    and n_rows_dev >= _cfg.bounds_probe_min_rows)
+    eblk = (_cfg.expand_block
+            if index.offset_stride and n_rows_dev % max(
+                _cfg.expand_block, 1) == 0 else 0)
+
     probe = jax.jit(functools.partial(matcher, match_capacity=fast_cap,
                                       u_steps=usteps, **kw))
     rows, undecided = [], []
@@ -163,21 +180,17 @@ def bench_query_latency_real(jax, jnp, chain=32):
             total > fast_cap
             and not (int(r.top_votes[0]) - int(r.runner_votes)
                      > int(r.n_dropped)))
-    max_rows, med_rows = max(rows), sorted(rows)[len(rows) // 2]
-    fit_cap = fast_cap
-    need = max((rows[i] for i in range(qn) if undecided[i]), default=0)
-    while fit_cap < need and fit_cap < (1 << 22):
-        fit_cap *= 4
+    max_rows = max(rows)
+    fits = [next((c for c in tiers if c >= t), tiers[-1]) for t in rows]
 
-    def time_chain(cap):
+    def time_chain(fn):
         @functools.partial(jax.jit, static_argnames=("k",))
         def loop(qs, dev, head, uview, k):
             def body(i, acc):
                 q = tuple(lax.dynamic_index_in_dim(a, i % qn, 0,
                                                    keepdims=False)
                           for a in qs)
-                out = matcher(dev, *q, match_capacity=cap, head=head,
-                              uview=uview, u_steps=usteps, **kw)
+                out = fn(dev, q, head, uview)
                 s = sum(jnp.sum(l.astype(jnp.float32))
                         for l in jax.tree_util.tree_leaves(out))
                 return acc + s
@@ -199,14 +212,60 @@ def bench_query_latency_real(jax, jnp, chain=32):
             res[k] = min(best)
         return max((res[chain] - res[1]) / (chain - 1), 1e-6)
 
-    t_fast = time_chain(fast_cap)
-    t_fit = time_chain(fit_cap) if any(undecided) else 0.0
-    per_pack = sorted(t_fast + (t_fit if u else 0.0) for u in undecided)
+    def tier_fn(cap):
+        if matcher is match_query_sparse:
+            b = eblk if cap >= _cfg.expand_block_min_capacity else 0
+            return lambda dv, q, hd, uv: match_query_sparse(
+                dv, *q, match_capacity=cap, head=hd, uview=uv,
+                u_steps=usteps, vote_rank="scan", expand_block=b,
+                expand_runs=_cfg.expand_block_runs, **kw)
+        return lambda dv, q, hd, uv: matcher(
+            dv, *q, match_capacity=cap, head=hd, uview=uv,
+            u_steps=usteps, **kw)
+
+    t_fast = time_chain(lambda dv, q, hd, uv: matcher(
+        dv, *q, match_capacity=fast_cap, head=hd, uview=uv,
+        u_steps=usteps, **kw))
+    policy = {"fast_tier_ms": round(t_fast * 1000, 3),
+              "tier_ladder": "x4 to 262144 then x2"}
+    if bounds_first:
+        t_bounds = time_chain(lambda dv, q, hd, uv: query_total(
+            dv, q[0], q[1], q[2], q[4], head=hd, uview=uv,
+            u_steps=usteps))
+        t_tier = {c: time_chain(tier_fn(c))
+                  for c in sorted(set(f for f, t in zip(fits, rows)
+                                      if t > fast_cap))}
+        per_pack = sorted(
+            t_bounds + (t_fast if t <= fast_cap else t_tier[f])
+            for t, f in zip(rows, fits))
+        esc_rate = sum(t > fast_cap for t in rows) / qn
+        policy.update({
+            "policy": "bounds-first (exact-total probe -> fitting tier)",
+            "bounds_probe_ms": round(t_bounds * 1000, 3),
+            "escalated_tier_ms": {c: round(v * 1000, 3)
+                                  for c, v in t_tier.items()},
+            "escalation_rate": round(esc_rate, 3),
+        })
+        fit_repr = max(t_tier) if t_tier else fast_cap
+    else:
+        fit_cap = fast_cap
+        need = max((rows[i] for i in range(qn) if undecided[i]),
+                   default=0)
+        fit_cap = next((c for c in tiers if c >= need), tiers[-1]) \
+            if need else fast_cap
+        t_fit = time_chain(tier_fn(fit_cap)) if any(undecided) else 0.0
+        per_pack = sorted(t_fast + (t_fit if u else 0.0)
+                          for u in undecided)
+        esc_rate = sum(undecided) / qn
+        policy.update({
+            "policy": "fast tier + provably-exact early accept",
+            "escalated_tier_ms": round(t_fit * 1000, 3),
+            "escalation_rate": round(esc_rate, 3),
+        })
+        fit_repr = fit_cap if any(undecided) else fast_cap
     p50 = per_pack[qn // 2]
-    esc_rate = sum(undecided) / qn
-    return (p50, max_rows, index.n_hashes, n_songs,
-            fit_cap if any(undecided) else fast_cap, esc_rate, t_fast,
-            t_fit)
+    return (p50, max_rows, index.n_hashes, n_songs, fit_repr, esc_rate,
+            t_fast, policy)
 
 
 def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
@@ -358,20 +417,16 @@ def main():
         print(f"# real-index query bench failed, falling back: {e!r}")
     if real is not None:
         (q_p50, q_rows, q_idx_hashes, q_idx_songs, q_cap, q_esc,
-         q_fast, q_fit) = real
+         q_fast, q_policy) = real
         q_extras = {
             "query_p50_ms_real_index": round(q_p50 * 1000, 3),
             "query_index": f"{q_idx_songs} real 210s tracks, "
                            f"{q_idx_hashes} real hashes, 15s-clip packs",
-            # production policy: fast tier + provably-exact early accept
-            # (config.decision_escalation); only undecided overflows pay
-            # the fitting tier — see match/lookup.RawMatch
-            "query_policy": {
-                "fast_tier_ms": round(q_fast * 1000, 3),
-                "escalated_tier_ms": round(q_fit * 1000, 3),
-                "escalation_rate": round(q_esc, 3),
-                "escalated_match_capacity": q_cap,
-            },
+            # production policy (api._match_prepared): bounds-first at
+            # production scale, fast tier + provably-exact early accept
+            # below it — see bench_query_latency_real
+            "query_policy": dict(q_policy,
+                                 escalated_match_capacity=q_cap),
         }
     else:
         q_p50, q_rows = bench_query_latency(jax, jnp)

@@ -65,7 +65,7 @@ def test_bench_real_index_headline(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "REAL_DB_PREFIXES", [prefix])
     out = bench.bench_query_latency_real(jax, jnp, chain=3)
     assert out is not None
-    per_query, max_rows, n_hashes, n_songs, cap, esc, t_fast, t_fit = out
+    per_query, max_rows, n_hashes, n_songs, cap, esc, t_fast, policy = out
     assert per_query > 0
     assert n_songs == 6
     assert n_hashes > 1000
@@ -74,8 +74,12 @@ def test_bench_real_index_headline(tmp_path, monkeypatch):
     assert 0.0 <= esc <= 1.0
     assert t_fast > 0
     # a tiny build fits the fast tier: nothing escalates, the policy
-    # p50 IS the fast-tier time
-    assert esc == 0.0 and t_fit == 0.0 and per_query == t_fast
+    # p50 IS the fast-tier time, and the small-index regime (below
+    # bounds_probe_min_rows) keeps the early-accept policy
+    assert esc == 0.0 and per_query == t_fast
+    assert policy["policy"].startswith("fast tier")
+    assert policy["escalated_tier_ms"] == 0.0
+    assert policy["fast_tier_ms"] > 0
 
 
 def test_bench_real_index_absent(tmp_path, monkeypatch):
