@@ -1725,8 +1725,34 @@ class SIA:
                 cl = np.asarray(r.total_rows)[:n_real]
             return r, sm, oks, cl
 
-        raw, span_maxes, oks, clamp = dispatch(
-            match_capacity or self.config.match_capacity)
+        # bounds-first (big indexes, like _match_prepared): a cheap
+        # vmapped search-only probe reads every clip's EXACT total and
+        # the whole batch dispatches once at the fitting tier, instead
+        # of paying a base-tier program that production-scale clips
+        # mostly overflow (then a whole-batch re-dispatch on top)
+        base_cap = match_capacity or self.config.match_capacity
+        tiers = self._match_tiers()
+        if (not self._is_spanned and use_sparse and match_capacity is None
+                and self.config.bounds_probe_min_rows
+                and self._index_rows(dev)
+                >= self.config.bounds_probe_min_rows):
+            from .match.batched import query_totals_batched
+            hd = self._ensure_head(dev)
+            probe_totals = np.asarray(jax.device_get(query_totals_batched(
+                dev, q_args[0], q_args[1], q_args[2], q_args[4],
+                head=hd, uview=uview, u_steps=usteps)))[:n_real]
+            need = int(probe_totals.max()) if n_real else 0
+            # HBM guard: the batched expansion+rank stream is ~6 int32
+            # arrays of (cap + run-budget overhead) per clip — cap the
+            # tier so the batch stays under ~4 GB; clips past the
+            # guarded tier clamp and the per-clip retry machinery below
+            # re-runs them solo (exact either way)
+            max_stream = (4 << 30) // (24 * max(n_real, 1))
+            allowed = [c for c in tiers if c <= max_stream] or tiers[:1]
+            base_cap = min(next((c for c in tiers if c >= need),
+                                tiers[-1]), allowed[-1])
+
+        raw, span_maxes, oks, clamp = dispatch(base_cap)
 
         # per-clip escalation: the batch runs at the base tier; a clip
         # whose expansion clamped (largest per-span count when spanned,
@@ -1740,8 +1766,7 @@ class SIA:
         # retries — serving latency stays ~one device program per batch.
         retried: Dict[int, Tuple] = {}
         decided_ids: set = set()
-        batch_cap = match_capacity or self.config.match_capacity
-        tiers = self._match_tiers()
+        batch_cap = base_cap
 
         # mass certificate failure (e.g. a batch of clips that are not
         # in the catalog): ONE whole-batch sort re-dispatch replaces a

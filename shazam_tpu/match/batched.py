@@ -16,8 +16,22 @@ import jax
 import jax.numpy as jnp
 
 from .lookup import (match_local, match_query_pruned, match_query_sparse,
-                     rank_votes, RawMatch, _expand, _expand_any_spans,
-                     _pruned_vote_rank)
+                     query_total, rank_votes, RawMatch, _expand,
+                     _expand_any_spans, _pruned_vote_rank)
+
+
+@functools.partial(jax.jit, static_argnames=("u_steps",))
+def query_totals_batched(index_arrays, q_hi, q_lo, q_ex, q_valid, *,
+                         head=None, uview=None, u_steps: int = 0):
+    """Vmapped ``lookup.query_total``: exact per-clip matched-row counts
+    for a (Bq, Q) query batch in one cheap search-only program — the
+    batched bounds-first probe (api.recognize_batch picks the whole
+    batch's fitting tier from these instead of paying a base-tier
+    dispatch that production-scale clips mostly overflow)."""
+    def one(hi, lo, ex, v):
+        return query_total(index_arrays, hi, lo, ex, v, head=head,
+                           uview=uview, u_steps=u_steps)
+    return jax.vmap(one)(q_hi, q_lo, q_ex, q_valid)
 
 
 @functools.partial(
