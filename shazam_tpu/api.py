@@ -1270,6 +1270,22 @@ class SIA:
         dwarfs the fast tier's own capacity."""
         return eblk if cap >= self.config.expand_block_min_capacity else 0
 
+    def _expand_block_for_spanned(self, dev) -> int:
+        """config.expand_block for the spanned store: only the
+        CONSOLIDATED stacked layout has a blocked variant (flat row
+        view; runs never straddle spans since span_rows is a pow2
+        multiple of the block width). Per-span tuples return 0."""
+        blk = self.config.expand_block
+        if not blk or self._offset_stride == 0:
+            return 0
+        try:
+            if isinstance(dev[0], (tuple, list)):
+                return 0
+            span_rows = int(dev[0].shape[1])
+        except (TypeError, AttributeError, IndexError):
+            return 0
+        return blk if span_rows % blk == 0 else 0
+
     def _index_rows(self, dev) -> int:
         """Row capacity of the device index columns (0 when unknown)."""
         try:
@@ -1333,9 +1349,12 @@ class SIA:
         if min_capacity is not None:
             caps = [c for c in caps if c >= min_capacity] or caps[-1:]
         n_cand = self.config.rank_candidates
+        eblk_s = self._expand_block_for_spanned(dev)
+        eruns = self.config.expand_block_runs
 
-        def run(cap):
+        def run(cap, blk=None):
             vrank = self._rank_for(cap)
+            b = self._eblk_for_cap(eblk_s, cap) if blk is None else blk
             q_args = (jnp.asarray(q.hi), jnp.asarray(q.lo),
                       jnp.asarray(q.ex), jnp.asarray(q.t),
                       jnp.asarray(q.valid), jnp.asarray(q.first))
@@ -1352,16 +1371,24 @@ class SIA:
             return jax.device_get(match_query_sparse_spanned(
                 dev, *q_args,
                 vote_rank=vrank if vrank != "pruned" else "sort",
-                **kw))
+                expand_block=b, expand_runs=eruns, **kw))
 
         cap = caps[0]
         raw, span_max = run(cap)
-        if int(span_max) > cap:
+        if int(span_max) > cap or int(raw.n_dropped) > 0:
             if self._decided(raw):
                 return raw, max(int(raw.total_rows), cap)
-            cap = next((c for c in caps if c >= int(span_max)), caps[-1])
-            raw, span_max = run(cap)
-        if int(span_max) <= cap:
+            if int(span_max) > cap:
+                cap = next((c for c in caps if c >= int(span_max)),
+                           caps[-1])
+                raw, span_max = run(cap)
+            if eblk_s and int(raw.n_dropped) > 0 and int(span_max) <= cap:
+                # stacked blocked expansion's nonempty-run budget
+                # (expand_block_runs * n_spans) overflowed: no capacity
+                # tier cures it — re-run through the scalar stacked
+                # expansion (rare; exact either way)
+                raw, span_max = run(cap, blk=0)
+        if int(span_max) <= cap and int(raw.n_dropped) == 0:
             # no span clamped: every row voted; report a capacity that
             # keeps align_results' total>capacity overflow check honest
             return raw, max(int(raw.total_rows), cap)
@@ -1665,7 +1692,8 @@ class SIA:
         span_maxes = None
         use_sparse = (kw["n_songs"] * delta_range
                       > self.config.sparse_vote_threshold)
-        eblk = self._expand_block_for(dev)
+        eblk = (self._expand_block_for_spanned(dev) if self._is_spanned
+                else self._expand_block_for(dev))
         if self._is_spanned:
             from .match.batched import match_queries_batched_spanned
         else:
@@ -1702,7 +1730,9 @@ class SIA:
                     r, sm = jax.device_get(match_queries_batched_spanned(
                         dev, *q_args, heads=heads,
                         uviews=s_uviews, u_steps=s_usteps,
-                        vote_rank=sort_rank, **kw2))
+                        vote_rank=sort_rank, expand_block=b,
+                        expand_runs=self.config.expand_block_runs,
+                        **kw2))
                     oks = None
                 cl = np.asarray(sm)[:n_real]
             else:

@@ -121,7 +121,7 @@ def match_queries_batched(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
                      "topn", "offset_stride", "rank_candidates", "u_steps",
-                     "vote_rank"),
+                     "vote_rank", "expand_block", "expand_runs"),
 )
 def match_queries_batched_spanned(
     span_arrays,
@@ -138,6 +138,8 @@ def match_queries_batched_spanned(
     uviews=None,
     u_steps: int = 0,
     vote_rank: str = "pruned",
+    expand_block: int = 0,
+    expand_runs: int = 0,
 ):
     """``match_queries_batched`` against a spanned index (per-span tuples
     or the consolidated stacked layout — lookup.match_query_sparse_spanned
@@ -160,6 +162,7 @@ def match_queries_batched_spanned(
                     match_capacity=match_capacity,
                     offset_stride=offset_stride,
                     uviews=uviews, u_steps=u_steps,
+                    expand_block=expand_block, expand_runs=expand_runs,
                 )
             raw, ok = _pruned_vote_rank(
                 sid, delta, first_s, valid_s, total, n_dropped,
@@ -175,6 +178,7 @@ def match_queries_batched_spanned(
             offset_stride=offset_stride, heads=heads,
             uviews=uviews, u_steps=u_steps,
             vote_rank=vote_rank if vote_rank != "pruned" else "sort",
+            expand_block=expand_block, expand_runs=expand_runs,
         )
 
     return jax.vmap(one)(q_hi, q_lo, q_ex, q_t, q_valid, q_first)

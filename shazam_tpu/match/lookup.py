@@ -127,6 +127,29 @@ def _expand_blocked(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
         lb, ub = lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex,
                              head=head, q_valid=q_valid)
     lens = jnp.where(q_valid, ub - lb, 0)
+    return _blocked_expand_core(
+        payload, lb, ub, lens, q_t, block_size=B,
+        match_capacity=match_capacity, offset_stride=offset_stride,
+        max_runs=max_runs)
+
+
+def _blocked_expand_core(payload, lb, ub, lens, q_t, *, block_size: int,
+                         match_capacity: int, offset_stride: int,
+                         max_runs: int = 0, pair_mod: int = 0):
+    """Shared blocked-gather core over FLAT run bounds.
+
+    ``lb``/``ub``/``lens`` are flat row bounds per run (one run per
+    query lane for the single-index path; span-major ``s * n_pairs +
+    pair`` for the stacked spanned path, where ``pair_mod = n_pairs``
+    maps a run back to its owning query pair). ``payload`` is the flat
+    packed payload column; runs never straddle a block boundary across
+    spans because span_rows (and the device capacity) are multiples of
+    the block size — validated by the callers.
+
+    Returns (sid, delta, p, valid, total, n_dropped) exactly like
+    ``_expand``, with ``p`` the owning query-pair index per slot.
+    """
+    B = block_size
     total = jnp.sum(lens)
     b0 = lb // B
     b1 = (ub + B - 1) // B
@@ -135,13 +158,13 @@ def _expand_blocked(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
     order = jnp.argsort(nblk)          # shortest-first, in block units
     nblk_s = jnp.take(nblk, order)
     b0_s = jnp.take(b0, order)
-    n_lanes = lens.shape[0]
-    runs_budget = min(n_lanes, max_runs) if max_runs else n_lanes
+    n_runs = lens.shape[0]
+    runs_budget = min(n_runs, max_runs) if max_runs else n_runs
     cap_blocks = match_capacity // B + 2 * runs_budget
     cum = jnp.cumsum(nblk_s)
     nonempty = nblk_s > 0
     included = cum <= cap_blocks
-    if runs_budget < n_lanes:
+    if runs_budget < n_runs:
         # shortest-first rank among nonempty runs; runs past the budget
         # are dropped exactly like block-budget overflows
         run_rank = jnp.cumsum(nonempty.astype(jnp.int32))
@@ -155,11 +178,12 @@ def _expand_blocked(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
     marks = jnp.zeros(cap_blocks, jnp.int32).at[cum_inc].add(
         1, mode="drop")
     pb = jnp.cumsum(marks)
-    pb = jnp.minimum(pb, lens.shape[0] - 1)
+    pb = jnp.minimum(pb, n_runs - 1)
     prev = jnp.where(pb > 0, jnp.take(cum_inc, pb - 1), 0)
     blk = jnp.take(b0_s, pb) + (v - prev)
     blk_valid = v < total_blocks
-    run = jnp.take(order, pb)          # owning lane per block
+    run = jnp.take(order, pb)          # owning run per block
+    pair = run % pair_mod if pair_mod else run
 
     safe_blk = jnp.where(blk_valid, blk, 0)
     rows = jnp.take(payload.reshape(-1, B), safe_blk, axis=0)
@@ -170,8 +194,8 @@ def _expand_blocked(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
 
     sid = (rows // jnp.uint32(offset_stride)).astype(jnp.int32)
     doff = (rows % jnp.uint32(offset_stride)).astype(jnp.int32)
-    delta = doff - jnp.take(q_t, run).astype(jnp.int32)[:, None]
-    p = jnp.broadcast_to(run[:, None], (cap_blocks, B))
+    delta = doff - jnp.take(q_t, pair).astype(jnp.int32)[:, None]
+    p = jnp.broadcast_to(pair[:, None], (cap_blocks, B))
     # invalid slots must decode in-range like the scalar path's
     # safe_row=0 (rank scatters mask by `valid`, but sid feeds index
     # arithmetic before masking)
@@ -968,7 +992,8 @@ def _expand_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
 
 def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
                     q_first, *, match_capacity: int, offset_stride: int,
-                    uviews=None, u_steps: int = 0):
+                    uviews=None, u_steps: int = 0, expand_block: int = 0,
+                    expand_runs: int = 0):
     """``_expand_spans`` over a CONSOLIDATED (n_spans, span_rows) layout,
     with ONE global ``match_capacity`` budget shared across spans.
 
@@ -1018,6 +1043,28 @@ def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
     lens = jnp.where(q_valid[None, :], ub - lb, 0).reshape(-1)
     base = (jnp.arange(n_spans, dtype=jnp.int32)[:, None] * span_rows
             + lb).reshape(-1)
+
+    if expand_block:
+        # block-gather over the flat stacked payload (runs never
+        # straddle spans: span_rows is a pow2 multiple of the block).
+        # A query key matches in EVERY span, so the nonempty-run
+        # budget scales with the span count.
+        if offset_stride == 0:
+            raise ValueError("blocked stacked expansion needs the "
+                             "packed payload layout")
+        if span_rows % expand_block:
+            raise ValueError(
+                f"span_rows {span_rows} not a multiple of the block "
+                f"size {expand_block}")
+        sid, delta, pair, valid, total, n_dropped = _blocked_expand_core(
+            stacked_arrays[3], base, base + lens, lens, q_t,
+            block_size=expand_block, match_capacity=match_capacity,
+            offset_stride=offset_stride,
+            max_runs=expand_runs * n_spans if expand_runs else 0,
+            pair_mod=n_pairs)
+        first = jnp.take(q_first, pair)
+        return sid, delta, first, valid, total, total, n_dropped
+
     total = jnp.sum(lens)
 
     # global shortest-first run budget (see _expand)
@@ -1058,7 +1105,8 @@ def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
 
 def _expand_any_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
                       q_first, *, match_capacity: int, offset_stride: int,
-                      uviews=None, u_steps: int = 0):
+                      uviews=None, u_steps: int = 0, expand_block: int = 0,
+                      expand_runs: int = 0):
     """Dispatch: per-span column tuples vs consolidated stacked layout.
 
     Trace-time structural dispatch — the two layouts are distinct
@@ -1066,6 +1114,8 @@ def _expand_any_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
     stacked ``build_unique_view_spans`` table) applies to the stacked
     layout only."""
     if isinstance(span_arrays[0], (tuple, list)):
+        # per-span tuples (pre-consolidate): no blocked variant — spans
+        # expand independently with per-span budgets
         return _expand_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t,
                              q_valid, q_first,
                              match_capacity=match_capacity,
@@ -1073,13 +1123,15 @@ def _expand_any_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
     return _expand_stacked(span_arrays, heads, q_hi, q_lo, q_ex, q_t,
                            q_valid, q_first, match_capacity=match_capacity,
                            offset_stride=offset_stride, uviews=uviews,
-                           u_steps=u_steps)
+                           u_steps=u_steps, expand_block=expand_block,
+                           expand_runs=expand_runs)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
-                     "topn", "offset_stride", "u_steps", "vote_rank"),
+                     "topn", "offset_stride", "u_steps", "vote_rank",
+                     "expand_block", "expand_runs"),
 )
 def match_query_sparse_spanned(
     span_arrays,
@@ -1100,6 +1152,8 @@ def match_query_sparse_spanned(
     uviews=None,
     u_steps: int = 0,
     vote_rank: str = "sort",
+    expand_block: int = 0,
+    expand_runs: int = 0,
 ):
     """``match_query_sparse`` over a spanned index.
 
@@ -1131,7 +1185,8 @@ def match_query_sparse_spanned(
         _expand_any_spans(
             span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
             match_capacity=match_capacity, offset_stride=offset_stride,
-            uviews=uviews, u_steps=u_steps,
+            uviews=uviews, u_steps=u_steps, expand_block=expand_block,
+            expand_runs=expand_runs,
         )
     raw = _rank_by_name(vote_rank)(
         sid, delta, first, valid, total, n_dropped,

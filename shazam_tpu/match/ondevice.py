@@ -205,7 +205,8 @@ def recognize_on_device(
                      "min_dt", "max_dt", "peak_capacity", "n_songs",
                      "delta_min", "delta_range", "match_capacity", "topn",
                      "offset_stride", "use_fused", "query_capacity",
-                     "rank_candidates", "u_steps", "vote_rank"),
+                     "rank_candidates", "u_steps", "vote_rank",
+                     "expand_block", "expand_runs"),
 )
 def recognize_on_device_spanned(
     samples: jnp.ndarray,          # (1, padded_len) float32
@@ -234,6 +235,8 @@ def recognize_on_device_spanned(
     uviews=None,
     u_steps: int = 0,
     vote_rank: str = "pruned",
+    expand_block: int = 0,
+    expand_runs: int = 0,
 ):
     """``recognize_on_device`` against a spanned index (SpannedDeviceStore).
 
@@ -257,7 +260,8 @@ def recognize_on_device_spanned(
         _expand_any_spans(
             span_arrays, heads, sort_hi, lo, ex, t1, q_valid, q_first,
             match_capacity=match_capacity, offset_stride=offset_stride,
-            uviews=uviews, u_steps=u_steps,
+            uviews=uviews, u_steps=u_steps, expand_block=expand_block,
+            expand_runs=expand_runs,
         )
     if vote_rank == "pruned" and rank_candidates > 0:
         raw_p, ok = _pruned_vote_rank(

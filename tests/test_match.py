@@ -896,3 +896,70 @@ def test_run_budget_api_fallback():
                                  expand_block_min_capacity=0))
     assert budg == base
     assert [s for s, *_ in base] == [f"s{i}" for i in range(4)]
+
+
+def test_stacked_blocked_expansion_parity():
+    """Blocked expansion over the CONSOLIDATED stacked spanned layout:
+    element-identical RawMatch to the scalar stacked expansion at a
+    fitting capacity (scan + sort ranks), and the run budget drops into
+    n_dropped exactly like the flat path."""
+    import jax.numpy as jnp
+    from shazam_tpu.match.lookup import match_query_sparse_spanned
+
+    rng = np.random.default_rng(31)
+    n, n_songs, stride = 60000, 48, 4096
+    hi = rng.integers(0, 300, n, dtype=np.uint32)      # few keys => runs
+    lo = rng.integers(0, 4, n, dtype=np.uint32)
+    ex = np.zeros(n, np.uint32)
+    sid = rng.integers(0, n_songs, n, dtype=np.uint32)
+    off = rng.integers(0, 3000, n, dtype=np.uint32)
+
+    # two independently sorted spans, each padded to a 1024 multiple
+    halves = (slice(0, n // 2), slice(n // 2, n))
+    span_cols = []
+    span_rows = -(-max(n - n // 2, n // 2) // 1024) * 1024
+    S = np.uint32(0xFFFFFFFF)
+    for sl in halves:
+        o = np.lexsort((off[sl], sid[sl], ex[sl], lo[sl], hi[sl]))
+        cols = []
+        for a, fill in ((hi[sl], S), (lo[sl], S), (ex[sl], S),
+                        (sid[sl] * np.uint32(stride) + off[sl], 0)):
+            a = a[o]
+            cols.append(np.concatenate(
+                [a, np.full(span_rows - len(a), fill, np.uint32)]))
+        span_cols.append(cols)
+    stacked = tuple(jnp.asarray(np.stack([span_cols[0][i],
+                                          span_cols[1][i]]))
+                    for i in range(4))
+
+    q_n = 256
+    pick = rng.integers(0, n, q_n)
+    valid = np.ones(q_n, bool)
+    valid[200:] = False
+    q_hi = hi[pick].copy()
+    q_hi[200:] = 0xFFFFFFFF
+    q = (jnp.asarray(q_hi), jnp.asarray(lo[pick]), jnp.asarray(ex[pick]),
+         jnp.asarray(rng.integers(0, 50, q_n).astype(np.uint32)),
+         jnp.asarray(valid), jnp.asarray(valid))
+    kw = dict(n_songs=n_songs, delta_min=-64, delta_range=stride + 128,
+              match_capacity=1 << 16, topn=3, offset_stride=stride)
+
+    ref, ref_max = match_query_sparse_spanned(stacked, *q, **kw)
+    for B, rank in ((512, "sort"), (512, "scan"), (128, "scan")):
+        got, got_max = match_query_sparse_spanned(
+            stacked, *q, expand_block=B, expand_runs=1024,
+            vote_rank=rank, **kw)
+        assert int(got_max) == int(ref_max), (B, rank)
+        for f in ref._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
+                (f, B, rank))
+
+    # run budget: a tiny budget drops runs into n_dropped, never silent.
+    # Each of the ~distinct query keys matches runs in BOTH spans, so
+    # expand_runs=1 (x n_spans=2 inside) keeps the 2 shortest runs
+    got, _ = match_query_sparse_spanned(
+        stacked, *q, expand_block=512, expand_runs=1, vote_rank="scan",
+        **kw)
+    assert int(got.n_dropped) > 0
+    assert int(got.total_rows) == int(ref.total_rows)
