@@ -163,7 +163,15 @@ def _blocked_expand_core(payload, lb, ub, lens, q_t, *, block_size: int,
     cap_blocks = match_capacity // B + 2 * runs_budget
     cum = jnp.cumsum(nblk_s)
     nonempty = nblk_s > 0
-    included = cum <= cap_blocks
+    # ROW-accurate inclusion alongside the block budget: included live
+    # rows never exceed match_capacity, so after the rank's key sort
+    # every live key sits in the first match_capacity slots — the ranks
+    # run on that static prefix instead of the padded block stream
+    # (rank passes cost ~9 ns per STREAM element; see _scan_vote_rank).
+    # "total <= capacity (and runs <= budget) => nothing dropped" still
+    # holds: both cumulative budgets admit every run then.
+    cum_rows = jnp.cumsum(jnp.take(lens, order))
+    included = (cum <= cap_blocks) & (cum_rows <= match_capacity)
     if runs_budget < n_runs:
         # shortest-first rank among nonempty runs; runs past the budget
         # are dropped exactly like block-budget overflows
@@ -527,13 +535,13 @@ def match_query_sparse(
     return _rank_by_name(vote_rank)(
         sid, delta, first, valid, total, n_dropped,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-        topn=topn,
+        topn=topn, prefix=match_capacity if expand_block else 0,
     )
 
 
 def _sparse_vote_rank(sid, delta, first, valid, total, n_dropped=None, *,
                       n_songs: int, delta_min: int, delta_range: int,
-                      topn: int) -> RawMatch:
+                      topn: int, prefix: int = 0) -> RawMatch:
     """Sort + run-length vote count + rank over flat expanded vote slots.
 
     Shared by ``match_query_sparse`` (one expansion) and the spanned
@@ -550,6 +558,11 @@ def _sparse_vote_rank(sid, delta, first, valid, total, n_dropped=None, *,
     SENT = jnp.int32(0x7FFFFFFF)
     key = jnp.where(vote_ok, sid * delta_range + dbin, SENT)
     ks = jax.lax.sort(key)
+    if prefix and prefix < cap:
+        # see _scan_vote_rank: blocked row-budgeted streams hold every
+        # live key in the first `prefix` sorted slots
+        ks = ks[:prefix]
+        cap = prefix
     live = ks != SENT
     run_start = live & jnp.concatenate(
         [jnp.ones(1, bool), ks[1:] != ks[:-1]])
@@ -608,7 +621,7 @@ def _sparse_vote_rank(sid, delta, first, valid, total, n_dropped=None, *,
 
 def _scan_vote_rank(sid, delta, first, valid, total, n_dropped=None, *,
                     n_songs: int, delta_min: int, delta_range: int,
-                    topn: int) -> RawMatch:
+                    topn: int, prefix: int = 0) -> RawMatch:
     """Scatter-free vote rank: one single-operand sort + cumulative scans.
 
     ELEMENT-IDENTICAL to ``_sparse_vote_rank`` (tested), built for the
@@ -655,6 +668,12 @@ def _scan_vote_rank(sid, delta, first, valid, total, n_dropped=None, *,
     SENT = jnp.int32(0x7FFFFFFF)
     key = jnp.where(vote_ok, sid * delta_range + dbin, SENT)
     ks = jax.lax.sort(key)
+    if prefix and prefix < cap:
+        # blocked streams with the row-accurate budget hold <= prefix
+        # live rows, and SENT sorts last — every live key is in [:prefix]
+        # and every post-sort pass runs at the prefix length
+        ks = ks[:prefix]
+        cap = prefix
     live = ks != SENT                      # contiguous prefix
     idx = jnp.arange(cap, dtype=jnp.int32)
     change = jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]])
@@ -1188,10 +1207,12 @@ def match_query_sparse_spanned(
             uviews=uviews, u_steps=u_steps, expand_block=expand_block,
             expand_runs=expand_runs,
         )
+    blocked = (expand_block
+               and not isinstance(span_arrays[0], (tuple, list)))
     raw = _rank_by_name(vote_rank)(
         sid, delta, first, valid, total, n_dropped,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-        topn=topn,
+        topn=topn, prefix=match_capacity if blocked else 0,
     )
     return raw, span_max
 

@@ -281,9 +281,11 @@ def recognize_on_device_spanned(
     else:
         rank = _rank_by_name(vote_rank if vote_rank != "pruned"
                              else "sort")
+        blocked = (expand_block
+                   and not isinstance(span_arrays[0], (tuple, list)))
         raw = rank(
             sid, delta, first, valid, total, n_dropped,
             n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
-            topn=topn,
+            topn=topn, prefix=match_capacity if blocked else 0,
         )
     return raw, span_max, n_pairs, n_peaks, n_hashes_total
