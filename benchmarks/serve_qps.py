@@ -115,8 +115,21 @@ def main():
             [(f"track{i:06d}", synth_song(i, duration_s=DUR, seed=77))
              for i in range(SONGS)])
 
+    tiers_to_warm = ()
+    if prebuilt:
+        # probe a few REAL clips for the capacity tiers this corpus
+        # actually dispatches at (bounds-first picks the fitting tier
+        # per batch), so no live request pays a 2-6 min tunnel compile
+        ladder = sia._match_tiers()
+        seen = set()
+        for c in clips[:4]:
+            t = sia.recognize_samples([c]).get("total_matches", 0)
+            seen.add(next((x for x in ladder if x >= t), ladder[-1]))
+        tiers_to_warm = tuple(sorted(seen))
+        print(f"warm tiers from real clips: {tiers_to_warm}", flush=True)
     print("warming serving programs ...", flush=True)
-    warmup(sia, seconds=CLIP, max_batch=MAX_BATCH)
+    warmup(sia, seconds=CLIP, max_batch=MAX_BATCH,
+           capacity_tiers=tiers_to_warm)
 
     srv = RecognitionServer(sia, port=0, max_batch=MAX_BATCH,
                             max_wait_ms=WAIT_MS, request_timeout_s=600.0)
