@@ -1286,6 +1286,15 @@ class SIA:
             return 0
         return blk if span_rows % blk == 0 else 0
 
+    def _spanned_rows(self, dev) -> int:
+        """Total row capacity of a spanned device layout (0 unknown)."""
+        try:
+            if isinstance(dev[0], (tuple, list)):
+                return sum(int(c[0].shape[0]) for c in dev)
+            return int(dev[0].shape[0]) * int(dev[0].shape[1])
+        except (TypeError, AttributeError, IndexError):
+            return 0
+
     def _index_rows(self, dev) -> int:
         """Row capacity of the device index columns (0 when unknown)."""
         try:
@@ -1339,7 +1348,8 @@ class SIA:
         nothing was dropped even if the summed total exceeds one tier.
         """
         from .match.lookup import (match_query_pruned_spanned,
-                                   match_query_sparse_spanned)
+                                   match_query_sparse_spanned,
+                                   query_total_spanned)
 
         uviews, usteps = self._span_uview()
         # the uview supersedes the bucket-CDF heads for the stacked
@@ -1373,7 +1383,18 @@ class SIA:
                 vote_rank=vrank if vrank != "pruned" else "sort",
                 expand_block=b, expand_runs=eruns, **kw))
 
-        cap = caps[0]
+        # bounds-first (see _match_prepared): probe the exact global
+        # total across spans, dispatch once at the fitting tier
+        if (min_capacity is None and self.config.bounds_probe_min_rows
+                and self._spanned_rows(dev)
+                >= self.config.bounds_probe_min_rows):
+            total_probe = int(jax.device_get(query_total_spanned(
+                dev, jnp.asarray(q.hi), jnp.asarray(q.lo),
+                jnp.asarray(q.ex), jnp.asarray(q.valid),
+                heads=heads, uviews=uviews, u_steps=usteps)))
+            cap = next((c for c in caps if c >= total_probe), caps[-1])
+        else:
+            cap = caps[0]
         raw, span_max = run(cap)
         if int(span_max) > cap or int(raw.n_dropped) > 0:
             if self._decided(raw):

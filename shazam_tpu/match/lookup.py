@@ -976,6 +976,40 @@ def match_query_pruned(
     return raw, ok
 
 
+@functools.partial(jax.jit, static_argnames=("u_steps",))
+def query_total_spanned(span_arrays, q_hi, q_lo, q_ex, q_valid, *,
+                        heads=None, uviews=None, u_steps: int = 0):
+    """``query_total`` over a spanned index: exact global matched-row
+    count (sum of every span's bounds), one cheap search-only program.
+    Works for both the per-span-tuple and consolidated stacked layouts;
+    powers the spanned bounds-first policy."""
+    def span_lens(cols, head):
+        lb, ub = lexi_bounds(cols[0], cols[1], cols[2], q_hi, q_lo, q_ex,
+                             head=head, q_valid=q_valid)
+        return jnp.sum(jnp.where(q_valid, ub - lb, 0))
+
+    if isinstance(span_arrays[0], (tuple, list)):
+        total = jnp.int32(0)
+        for i, cols in enumerate(span_arrays):
+            head = heads[i] if heads is not None else None
+            total = total + span_lens(cols, head)
+        return total
+    if uviews is not None:
+        from ..index.search import unique_bounds_stacked
+
+        lb, ub = unique_bounds_stacked(uviews, q_hi, q_lo, q_ex, q_valid,
+                                       steps=u_steps)
+    elif heads is None:
+        lb, ub = jax.vmap(lambda c: lexi_bounds(
+            c[0], c[1], c[2], q_hi, q_lo, q_ex, head=None,
+            q_valid=q_valid))(span_arrays[:3])
+    else:
+        lb, ub = jax.vmap(lambda c, h: lexi_bounds(
+            c[0], c[1], c[2], q_hi, q_lo, q_ex, head=h,
+            q_valid=q_valid))(span_arrays[:3], heads)
+    return jnp.sum(jnp.where(q_valid[None, :], ub - lb, 0))
+
+
 def _expand_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
                   q_first, *, match_capacity: int, offset_stride: int):
     """Expand a query against every span; concatenate the vote streams.

@@ -819,3 +819,44 @@ def test_stacked_load_builds_uview(tmp_path):
     outs = fresh.recognize_batch([clip, songs[1][1][11025: 11025 + 3 * 44100]])
     assert outs[0]["results"][0]["song_name"] == "s3"
     assert outs[1]["results"][0]["song_name"] == "s1"
+
+
+def test_spanned_bounds_first_and_blocked_match_default():
+    """Spanned bounds-first policy (probe -> fitting tier) + the stacked
+    blocked expansion produce IDENTICAL recognition to the default
+    fast-tier-first path on a consolidated store."""
+    from shazam_tpu.api import SIA
+    from shazam_tpu.config import FingerprintConfig
+
+    songs = _songs(6)
+
+    def build(cfg):
+        sia = SIA(device_span_rows=4096, config=cfg)
+        for i in range(0, len(songs), 2):
+            chunk = songs[i:i + 2]
+            batch, nv = _pad_batch([s for _n, s in chunk])
+            sia.ingest_device_batch([n for n, _s in chunk], batch, nv,
+                                    per_song_hash_capacity=4096,
+                                    defer_sort=True)
+        sia._ensure_dev_store().consolidate()
+        sia._host_stale = True
+        return sia
+
+    clip = songs[3][1][22050: 22050 + 2 * 44100]
+    base = build(FingerprintConfig())
+    probed = build(FingerprintConfig(bounds_probe_min_rows=1,
+                                     expand_block_min_capacity=0))
+
+    def strip(r):
+        rs = r["results"][0]
+        return (rs["song_name"], rs["offset"],
+                rs["hashes_matched_in_input"], r["total_matches"])
+
+    for fn in ("recognize_samples", "recognize_clip"):
+        a = getattr(base, fn)(clip if fn == "recognize_clip" else [clip])
+        b = getattr(probed, fn)(clip if fn == "recognize_clip" else [clip])
+        assert strip(a) == strip(b), fn
+        assert strip(a)[0] == "s3", fn
+    ab = base.recognize_batch([clip, songs[0][1][:44100]])
+    bb = probed.recognize_batch([clip, songs[0][1][:44100]])
+    assert [strip(x) for x in ab] == [strip(x) for x in bb]
