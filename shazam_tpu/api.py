@@ -1449,6 +1449,18 @@ class SIA:
             return self._recognize_clip_spanned(
                 samples, padded, dev, delta_min=delta_min,
                 delta_range=delta_range, q_cap=q_cap, topn=topn, t0=t0)
+        n_songs_live = max(self._live_n_songs(), 1)
+        if (n_songs_live * delta_range > self.config.sparse_vote_threshold
+                and self.config.bounds_probe_min_rows
+                and self._index_rows(dev)
+                >= self.config.bounds_probe_min_rows):
+            # big-index bounds-first: at production scale every clip
+            # overflows the fused fast tier, so that program is a wasted
+            # dispatch — fingerprint + exact-total probe fused into ONE
+            # program (pairs stay on device), then ONE fitted match
+            return self._recognize_clip_probed(
+                samples, padded, dev, delta_min=delta_min,
+                delta_range=delta_range, q_cap=q_cap, topn=topn, t0=t0)
         head = self._ensure_head(dev)
         uview, usteps = self._ensure_uview(dev)
         raw, n_pairs, n_peaks, n_hashes = jax.device_get(recognize_on_device(
@@ -1502,6 +1514,84 @@ class SIA:
             "partial_counts": matched.partial_counts,
             "input_hashes": int(n_pairs),
             "fingerprint_time": device_time,  # one fused dispatch
+            "query_time": 0.0,
+            "align_time": align_time,
+            "total_time": device_time + align_time,
+        }
+
+    def _recognize_clip_probed(self, samples, padded, dev, *, delta_min,
+                               delta_range, q_cap, topn, t0):
+        """Big-index solo recognition: fused fingerprint+probe, then one
+        fitted match dispatch over the device-resident query pairs."""
+        from .match.lookup import match_query_sparse
+        from .match.ondevice import fingerprint_probe_on_device
+
+        head = self._ensure_head(dev)
+        uview, usteps = self._ensure_uview(dev)
+        q_dev, n_pairs, n_peaks, n_hashes, total_d = \
+            fingerprint_probe_on_device(
+                jnp.asarray(padded)[None, :],
+                jnp.asarray([len(samples)], np.int32),
+                dev,
+                **self._fp_kwargs(),
+                use_fused=_fused_ok(self.config),
+                query_capacity=q_cap,
+                head=head, uview=uview, u_steps=usteps,
+            )
+        n_peaks_i, n_hashes_i = int(n_peaks), int(n_hashes)
+        total = int(total_d)
+        if (n_peaks_i > self.config.peak_capacity or n_hashes_i > q_cap):
+            # capacity overflow (peaks or query lanes): the two-dispatch
+            # path escalates those capacities
+            return self.recognize_samples([samples], topn=topn)
+
+        n_songs = max(self._live_n_songs(), 1)
+        caps = self._match_tiers()
+        cap = next((c for c in caps if c >= total), caps[-1])
+        eblk = self._expand_block_for(dev)
+        eruns = self.config.expand_block_runs
+
+        def run(cap, blk=None):
+            b = self._eblk_for_cap(eblk, cap) if blk is None else blk
+            vrank = self._rank_for(cap)
+            return jax.device_get(match_query_sparse(
+                dev, *q_dev,
+                n_songs=n_songs, delta_min=delta_min,
+                delta_range=delta_range, match_capacity=cap,
+                topn=topn or self.config.topn,
+                offset_stride=self._offset_stride,
+                head=head, uview=uview, u_steps=usteps,
+                vote_rank=vrank if vrank != "pruned" else "sort",
+                expand_block=b, expand_runs=eruns))
+
+        raw = run(cap)
+        if (int(raw.n_dropped) > 0 and not self._decided(raw)
+                and total <= cap):
+            # run-budget drop: scalar expansion is the exact terminal
+            # fallback (total > cap means a genuine max-tier clamp —
+            # handled by the honest align capacity below)
+            raw = run(cap, blk=0)
+        device_time = time.time() - t0
+
+        # align capacity: max(total, cap) reads "unaffected by
+        # capacity" — only when the result is exact (or provably so);
+        # a max-tier clamp keeps cap so align flags the overflow
+        exact = total <= cap and int(raw.n_dropped) == 0
+        align_cap = (max(total, cap) if exact or self._decided(raw)
+                     else cap)
+        t0 = time.time()
+        matched = align_results(
+            raw, int(n_pairs), catalog=self.catalog, config=self.config,
+            match_capacity=align_cap,
+        )
+        align_time = time.time() - t0
+        return {
+            "results": matched.results,
+            "total_matches": matched.total_matches,
+            "overflowed": matched.overflowed,
+            "partial_counts": matched.partial_counts,
+            "input_hashes": int(n_pairs),
+            "fingerprint_time": device_time,  # probe + fitted dispatch
             "query_time": 0.0,
             "align_time": align_time,
             "total_time": device_time + align_time,

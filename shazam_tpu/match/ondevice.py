@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..ops.fingerprint import fingerprint_batch_fused, fingerprint_batch
 from .lookup import (match_local, match_query_pruned, match_query_sparse,
-                     rank_votes, RawMatch, check_vote_key,
+                     query_total, rank_votes, RawMatch, check_vote_key,
                      _expand_any_spans, _pruned_vote_rank,
                      _sparse_vote_rank, _rank_by_name)
 
@@ -104,6 +104,59 @@ def _fingerprint_dedup(samples, n_valid, *, fs, wsize, hop, amp_min,
     n_pairs = jnp.sum(q_valid.astype(jnp.int32))
     return (sort_hi, lo, ex, t1, q_valid, q_first, n_pairs,
             fp.n_peaks[0], n_hashes_total)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "wsize", "hop", "amp_min", "radius", "fan_value",
+                     "min_dt", "max_dt", "peak_capacity", "use_fused",
+                     "query_capacity", "u_steps"),
+)
+def fingerprint_probe_on_device(
+    samples: jnp.ndarray,          # (1, padded_len) float32
+    n_valid: jnp.ndarray,          # (1,) int32
+    index_arrays,
+    *,
+    fs: int = 44100,
+    wsize: int = 4096,
+    hop: int = 2048,
+    amp_min: float = 10.0,
+    radius: int = 10,
+    fan_value: int = 5,
+    min_dt: int = 0,
+    max_dt: int = 200,
+    peak_capacity: int = 4096,
+    use_fused: bool = True,
+    query_capacity: int = 4096,
+    head=None,
+    uview=None,
+    u_steps: int = 0,
+):
+    """Fused fingerprint + EXACT-total bounds probe, pairs kept on device.
+
+    The big-index solo path (api.recognize_clip past
+    config.bounds_probe_min_rows): at production scale every clip
+    overflows the fast tier, so the fused fast-tier match program is a
+    wasted dispatch — this program fingerprints, dedups, and probes the
+    exact matched-row total (lookup.query_total) in ONE dispatch; the
+    caller reads the scalar total and dispatches the match ONCE at the
+    fitting tier, feeding these device-resident query arrays straight
+    into match_query_sparse (no host round trip for the pairs).
+
+    Returns (q_pairs_tuple, n_pairs, n_peaks, n_hashes_total, total)
+    where q_pairs_tuple = (sort_hi, lo, ex, t1, q_valid, q_first).
+    """
+    (sort_hi, lo, ex, t1, q_valid, q_first, n_pairs, n_peaks,
+     n_hashes_total) = _fingerprint_dedup(
+        samples, n_valid, fs=fs, wsize=wsize, hop=hop, amp_min=amp_min,
+        radius=radius, fan_value=fan_value, min_dt=min_dt, max_dt=max_dt,
+        peak_capacity=peak_capacity, use_fused=use_fused,
+        query_capacity=query_capacity,
+    )
+    total = query_total(index_arrays, sort_hi, lo, ex, q_valid,
+                        head=head, uview=uview, u_steps=u_steps)
+    return ((sort_hi, lo, ex, t1, q_valid, q_first), n_pairs, n_peaks,
+            n_hashes_total, total)
 
 
 @functools.partial(
