@@ -212,9 +212,24 @@ def bench_query_latency_real(jax, jnp, chain=32):
             res[k] = min(best)
         return max((res[chain] - res[1]) / (chain - 1), 1e-6)
 
-    def tier_fn(cap):
+    def tier_fn(cap, with_probe=False):
         if matcher is match_query_sparse:
             b = eblk if cap >= _cfg.expand_block_min_capacity else 0
+            if with_probe:
+                # the REAL production pair fused for chained timing:
+                # exact-total probe + fitted match REUSING the probe's
+                # bounds (api._match_prepared passes them through; the
+                # descent runs once, not twice)
+                def f(dv, q, hd, uv):
+                    total, lb, ub = query_total(
+                        dv, q[0], q[1], q[2], q[4], head=hd, uview=uv,
+                        u_steps=usteps, with_bounds=True)
+                    return (total, match_query_sparse(
+                        dv, *q, match_capacity=cap, head=hd, uview=uv,
+                        u_steps=usteps, vote_rank="scan", expand_block=b,
+                        expand_runs=_cfg.expand_block_runs,
+                        bounds=(lb, ub), **kw))
+                return f
             return lambda dv, q, hd, uv: match_query_sparse(
                 dv, *q, match_capacity=cap, head=hd, uview=uv,
                 u_steps=usteps, vote_rank="scan", expand_block=b,
@@ -232,18 +247,23 @@ def bench_query_latency_real(jax, jnp, chain=32):
         t_bounds = time_chain(lambda dv, q, hd, uv: query_total(
             dv, q[0], q[1], q[2], q[4], head=hd, uview=uv,
             u_steps=usteps))
-        t_tier = {c: time_chain(tier_fn(c))
+        # probe+fitted-tier as ONE fused chain body — the per-query
+        # device cost of the whole policy at that tier
+        t_tier = {c: time_chain(tier_fn(c, with_probe=True))
                   for c in sorted(set(f for f, t in zip(fits, rows)
                                       if t > fast_cap))}
+        t_fast_probed = (time_chain(tier_fn(fast_cap, with_probe=True))
+                         if any(t <= fast_cap for t in rows) else 0.0)
         per_pack = sorted(
-            t_bounds + (t_fast if t <= fast_cap else t_tier[f])
+            (t_fast_probed if t <= fast_cap else t_tier[f])
             for t, f in zip(rows, fits))
         esc_rate = sum(t > fast_cap for t in rows) / qn
         policy.update({
-            "policy": "bounds-first (exact-total probe -> fitting tier)",
+            "policy": "bounds-first (exact-total probe -> fitting tier, "
+                      "bounds reused)",
             "bounds_probe_ms": round(t_bounds * 1000, 3),
-            "escalated_tier_ms": {c: round(v * 1000, 3)
-                                  for c, v in t_tier.items()},
+            "probe_plus_tier_ms": {c: round(v * 1000, 3)
+                                   for c, v in t_tier.items()},
             "escalation_rate": round(esc_rate, 3),
         })
         fit_repr = max(t_tier) if t_tier else fast_cap

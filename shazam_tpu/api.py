@@ -1187,6 +1187,7 @@ class SIA:
         n_cand = self.config.rank_candidates
         eblk = self._expand_block_for(dev)
         eruns = self.config.expand_block_runs
+        bounds_dev = None   # probe's (lb, ub), device-resident
 
         def run(cap, blk=None):
             q_args = (jnp.asarray(q.hi), jnp.asarray(q.lo),
@@ -1202,29 +1203,36 @@ class SIA:
             if use_sparse and vrank == "pruned" and n_cand > 0:
                 raw, _ok = jax.device_get(match_query_pruned(
                     dev, *q_args, n_candidates=n_cand,
-                    expand_block=b, expand_runs=eruns, **kw))
+                    expand_block=b, expand_runs=eruns,
+                    bounds=bounds_dev, **kw))
                 return raw
             if use_sparse:
                 return jax.device_get(match_query_sparse(
                     dev, *q_args,
                     vote_rank=vrank if vrank != "pruned" else "sort",
-                    expand_block=b, expand_runs=eruns, **kw))
+                    expand_block=b, expand_runs=eruns,
+                    bounds=bounds_dev, **kw))
             return jax.device_get(match_query(dev, *q_args, **kw))
 
         # bounds-first policy (big indexes): most real queries overflow
         # the fast tier there, so its program is mostly a wasted ~4 ms —
         # a ~1.4 ms bounds-only probe reads the EXACT total and the
-        # match dispatches straight to the fitting tier (skipped when
-        # the caller already knows the count via min_capacity)
+        # match dispatches straight to the fitting tier, REUSING the
+        # probe's device-resident bounds (the fixed-round descent is
+        # ~1.6 ms of every dispatch otherwise). Skipped when the caller
+        # already knows the count via min_capacity
         total = None
         if (use_sparse and min_capacity is None
                 and self.config.bounds_probe_min_rows
                 and self._index_rows(dev)
                 >= self.config.bounds_probe_min_rows):
-            total = int(jax.device_get(query_total(
+            total_d, lb_d, ub_d = query_total(
                 dev, jnp.asarray(q.hi), jnp.asarray(q.lo),
                 jnp.asarray(q.ex), jnp.asarray(q.valid),
-                head=head, uview=uview, u_steps=usteps)))
+                head=head, uview=uview, u_steps=usteps,
+                with_bounds=True)
+            total = int(jax.device_get(total_d))
+            bounds_dev = (lb_d, ub_d)
             cap = next((c for c in caps if c >= total), caps[-1])
         else:
             cap = caps[0]
@@ -1528,7 +1536,7 @@ class SIA:
 
         head = self._ensure_head(dev)
         uview, usteps = self._ensure_uview(dev)
-        q_dev, n_pairs, n_peaks, n_hashes, total_d = \
+        q_dev, n_pairs, n_peaks, n_hashes, total_d, lb_d, ub_d = \
             fingerprint_probe_on_device(
                 jnp.asarray(padded)[None, :],
                 jnp.asarray([len(samples)], np.int32),
@@ -1562,7 +1570,8 @@ class SIA:
                 offset_stride=self._offset_stride,
                 head=head, uview=uview, u_steps=usteps,
                 vote_rank=vrank if vrank != "pruned" else "sort",
-                expand_block=b, expand_runs=eruns))
+                expand_block=b, expand_runs=eruns,
+                bounds=(lb_d, ub_d)))
 
         raw = run(cap)
         if (int(raw.n_dropped) > 0 and not self._decided(raw)
@@ -1805,6 +1814,7 @@ class SIA:
                       > self.config.sparse_vote_threshold)
         eblk = (self._expand_block_for_spanned(dev) if self._is_spanned
                 else self._expand_block_for(dev))
+        probe_bounds = None   # batched probe's (lb, ub), device-resident
         if self._is_spanned:
             from .match.batched import match_queries_batched_spanned
         else:
@@ -1854,14 +1864,14 @@ class SIA:
                         u_steps=usteps, sparse=True,
                         rank_candidates=n_cand, expand_block=b,
                         expand_runs=self.config.expand_block_runs,
-                        **kw2))
+                        bounds=probe_bounds, **kw2))
                 else:
                     r, oks = jax.device_get(match_queries_batched(
                         dev, *q_args, head=hd, uview=uview,
                         u_steps=usteps, sparse=use_sparse,
                         vote_rank=sort_rank, expand_block=b,
                         expand_runs=self.config.expand_block_runs,
-                        **kw2)), None
+                        bounds=probe_bounds, **kw2)), None
                 sm = None
                 cl = np.asarray(r.total_rows)[:n_real]
             return r, sm, oks, cl
@@ -1879,9 +1889,11 @@ class SIA:
                 >= self.config.bounds_probe_min_rows):
             from .match.batched import query_totals_batched
             hd = self._ensure_head(dev)
-            probe_totals = np.asarray(jax.device_get(query_totals_batched(
+            totals_d, lb_b, ub_b = query_totals_batched(
                 dev, q_args[0], q_args[1], q_args[2], q_args[4],
-                head=hd, uview=uview, u_steps=usteps)))[:n_real]
+                head=hd, uview=uview, u_steps=usteps)
+            probe_totals = np.asarray(jax.device_get(totals_d))[:n_real]
+            probe_bounds = (lb_b, ub_b)   # device-resident, reused below
             need = int(probe_totals.max()) if n_real else 0
             # HBM guard: the batched expansion+rank stream is ~6 int32
             # arrays of (cap + run-budget overhead) per clip — cap the

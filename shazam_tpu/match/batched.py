@@ -24,13 +24,18 @@ from .lookup import (match_local, match_query_pruned, match_query_sparse,
 def query_totals_batched(index_arrays, q_hi, q_lo, q_ex, q_valid, *,
                          head=None, uview=None, u_steps: int = 0):
     """Vmapped ``lookup.query_total``: exact per-clip matched-row counts
-    for a (Bq, Q) query batch in one cheap search-only program — the
-    batched bounds-first probe (api.recognize_batch picks the whole
-    batch's fitting tier from these instead of paying a base-tier
-    dispatch that production-scale clips mostly overflow)."""
+    AND per-lane bounds for a (Bq, Q) query batch in one cheap
+    search-only program — the batched bounds-first probe
+    (api.recognize_batch picks the whole batch's fitting tier from the
+    totals instead of paying a base-tier dispatch that production-scale
+    clips mostly overflow, and feeds the (Bq, Q) bounds back into the
+    fitted dispatch so the search never runs twice).
+
+    Returns (totals, lb, ub)."""
     def one(hi, lo, ex, v):
         return query_total(index_arrays, hi, lo, ex, v, head=head,
-                           uview=uview, u_steps=u_steps)
+                           uview=uview, u_steps=u_steps,
+                           with_bounds=True)
     return jax.vmap(one)(q_hi, q_lo, q_ex, q_valid)
 
 
@@ -59,6 +64,7 @@ def match_queries_batched(
     vote_rank: str = "pruned",
     expand_block: int = 0,
     expand_runs: int = 0,
+    bounds=None,
 ) -> RawMatch:
     """Match a (Bq, Q) batch of padded queries; returns batched RawMatch.
 
@@ -80,7 +86,7 @@ def match_queries_batched(
     if sparse is None:
         sparse = n_songs * delta_range > 16_000_000
 
-    def one(hi, lo, ex, t, valid, first):
+    def one(hi, lo, ex, t, valid, first, bnd):
         if sparse and vote_rank == "pruned" and rank_candidates > 0:
             sid, delta, p, valid_s, total, n_dropped = _expand(
                 index_arrays, hi, lo, ex, t, valid,
@@ -88,6 +94,7 @@ def match_queries_batched(
                 offset_stride=offset_stride, head=head,
                 uview=uview, u_steps=u_steps,
                 expand_block=expand_block, expand_runs=expand_runs,
+                bounds=bnd,
             )
             return _pruned_vote_rank(
                 sid, delta, jnp.take(first, p), valid_s, total, n_dropped,
@@ -104,6 +111,7 @@ def match_queries_batched(
                 uview=uview, u_steps=u_steps,
                 vote_rank=vote_rank if vote_rank != "pruned" else "sort",
                 expand_block=expand_block, expand_runs=expand_runs,
+                bounds=bnd,
             )
         hist, rows_hist, total, n_dropped = match_local(
             index_arrays, hi, lo, ex, t, valid, first,
@@ -114,7 +122,7 @@ def match_queries_batched(
         return rank_votes(hist, rows_hist, total, delta_min=delta_min,
                           topn=topn, n_dropped=n_dropped)
 
-    return jax.vmap(one)(q_hi, q_lo, q_ex, q_t, q_valid, q_first)
+    return jax.vmap(one)(q_hi, q_lo, q_ex, q_t, q_valid, q_first, bounds)
 
 
 @functools.partial(

@@ -77,7 +77,7 @@ class RawMatch(NamedTuple):
 def _expand_blocked(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
                     match_capacity: int, offset_stride: int,
                     block_size: int, head=None, uview=None,
-                    u_steps: int = 0, max_runs: int = 0):
+                    u_steps: int = 0, max_runs: int = 0, bounds=None):
     """Block-gather expansion: ``_expand``'s contract, sequential DMAs.
 
     The scalar expansion issues ``match_capacity`` independent payload
@@ -119,7 +119,9 @@ def _expand_blocked(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
             f"payload rows {payload.shape[0]} not a multiple of the "
             f"block size {B} — pad the device columns (pack_padded_cols "
             "rounds capacity up)")
-    if uview is not None:
+    if bounds is not None:
+        lb, ub = bounds
+    elif uview is not None:
         lb, ub = unique_bounds(uview, q_hi, q_lo, q_ex, q_valid,
                                steps=u_steps)
     else:
@@ -213,9 +215,10 @@ def _blocked_expand_core(payload, lb, ub, lens, q_t, *, block_size: int,
             valid.reshape(-1), total, n_dropped)
 
 
-@functools.partial(jax.jit, static_argnames=("u_steps",))
+@functools.partial(jax.jit, static_argnames=("u_steps", "with_bounds"))
 def query_total(index_arrays, q_hi, q_lo, q_ex, q_valid, *,
-                head=None, uview=None, u_steps: int = 0):
+                head=None, uview=None, u_steps: int = 0,
+                with_bounds: bool = False):
     """EXACT total matched-row count: one search pass, no expansion.
 
     The bounds probe behind the api's bounds-first escalation policy
@@ -224,6 +227,13 @@ def query_total(index_arrays, q_hi, q_lo, q_ex, q_valid, *,
     a full fast-tier program is mostly a wasted ~4 ms — this ~1.4 ms
     probe (exp_esc r4, 95.3M rows via the unique view) reads the exact
     total and the caller dispatches straight to the fitting tier.
+
+    ``with_bounds=True`` also returns the per-lane (lb, ub) so the
+    fitted dispatch can REUSE the search instead of re-descending
+    (~1.6 ms of its cost at 95.3M — the descent is a fixed-round loop
+    of latency-bound gathers, and per-kernel overhead dominates these
+    programs; measured exp_policy2 r4): the caller keeps them on device
+    and passes them back as the matcher's ``bounds`` argument.
     """
     if uview is not None:
         lb, ub = unique_bounds(uview, q_hi, q_lo, q_ex, q_valid,
@@ -232,13 +242,16 @@ def query_total(index_arrays, q_hi, q_lo, q_ex, q_valid, *,
         k_hi, k_lo, k_ex = index_arrays[:3]
         lb, ub = lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex,
                              head=head, q_valid=q_valid)
-    return jnp.sum(jnp.where(q_valid, ub - lb, 0))
+    total = jnp.sum(jnp.where(q_valid, ub - lb, 0))
+    if with_bounds:
+        return total, lb, ub
+    return total
 
 
 def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
             match_capacity: int, offset_stride: int, head=None,
             uview=None, u_steps: int = 0, expand_block: int = 0,
-            expand_runs: int = 0):
+            expand_runs: int = 0, bounds=None):
     """Search + fixed-capacity row expansion (shared by the matchers).
 
     Returns (sid, delta, p, valid, total, n_dropped): per expanded vote
@@ -270,8 +283,10 @@ def _expand(index_arrays, q_hi, q_lo, q_ex, q_t, q_valid, *,
             index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
             match_capacity=match_capacity, offset_stride=offset_stride,
             block_size=expand_block, head=head, uview=uview,
-            u_steps=u_steps, max_runs=expand_runs)
-    if uview is not None:
+            u_steps=u_steps, max_runs=expand_runs, bounds=bounds)
+    if bounds is not None:
+        lb, ub = bounds
+    elif uview is not None:
         lb, ub = unique_bounds(uview, q_hi, q_lo, q_ex, q_valid,
                                steps=u_steps)
     else:
@@ -511,6 +526,7 @@ def match_query_sparse(
     expand_block: int = 0,
     expand_runs: int = 0,
     vote_rank: str = "sort",
+    bounds=None,
 ) -> RawMatch:
     """``match_query`` without the dense histogram — EXACT, for big catalogs.
 
@@ -530,6 +546,7 @@ def match_query_sparse(
         match_capacity=match_capacity, offset_stride=offset_stride,
         head=head, uview=uview, u_steps=u_steps,
         expand_block=expand_block, expand_runs=expand_runs,
+        bounds=bounds,
     )
     first = jnp.take(q_first, p)
     return _rank_by_name(vote_rank)(
@@ -938,6 +955,7 @@ def match_query_pruned(
     n_candidates: int = 256,
     expand_block: int = 0,
     expand_runs: int = 0,
+    bounds=None,
 ):
     """``match_query_sparse`` with the candidate-pruned rank.
 
@@ -958,6 +976,7 @@ def match_query_pruned(
         match_capacity=match_capacity, offset_stride=offset_stride,
         head=head, uview=uview, u_steps=u_steps,
         expand_block=expand_block, expand_runs=expand_runs,
+        bounds=bounds,
     )
     first = jnp.take(q_first, p)
     raw_p, ok = _pruned_vote_rank(

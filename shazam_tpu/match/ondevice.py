@@ -143,8 +143,11 @@ def fingerprint_probe_on_device(
     fitting tier, feeding these device-resident query arrays straight
     into match_query_sparse (no host round trip for the pairs).
 
-    Returns (q_pairs_tuple, n_pairs, n_peaks, n_hashes_total, total)
-    where q_pairs_tuple = (sort_hi, lo, ex, t1, q_valid, q_first).
+    Returns (q_pairs_tuple, n_pairs, n_peaks, n_hashes_total, total,
+    lb, ub) where q_pairs_tuple = (sort_hi, lo, ex, t1, q_valid,
+    q_first) and (lb, ub) are the per-lane search bounds — the caller
+    passes them back as the matcher's ``bounds`` so the fitted dispatch
+    skips the descent entirely.
     """
     (sort_hi, lo, ex, t1, q_valid, q_first, n_pairs, n_peaks,
      n_hashes_total) = _fingerprint_dedup(
@@ -153,10 +156,11 @@ def fingerprint_probe_on_device(
         peak_capacity=peak_capacity, use_fused=use_fused,
         query_capacity=query_capacity,
     )
-    total = query_total(index_arrays, sort_hi, lo, ex, q_valid,
-                        head=head, uview=uview, u_steps=u_steps)
+    total, lb, ub = query_total(index_arrays, sort_hi, lo, ex, q_valid,
+                                head=head, uview=uview, u_steps=u_steps,
+                                with_bounds=True)
     return ((sort_hi, lo, ex, t1, q_valid, q_first), n_pairs, n_peaks,
-            n_hashes_total, total)
+            n_hashes_total, total, lb, ub)
 
 
 @functools.partial(
