@@ -1369,6 +1369,7 @@ class SIA:
         n_cand = self.config.rank_candidates
         eblk_s = self._expand_block_for_spanned(dev)
         eruns = self.config.expand_block_runs
+        bounds_dev = None   # probe's stacked (lb, ub), device-resident
 
         def run(cap, blk=None):
             vrank = self._rank_for(cap)
@@ -1389,17 +1390,29 @@ class SIA:
             return jax.device_get(match_query_sparse_spanned(
                 dev, *q_args,
                 vote_rank=vrank if vrank != "pruned" else "sort",
-                expand_block=b, expand_runs=eruns, **kw))
+                expand_block=b, expand_runs=eruns, bounds=bounds_dev,
+                **kw))
 
         # bounds-first (see _match_prepared): probe the exact global
-        # total across spans, dispatch once at the fitting tier
+        # total across spans, dispatch once at the fitting tier; the
+        # stacked layout's probe bounds are reused by that dispatch
         if (min_capacity is None and self.config.bounds_probe_min_rows
                 and self._spanned_rows(dev)
                 >= self.config.bounds_probe_min_rows):
-            total_probe = int(jax.device_get(query_total_spanned(
-                dev, jnp.asarray(q.hi), jnp.asarray(q.lo),
-                jnp.asarray(q.ex), jnp.asarray(q.valid),
-                heads=heads, uviews=uviews, u_steps=usteps)))
+            stacked = not isinstance(dev[0], (tuple, list))
+            if stacked:
+                total_d, lb_d, ub_d = query_total_spanned(
+                    dev, jnp.asarray(q.hi), jnp.asarray(q.lo),
+                    jnp.asarray(q.ex), jnp.asarray(q.valid),
+                    heads=heads, uviews=uviews, u_steps=usteps,
+                    with_bounds=True)
+                total_probe = int(jax.device_get(total_d))
+                bounds_dev = (lb_d, ub_d)
+            else:
+                total_probe = int(jax.device_get(query_total_spanned(
+                    dev, jnp.asarray(q.hi), jnp.asarray(q.lo),
+                    jnp.asarray(q.ex), jnp.asarray(q.valid),
+                    heads=heads, uviews=uviews, u_steps=usteps)))
             cap = next((c for c in caps if c >= total_probe), caps[-1])
         else:
             cap = caps[0]

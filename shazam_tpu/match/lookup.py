@@ -995,19 +995,24 @@ def match_query_pruned(
     return raw, ok
 
 
-@functools.partial(jax.jit, static_argnames=("u_steps",))
+@functools.partial(jax.jit, static_argnames=("u_steps", "with_bounds"))
 def query_total_spanned(span_arrays, q_hi, q_lo, q_ex, q_valid, *,
-                        heads=None, uviews=None, u_steps: int = 0):
+                        heads=None, uviews=None, u_steps: int = 0,
+                        with_bounds: bool = False):
     """``query_total`` over a spanned index: exact global matched-row
     count (sum of every span's bounds), one cheap search-only program.
     Works for both the per-span-tuple and consolidated stacked layouts;
-    powers the spanned bounds-first policy."""
+    powers the spanned bounds-first policy.  ``with_bounds=True``
+    (stacked layout only) also returns the (n_spans, Q) lb/ub so the
+    fitted dispatch reuses the descent (matcher ``bounds`` argument)."""
     def span_lens(cols, head):
         lb, ub = lexi_bounds(cols[0], cols[1], cols[2], q_hi, q_lo, q_ex,
                              head=head, q_valid=q_valid)
         return jnp.sum(jnp.where(q_valid, ub - lb, 0))
 
     if isinstance(span_arrays[0], (tuple, list)):
+        if with_bounds:
+            raise ValueError("with_bounds needs the stacked layout")
         total = jnp.int32(0)
         for i, cols in enumerate(span_arrays):
             head = heads[i] if heads is not None else None
@@ -1026,7 +1031,10 @@ def query_total_spanned(span_arrays, q_hi, q_lo, q_ex, q_valid, *,
         lb, ub = jax.vmap(lambda c, h: lexi_bounds(
             c[0], c[1], c[2], q_hi, q_lo, q_ex, head=h,
             q_valid=q_valid))(span_arrays[:3], heads)
-    return jnp.sum(jnp.where(q_valid[None, :], ub - lb, 0))
+    total = jnp.sum(jnp.where(q_valid[None, :], ub - lb, 0))
+    if with_bounds:
+        return total, lb, ub
+    return total
 
 
 def _expand_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
@@ -1065,7 +1073,7 @@ def _expand_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
 def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
                     q_first, *, match_capacity: int, offset_stride: int,
                     uviews=None, u_steps: int = 0, expand_block: int = 0,
-                    expand_runs: int = 0):
+                    expand_runs: int = 0, bounds=None):
     """``_expand_spans`` over a CONSOLIDATED (n_spans, span_rows) layout,
     with ONE global ``match_capacity`` budget shared across spans.
 
@@ -1093,11 +1101,13 @@ def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
             "devices/hosts instead of stacking past ~2.1B rows")
     n_pairs = q_hi.shape[0]
 
-    def bounds(span_cols, head):
+    def span_search(span_cols, head):
         return lexi_bounds(span_cols[0], span_cols[1], span_cols[2],
                            q_hi, q_lo, q_ex, head=head, q_valid=q_valid)
 
-    if uviews is not None:
+    if bounds is not None:
+        lb, ub = bounds
+    elif uviews is not None:
         # stacked unique-key view (build_unique_view_spans): ONE
         # fixed-round descent per span over the deduplicated key table,
         # upper bounds free from the cdf — hot runs cannot inflate the
@@ -1107,9 +1117,9 @@ def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
         lb, ub = unique_bounds_stacked(uviews, q_hi, q_lo, q_ex, q_valid,
                                        steps=u_steps)
     elif heads is None:
-        lb, ub = jax.vmap(lambda c: bounds(c, None))(stacked_arrays)
+        lb, ub = jax.vmap(lambda c: span_search(c, None))(stacked_arrays)
     else:
-        lb, ub = jax.vmap(bounds)(stacked_arrays, heads)
+        lb, ub = jax.vmap(span_search)(stacked_arrays, heads)
 
     # flatten runs span-major: run r = s * n_pairs + pair
     lens = jnp.where(q_valid[None, :], ub - lb, 0).reshape(-1)
@@ -1178,7 +1188,7 @@ def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
 def _expand_any_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
                       q_first, *, match_capacity: int, offset_stride: int,
                       uviews=None, u_steps: int = 0, expand_block: int = 0,
-                      expand_runs: int = 0):
+                      expand_runs: int = 0, bounds=None):
     """Dispatch: per-span column tuples vs consolidated stacked layout.
 
     Trace-time structural dispatch — the two layouts are distinct
@@ -1188,6 +1198,8 @@ def _expand_any_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
     if isinstance(span_arrays[0], (tuple, list)):
         # per-span tuples (pre-consolidate): no blocked variant — spans
         # expand independently with per-span budgets
+        if bounds is not None:
+            raise ValueError("precomputed bounds need the stacked layout")
         return _expand_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t,
                              q_valid, q_first,
                              match_capacity=match_capacity,
@@ -1196,7 +1208,7 @@ def _expand_any_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
                            q_valid, q_first, match_capacity=match_capacity,
                            offset_stride=offset_stride, uviews=uviews,
                            u_steps=u_steps, expand_block=expand_block,
-                           expand_runs=expand_runs)
+                           expand_runs=expand_runs, bounds=bounds)
 
 
 @functools.partial(
@@ -1226,6 +1238,7 @@ def match_query_sparse_spanned(
     vote_rank: str = "sort",
     expand_block: int = 0,
     expand_runs: int = 0,
+    bounds=None,
 ):
     """``match_query_sparse`` over a spanned index.
 
@@ -1258,7 +1271,7 @@ def match_query_sparse_spanned(
             span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
             match_capacity=match_capacity, offset_stride=offset_stride,
             uviews=uviews, u_steps=u_steps, expand_block=expand_block,
-            expand_runs=expand_runs,
+            expand_runs=expand_runs, bounds=bounds,
         )
     blocked = (expand_block
                and not isinstance(span_arrays[0], (tuple, list)))
