@@ -1896,10 +1896,15 @@ class SIA:
         # mostly overflow (then a whole-batch re-dispatch on top)
         base_cap = match_capacity or self.config.match_capacity
         tiers = self._match_tiers()
-        if (not self._is_spanned and use_sparse and match_capacity is None
+        if (not self._is_spanned and use_sparse
                 and self.config.bounds_probe_min_rows
                 and self._index_rows(dev)
                 >= self.config.bounds_probe_min_rows):
+            # probe runs even when match_capacity is EXPLICIT (the tier
+            # stays pinned then, only the bounds are reused): serving
+            # warmup pins tiers via match_capacity, and the live path's
+            # programs carry bounds — probing in both keeps warmup and
+            # live traffic on the SAME compiled programs
             from .match.batched import query_totals_batched
             hd = self._ensure_head(dev)
             totals_d, lb_b, ub_b = query_totals_batched(
@@ -1907,16 +1912,18 @@ class SIA:
                 head=hd, uview=uview, u_steps=usteps)
             probe_totals = np.asarray(jax.device_get(totals_d))[:n_real]
             probe_bounds = (lb_b, ub_b)   # device-resident, reused below
-            need = int(probe_totals.max()) if n_real else 0
-            # HBM guard: the batched expansion+rank stream is ~6 int32
-            # arrays of (cap + run-budget overhead) per clip — cap the
-            # tier so the batch stays under ~4 GB; clips past the
-            # guarded tier clamp and the per-clip retry machinery below
-            # re-runs them solo (exact either way)
-            max_stream = (4 << 30) // (24 * max(n_real, 1))
-            allowed = [c for c in tiers if c <= max_stream] or tiers[:1]
-            base_cap = min(next((c for c in tiers if c >= need),
-                                tiers[-1]), allowed[-1])
+            if match_capacity is None:
+                need = int(probe_totals.max()) if n_real else 0
+                # HBM guard: the batched expansion+rank stream is ~6
+                # int32 arrays of (cap + run-budget overhead) per clip —
+                # cap the tier so the batch stays under ~4 GB; clips
+                # past the guarded tier clamp and the per-clip retry
+                # machinery below re-runs them solo (exact either way)
+                max_stream = (4 << 30) // (24 * max(n_real, 1))
+                allowed = ([c for c in tiers if c <= max_stream]
+                           or tiers[:1])
+                base_cap = min(next((c for c in tiers if c >= need),
+                                    tiers[-1]), allowed[-1])
 
         raw, span_maxes, oks, clamp = dispatch(base_cap)
 
