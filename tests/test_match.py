@@ -963,3 +963,70 @@ def test_stacked_blocked_expansion_parity():
         **kw)
     assert int(got.n_dropped) > 0
     assert int(got.total_rows) == int(ref.total_rows)
+
+
+def test_query_total_equals_matcher_total():
+    """query_total / query_total_spanned: the probe's exact total equals
+    the matchers' total_rows, and with_bounds returns the same (lb, ub)
+    the expansion uses (bounds reuse is element-identical)."""
+    import jax.numpy as jnp
+    from shazam_tpu.match.lookup import (match_query_sparse,
+                                         match_query_sparse_spanned,
+                                         query_total, query_total_spanned)
+
+    rng = np.random.default_rng(37)
+    n, n_songs, stride = 30000, 30, 4096
+    hi = rng.integers(0, 500, n, dtype=np.uint32)
+    lo = rng.integers(0, 4, n, dtype=np.uint32)
+    ex = np.zeros(n, np.uint32)
+    sid = rng.integers(0, n_songs, n, dtype=np.uint32)
+    off = rng.integers(0, 3000, n, dtype=np.uint32)
+    order = np.lexsort((off, sid, ex, lo, hi))
+    npad = -(-n // 1024) * 1024
+    S = np.uint32(0xFFFFFFFF)
+
+    def pad(a, fill):
+        return jnp.asarray(np.concatenate(
+            [a[order], np.full(npad - n, fill, np.uint32)]))
+
+    dev = (pad(hi, S), pad(lo, S), pad(ex, S),
+           pad(sid * np.uint32(stride) + off, 0))
+
+    q_n = 128
+    pick = rng.integers(0, n, q_n)
+    valid = np.ones(q_n, bool)
+    valid[100:] = False
+    q_hi = hi[pick].copy()
+    q_hi[100:] = 0xFFFFFFFF
+    q = (jnp.asarray(q_hi), jnp.asarray(lo[pick]), jnp.asarray(ex[pick]),
+         jnp.asarray(rng.integers(0, 50, q_n).astype(np.uint32)),
+         jnp.asarray(valid), jnp.asarray(valid))
+    kw = dict(n_songs=n_songs, delta_min=-64, delta_range=stride + 128,
+              match_capacity=1 << 16, topn=2, offset_stride=stride)
+
+    total, lb, ub = query_total(dev, q[0], q[1], q[2], q[4],
+                                with_bounds=True)
+    raw = match_query_sparse(dev, *q, **kw)
+    assert int(total) == int(raw.total_rows) > 0
+    # bounds reuse: identical RawMatch through the precomputed bounds
+    reused = match_query_sparse(dev, *q, bounds=(lb, ub), **kw)
+    for f in raw._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(reused, f)),
+                                      np.asarray(getattr(raw, f)), f)
+
+    # spanned: stacked layout probe + bounds reuse; per-span tuple total
+    half = npad // 2
+    stacked = tuple(jnp.stack([c[:half], c[half:]]) for c in dev)
+    tuples = (tuple(c[:half] for c in dev), tuple(c[half:] for c in dev))
+    ts, lbs, ubs = query_total_spanned(stacked, q[0], q[1], q[2], q[4],
+                                       with_bounds=True)
+    raw_s, _ = match_query_sparse_spanned(stacked, *q, **kw)
+    assert int(ts) == int(raw_s.total_rows) == int(raw.total_rows)
+    reused_s, _ = match_query_sparse_spanned(stacked, *q,
+                                             bounds=(lbs, ubs), **kw)
+    for f in raw_s._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(reused_s, f)),
+            np.asarray(getattr(raw_s, f)), f)
+    tt = query_total_spanned(tuples, q[0], q[1], q[2], q[4])
+    assert int(tt) == int(raw.total_rows)
