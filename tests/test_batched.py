@@ -249,3 +249,40 @@ def test_warmup_capacity_tiers_smoke(tmp_path):
     sia.ingest_files(files, batch_size=2)
     warmup(sia, seconds=2.0, max_batch=2, pair_buckets=(),
            capacity_tiers=(sia.config.match_capacity * 4,))
+
+
+def test_warmup_pinned_tier_shares_live_programs(tmp_path):
+    """A warmup call that PINS a tier (explicit match_capacity) and a
+    live call whose bounds-first probe lands on that same tier must hit
+    the SAME compiled batch program.  Before the fix, explicit
+    match_capacity skipped the probe, so warmup compiled bounds=None
+    variants while live traffic ran bounds-carrying programs — every
+    warmed tier recompiled through the 2-6 min tunnel inside a live
+    request (measured: serve_prod4's 11.4 s p95 at 4 clients)."""
+    import dataclasses
+
+    from shazam_tpu.config import DEFAULT_CONFIG
+    from shazam_tpu.match import batched as mb
+
+    # force the production bounds-first path on a toy index
+    cfg = dataclasses.replace(DEFAULT_CONFIG, bounds_probe_min_rows=1,
+                              sparse_vote_threshold=0)
+    files = [f for f, _ in
+             synth_corpus(str(tmp_path), 3, duration_s=8.0, seed=23)]
+    sia = SIA(config=cfg)
+    sia.ingest_files(files, batch_size=4)
+
+    clips = [synth_song(i, duration_s=8.0, seed=23)[44100: 44100 * 5]
+             for i in (0, 1)]
+    # warmup style: tier pinned at the ladder's first tier (the tier a
+    # toy corpus's probe always fits in — totals are far below it)
+    warm = sia.recognize_batch(clips, topn=2,
+                               match_capacity=sia._match_tiers()[0])
+    n_warm = mb.match_queries_batched._cache_size()
+    # live style: probe picks the fitting tier (== the pinned one)
+    live = sia.recognize_batch(clips, topn=2)
+    assert mb.match_queries_batched._cache_size() == n_warm, \
+        "live dispatch compiled a new batch program after warmup"
+    for a, b in zip(warm, live):
+        assert a["results"] == b["results"]
+        assert a["total_matches"] == b["total_matches"]
