@@ -24,13 +24,13 @@ Latency here includes host RTT to the TPU tunnel; on-chip cost is the
 exp_qps number.  Accuracy is asserted (every clip must top-1 its song).
 """
 
+import http.client
 import io
 import json
 import os
 import sys
 import threading
 import time
-import urllib.request
 import wave
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -134,7 +134,6 @@ def main():
     srv = RecognitionServer(sia, port=0, max_batch=MAX_BATCH,
                             max_wait_ms=WAIT_MS, request_timeout_s=600.0)
     srv.start_background()
-    url = f"http://127.0.0.1:{srv.port}/recognize?topn=1"
 
     if prebuilt:
         bodies = [_wav_bytes(c) for c in clips]
@@ -162,16 +161,25 @@ def main():
         errors = []
 
         def client(cid, n_clients=n_clients):
+            # ONE persistent HTTP/1.1 keep-alive connection per client,
+            # like a real SDK (client.py does the same): urllib's
+            # one-connection-per-request churned a fresh handler THREAD
+            # per request through ThreadingHTTPServer — measurable host
+            # overhead at high concurrency on small machines
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                              timeout=600)
             for k in range(cid, n_total, n_clients):
                 t0 = time.time()
-                req = urllib.request.Request(url, data=bodies[k],
-                                             method="POST")
                 try:
-                    with urllib.request.urlopen(req, timeout=600) as resp:
-                        out = json.loads(resp.read())
+                    conn.request("POST", "/recognize?topn=1",
+                                 body=bodies[k])
+                    out = json.loads(conn.getresponse().read())
                 except Exception as e:  # noqa: BLE001 — count, keep going
                     with lock:
                         errors.append((k, repr(e)))
+                    conn.close()
+                    conn = http.client.HTTPConnection(
+                        "127.0.0.1", srv.port, timeout=600)
                     continue
                 dt = time.time() - t0
                 top = (out["results"][0]["song_name"]
@@ -180,6 +188,7 @@ def main():
                     lat.append(dt)
                     if top != want[k]:
                         wrong.append((k, want[k], top))
+            conn.close()
 
         b0 = dict(srv.batcher.stats)
         t0 = time.time()
@@ -218,6 +227,15 @@ def main():
             "max_batch": MAX_BATCH,
             "wait_ms": WAIT_MS,
             "errors": len(errors),
+            # batcher stage seconds over this sweep: device dispatch +
+            # RTT (match_s) and stage-1 fingerprint/prep (prepare_s) —
+            # wall far above match_s+prepare_s means the listener is
+            # HOST-bound (decode/JSON/GIL), not device-bound
+            "match_s": round(stats.get("match_s", 0.0)
+                             - b0.get("match_s", 0.0), 2),
+            "prepare_s": round(stats.get("prepare_s", 0.0)
+                               - b0.get("prepare_s", 0.0), 2),
+            "wall_s": round(wall, 2),
         }), flush=True)
         if errors:
             print("ERRORS:", errors[:5], flush=True)

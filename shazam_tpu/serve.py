@@ -209,7 +209,16 @@ class MicroBatcher:
             try:
                 pb, mono = item
                 try:
+                    t_m = time.monotonic()
                     outs = self.sia.match_prepared_batch(pb)
+                    with self._slock:
+                        # device match dispatch + tunnel RTT, summed —
+                        # serve_qps reports it next to wall time so a
+                        # listener-vs-device throughput gap is
+                        # attributable (host-bound vs device-bound)
+                        self.stats["match_s"] = (
+                            self.stats.get("match_s", 0.0)
+                            + (time.monotonic() - t_m))
                     for p, out in zip(mono, outs):
                         p.result = out
                 except Exception as e:  # noqa: BLE001 — per request
@@ -307,9 +316,16 @@ class MicroBatcher:
                 # its match dispatch, this thread is already collecting
                 # and fingerprinting batch k+1
                 try:
+                    t_p = time.monotonic()
                     pb = self.sia.prepare_batch(
                         [p.channels[0] for p in mono], topn=mono[0].topn,
                         pad_to_pow2=True)
+                    with self._slock:
+                        # stage-1 host+fingerprint-dispatch time (see
+                        # match_s above for the stage-2 counterpart)
+                        self.stats["prepare_s"] = (
+                            self.stats.get("prepare_s", 0.0)
+                            + (time.monotonic() - t_p))
                     self._pipe.put((pb, mono))  # blocks at depth 1
                 except Exception as e:  # noqa: BLE001 — per request
                     with self._slock:
