@@ -116,23 +116,36 @@ def main():
              for i in range(SONGS)])
 
     tiers_to_warm = ()
+    pin = os.environ.get("SERVE_PIN", "auto" if prebuilt else "")
+    pin_cap = None
     if prebuilt:
-        # probe a few REAL clips for the capacity tiers this corpus
-        # actually dispatches at (bounds-first picks the fitting tier
-        # per batch), so no live request pays a 2-6 min tunnel compile
+        # probe REAL clips for the capacity tiers this corpus actually
+        # dispatches at (bounds-first picks the fitting tier per batch),
+        # so no live request pays a 2-6 min tunnel compile. A batch's
+        # tier is the max over its clips' fitting tiers, so SERVE_PIN=
+        # auto (default) pins the max tier seen across 16 probes — ONE
+        # program per batch bucket, the serve_prod5 regression's fix
+        # (only tier 262144 was warm while real packs also fit 524288).
         ladder = sia._match_tiers()
         seen = set()
-        for c in clips[:4]:
+        for c in clips[:16]:
             t = sia.recognize_samples([c]).get("total_matches", 0)
             seen.add(next((x for x in ladder if x >= t), ladder[-1]))
         tiers_to_warm = tuple(sorted(seen))
-        print(f"warm tiers from real clips: {tiers_to_warm}", flush=True)
-    print("warming serving programs ...", flush=True)
+        print(f"fitting tiers from real clips: {tiers_to_warm}", flush=True)
+    if pin == "auto" and tiers_to_warm:
+        pin_cap = tiers_to_warm[-1]
+    elif pin and pin != "auto":
+        pin_cap = int(pin)
+    print(f"warming serving programs (pin_capacity={pin_cap}) ...",
+          flush=True)
     warmup(sia, seconds=CLIP, max_batch=MAX_BATCH,
-           capacity_tiers=tiers_to_warm)
+           capacity_tiers=tiers_to_warm if pin_cap is None else (),
+           pin_capacity=pin_cap)
 
     srv = RecognitionServer(sia, port=0, max_batch=MAX_BATCH,
-                            max_wait_ms=WAIT_MS, request_timeout_s=600.0)
+                            max_wait_ms=WAIT_MS, request_timeout_s=600.0,
+                            pin_capacity=pin_cap)
     srv.start_background()
 
     if prebuilt:
@@ -173,7 +186,16 @@ def main():
                 try:
                     conn.request("POST", "/recognize?topn=1",
                                  body=bodies[k])
-                    out = json.loads(conn.getresponse().read())
+                    resp = conn.getresponse()
+                    body = resp.read()   # drain even on error statuses
+                    if resp.status != 200:
+                        # http.client does not raise on non-2xx (urllib
+                        # did) — count it instead of crashing the client
+                        # thread on the missing "results" key, which
+                        # would silently skip its remaining requests
+                        raise RuntimeError(
+                            f"HTTP {resp.status}: {body[:200]!r}")
+                    out = json.loads(body)
                 except Exception as e:  # noqa: BLE001 — count, keep going
                     with lock:
                         errors.append((k, repr(e)))
@@ -225,6 +247,7 @@ def main():
             "batches": batches,
             "clients": n_clients,
             "max_batch": MAX_BATCH,
+            "pin": pin_cap,
             "wait_ms": WAIT_MS,
             "errors": len(errors),
             # batcher stage seconds over this sweep: device dispatch +

@@ -172,7 +172,8 @@ def cmd_serve(args):
         warmup(sia, seconds=args.warmup, max_batch=args.max_batch,
                clip_lengths=extra,
                stream_window_seconds=args.warm_stream,
-               capacity_tiers=tiers)
+               capacity_tiers=tiers,
+               pin_capacity=args.pin_tier or None)
     server = RecognitionServer(
         sia, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
@@ -183,6 +184,7 @@ def cmd_serve(args):
         max_streams=args.max_streams, stream_ttl_s=args.stream_ttl,
         auth_token=args.auth_token or os.environ.get("SHAZAM_SERVE_TOKEN"),
         pipeline=not args.no_pipeline,
+        pin_capacity=args.pin_tier or None,
     )
     print(json.dumps({"serving": f"http://{args.host}:{server.port}",
                       "songs": sia.catalog.counts()["n_songs"],
@@ -321,6 +323,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "escalate every batch; without this the "
                         "escalated program compiles inside a live "
                         "request — minutes on the TPU tunnel)")
+    s.add_argument("--pin-tier", type=int, default=0, metavar="CAP",
+                   help="dispatch every micro-batch at this match-"
+                        "capacity tier (one compiled program per batch "
+                        "bucket — the bounds probe still runs and per-"
+                        "clip escalation still covers outliers); probe "
+                        "a representative clip's total_matches and pin "
+                        "the tier above it")
     s.add_argument("--request-timeout", type=float, default=600.0,
                    help="seconds a request waits for its result (cover a "
                         "cold remote compile: minutes on the TPU tunnel)")

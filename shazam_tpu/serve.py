@@ -108,9 +108,20 @@ class MicroBatcher:
 
     def __init__(self, sia, max_batch: int = 16, max_wait_ms: float = 10.0,
                  persist_path: Optional[str] = None, max_streams: int = 8,
-                 stream_ttl_s: float = 300.0, pipeline: bool = True):
+                 stream_ttl_s: float = 300.0, pipeline: bool = True,
+                 pin_capacity: Optional[int] = None):
         self.sia = sia
         self.persist_path = persist_path
+        # pin_capacity: dispatch EVERY micro-batch at this match-capacity
+        # tier (the bounds probe still runs and its bounds are reused, so
+        # warmup's pinned-tier programs ARE the live programs). Without a
+        # pin, bounds-first picks the per-batch fitting tier — each tier a
+        # batch hits is a separate multi-minute tunnel compile, measured
+        # as the 10-20 s serving tails in serve_prod5 (round 4: only tier
+        # 262144 was warm while real packs also fit at 524288). Pin the
+        # max tier your corpus' clips fit (serve_qps SERVE_PIN=auto
+        # probes it) and warm exactly that.
+        self.pin_capacity = int(pin_capacity) if pin_capacity else None
         self.max_batch = int(max_batch)
         self.max_wait = float(max_wait_ms) / 1000.0
         self.max_streams = int(max_streams)
@@ -319,7 +330,7 @@ class MicroBatcher:
                     t_p = time.monotonic()
                     pb = self.sia.prepare_batch(
                         [p.channels[0] for p in mono], topn=mono[0].topn,
-                        pad_to_pow2=True)
+                        pad_to_pow2=True, match_capacity=self.pin_capacity)
                     with self._slock:
                         # stage-1 host+fingerprint-dispatch time (see
                         # match_s above for the stage-2 counterpart)
@@ -340,7 +351,7 @@ class MicroBatcher:
                     # remote TPU compile) — O(log max_batch) shapes
                     outs = self.sia.recognize_batch(
                         [p.channels[0] for p in mono], topn=mono[0].topn,
-                        pad_to_pow2=True)
+                        pad_to_pow2=True, match_capacity=self.pin_capacity)
                     for p, out in zip(mono, outs):
                         p.result = out
                 except Exception as e:  # noqa: BLE001 — per request
@@ -778,14 +789,16 @@ class RecognitionServer:
                  max_ingest_seconds: float = 600.0,
                  persist_path: Optional[str] = None,
                  max_streams: int = 8, stream_ttl_s: float = 300.0,
-                 auth_token: Optional[str] = None, pipeline: bool = True):
+                 auth_token: Optional[str] = None, pipeline: bool = True,
+                 pin_capacity: Optional[int] = None):
         self.sia = sia
         self.batcher = MicroBatcher(sia, max_batch=max_batch,
                                     max_wait_ms=max_wait_ms,
                                     persist_path=persist_path,
                                     max_streams=max_streams,
                                     stream_ttl_s=stream_ttl_s,
-                                    pipeline=pipeline)
+                                    pipeline=pipeline,
+                                    pin_capacity=pin_capacity)
         handler = _make_handler(self.batcher, sia, request_timeout_s,
                                 max_clip_seconds, max_ingest_seconds,
                                 auth_token=auth_token)
@@ -844,7 +857,7 @@ class RecognitionServer:
 def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
            clip_lengths=(), pair_buckets="auto",
            stream_window_seconds: float = 0.0,
-           capacity_tiers=()) -> None:
+           capacity_tiers=(), pin_capacity: Optional[int] = None) -> None:
     """Compile the serving programs before opening the listener.
 
     One clip per power-of-two batch size up to the pow2 CEILING of
@@ -877,6 +890,10 @@ def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
     (probe with one representative clip: `recognize_samples` reports
     `total_matches`); each (batch bucket × tier) is a separate multi-
     minute compile, so warming all tiers blindly is expensive.
+
+    ``pin_capacity`` mirrors a pinned server (``RecognitionServer(
+    pin_capacity=...)``, serve_qps ``SERVE_PIN``): only the pinned
+    tier's batch programs are compiled — exactly the live path's set.
     """
     from .audio.synth import synth_song
 
@@ -884,6 +901,11 @@ def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
     pow2_cap = 1
     while pow2_cap < max_batch:
         pow2_cap <<= 1
+    if pin_capacity:
+        # a pinned server (RecognitionServer(pin_capacity=...)) only
+        # ever dispatches batches at the pinned tier — warm exactly that
+        # program set: one compile per batch bucket, not (1 + n_tiers)
+        capacity_tiers = (int(pin_capacity),)
 
     def warm(clip, q_pad_to=None):
         sia.recognize_samples([clip], q_pad_to=q_pad_to)
@@ -892,8 +914,9 @@ def warmup(sia, seconds: float = 5.0, max_batch: int = 16,
         # capacity tier) must be warm for low-concurrency traffic.
         b = 1
         while b <= pow2_cap:
-            sia.recognize_batch([clip] * min(b, max_batch),
-                                pad_to_pow2=True, q_pad_to=q_pad_to)
+            if not pin_capacity:
+                sia.recognize_batch([clip] * min(b, max_batch),
+                                    pad_to_pow2=True, q_pad_to=q_pad_to)
             for cap in capacity_tiers:
                 sia.recognize_batch([clip] * min(b, max_batch),
                                     pad_to_pow2=True, q_pad_to=q_pad_to,

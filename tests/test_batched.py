@@ -274,6 +274,10 @@ def test_warmup_pinned_tier_shares_live_programs(tmp_path):
 
     clips = [synth_song(i, duration_s=8.0, seed=23)[44100: 44100 * 5]
              for i in (0, 1)]
+    if not hasattr(mb.match_queries_batched, "_cache_size"):
+        pytest.skip("jax.jit no longer exposes _cache_size (private "
+                    "API); the compile-count assertion needs a "
+                    "replacement hook")
     # warmup style: tier pinned at the ladder's first tier (the tier a
     # toy corpus's probe always fits in — totals are far below it)
     warm = sia.recognize_batch(clips, topn=2,

@@ -22,29 +22,42 @@ def _free_port() -> int:
     return port
 
 
-def _run_workers(extra_args, ok_token, timeout=280):
-    port = _free_port()
+def _run_workers(extra_args, ok_token, timeout=280, attempts=3):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)       # workers set their own device count
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     worker = os.path.join(HERE, "multihost_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), str(port)] + extra_args,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, env=env, cwd=REPO,
-        )
-        for pid in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        outs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
-        assert ok_token in out, out[-3000:]
-    return outs
+    for attempt in range(attempts):
+        port = _free_port()           # fresh rendezvous per attempt
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), str(port)] + extra_args,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=REPO,
+            )
+            for pid in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+        # Gloo/jax.distributed rendezvous can time out (DEADLINE_EXCEEDED
+        # on the KV-store init, a hard ~30 s inside the runtime) when the
+        # box is saturated — e.g. 4-way xdist running the rest of the
+        # suite (round-4 verdict: passes solo, flaked in the full run).
+        # That's load, not product breakage: retry on a fresh port, and
+        # only for this signature so real failures still fail fast.
+        flaky = any(p.returncode != 0
+                    and ("DEADLINE_EXCEEDED" in out or "Timed out" in out
+                         or "deadline" in out.lower())
+                    for p, out in zip(procs, outs))
+        if flaky and attempt + 1 < attempts:
+            continue
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+            assert ok_token in out, out[-3000:]
+        return outs
 
 
 def test_two_process_spanned_query():

@@ -685,3 +685,34 @@ def test_pipeline_overlap_and_mutation_flush(server):
     assert code == 200 and out.get("ingested") == 1, out
     code, out = _post(url, _wav_bytes(new[FS: 6 * FS]))
     assert code == 200 and out["results"][0]["song_name"] == "live77"
+
+
+def test_pinned_tier_server_matches_unpinned(server):
+    """A pin_capacity server (serve --pin-tier / serve_qps SERVE_PIN)
+    dispatches every micro-batch at the pinned tier; answers must be
+    identical to the default bounds-first server — the pin only fixes
+    which compiled program runs (warmup then covers exactly that set),
+    it never changes results (per-clip escalation still covers clips
+    whose totals exceed the pin)."""
+    sia = server.sia
+    pin = sia._match_tiers()[0]
+    srv = RecognitionServer(sia, port=0, max_batch=4, max_wait_ms=5.0,
+                            pin_capacity=pin)
+    assert srv.batcher.pin_capacity == pin
+    srv.start_background()
+    try:
+        for sid in range(3):
+            body = _wav_bytes(_clip(sid))
+            code_p, out_p = _post(
+                f"http://127.0.0.1:{srv.port}/recognize?topn=2", body)
+            code_u, out_u = _post(
+                f"http://127.0.0.1:{server.port}/recognize?topn=2", body)
+            assert (code_p, code_u) == (200, 200)
+            assert out_p["results"] == out_u["results"]
+            assert out_p["total_matches"] == out_u["total_matches"]
+    finally:
+        # each RecognitionServer owns its own MicroBatcher (only the
+        # SIA engine is shared with the module fixture's server)
+        srv.httpd.shutdown()
+        srv.httpd.server_close()
+        srv.batcher.close()
