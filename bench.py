@@ -169,17 +169,43 @@ def bench_query_latency_real(jax, jnp, chain=32):
             if index.offset_stride and n_rows_dev % max(
                 _cfg.expand_block, 1) == 0 else 0)
 
-    probe = jax.jit(functools.partial(matcher, match_capacity=fast_cap,
-                                      u_steps=usteps, **kw))
-    rows, undecided = [], []
-    for i in range(qn):
-        r = probe(dev, *(a[i] for a in packs), head=head, uview=uview)
-        total = int(r.total_rows)
-        rows.append(total)
-        undecided.append(
-            total > fast_cap
-            and not (int(r.top_votes[0]) - int(r.runner_votes)
-                     > int(r.n_dropped)))
+    pol = _cfg.escalation_policy
+    decide_mode = bool(bounds_first
+                       and (pol == "decide"
+                            or (pol == "auto" and _cfg.decision_escalation)))
+    decide_cap = next((c for c in tiers if c >= _cfg.match_capacity),
+                      tiers[-1])
+    b_dec = eblk if decide_cap >= _cfg.expand_block_min_capacity else 0
+    if decide_mode:
+        # the PRODUCTION first dispatch: match at the match_capacity
+        # tier, bounds returned for the (rare) fitted re-dispatch
+        dec = jax.jit(functools.partial(
+            match_query_sparse, match_capacity=decide_cap,
+            u_steps=usteps, vote_rank="scan", expand_block=b_dec,
+            expand_runs=_cfg.expand_block_runs, with_bounds=True, **kw))
+        rows, undecided = [], []
+        for i in range(qn):
+            r, _lb, _ub = dec(dev, *(a[i] for a in packs), head=head,
+                              uview=uview)
+            r = jax.device_get(r)
+            total = int(r.total_rows)
+            rows.append(total)
+            undecided.append(
+                (total > decide_cap or int(r.n_dropped) > 0)
+                and not (int(r.top_votes[0]) - int(r.runner_votes)
+                         > int(r.n_dropped)))
+    else:
+        probe0 = jax.jit(functools.partial(
+            matcher, match_capacity=fast_cap, u_steps=usteps, **kw))
+        rows, undecided = [], []
+        for i in range(qn):
+            r = probe0(dev, *(a[i] for a in packs), head=head, uview=uview)
+            total = int(r.total_rows)
+            rows.append(total)
+            undecided.append(
+                total > fast_cap
+                and not (int(r.top_votes[0]) - int(r.runner_votes)
+                         > int(r.n_dropped)))
     max_rows = max(rows)
     fits = [next((c for c in tiers if c >= t), tiers[-1]) for t in rows]
 
@@ -238,11 +264,63 @@ def bench_query_latency_real(jax, jnp, chain=32):
             dv, *q, match_capacity=cap, head=hd, uview=uv,
             u_steps=usteps, **kw)
 
+    policy = {"tier_ladder": "x4 to 262144 then x2"}
+    if decide_mode:
+        # decided-first: per-pack cost = the decide-tier dispatch, plus
+        # (undecided only) the fitted re-dispatch REUSING the returned
+        # bounds — timed as the fused pair, the real production chain
+        def decide_fn(dv, q, hd, uv):
+            return match_query_sparse(
+                dv, *q, match_capacity=decide_cap, head=hd, uview=uv,
+                u_steps=usteps, vote_rank="scan", expand_block=b_dec,
+                expand_runs=_cfg.expand_block_runs, with_bounds=True,
+                **kw)
+
+        def pair_fn(cap):
+            bb = eblk if cap >= _cfg.expand_block_min_capacity else 0
+
+            def f(dv, q, hd, uv):
+                r1, lb, ub = match_query_sparse(
+                    dv, *q, match_capacity=decide_cap, head=hd,
+                    uview=uv, u_steps=usteps, vote_rank="scan",
+                    expand_block=b_dec,
+                    expand_runs=_cfg.expand_block_runs,
+                    with_bounds=True, **kw)
+                r2 = match_query_sparse(
+                    dv, *q, match_capacity=cap, head=hd, uview=uv,
+                    u_steps=usteps, vote_rank="scan", expand_block=bb,
+                    expand_runs=_cfg.expand_block_runs,
+                    bounds=(lb, ub), **kw)
+                return r1, r2
+            return f
+
+        t_dec = time_chain(decide_fn)
+        und_fits = sorted({max(f, decide_cap)
+                           for f, u in zip(fits, undecided) if u})
+        t_pair = {c: time_chain(pair_fn(c)) for c in und_fits}
+        per_pack = sorted(
+            (t_pair[max(f, decide_cap)] if u else t_dec)
+            for f, u in zip(fits, undecided))
+        esc_rate = sum(undecided) / qn
+        policy.update({
+            "policy": "decided-first (margin-certified dispatch at the "
+                      "match_capacity tier; undecided re-dispatch at "
+                      "the fitting tier, bounds reused)",
+            "decide_tier": decide_cap,
+            "decide_tier_ms": round(t_dec * 1000, 3),
+            "undecided_pair_ms": {c: round(v * 1000, 3)
+                                  for c, v in t_pair.items()},
+            "escalation_rate": round(esc_rate, 3),
+        })
+        fit_repr = max(und_fits) if und_fits else decide_cap
+        p50 = per_pack[qn // 2]
+        return (p50, max_rows, index.n_hashes, n_songs, fit_repr,
+                esc_rate, t_dec, policy)
+
     t_fast = time_chain(lambda dv, q, hd, uv: matcher(
         dv, *q, match_capacity=fast_cap, head=hd, uview=uv,
         u_steps=usteps, **kw))
-    policy = {"fast_tier_ms": round(t_fast * 1000, 3),
-              "tier_ladder": "x4 to 262144 then x2"}
+    policy["fast_tier_ms"] = round(t_fast * 1000, 3)
     if bounds_first:
         t_bounds = time_chain(lambda dv, q, hd, uv: query_total(
             dv, q[0], q[1], q[2], q[4], head=hd, uview=uv,

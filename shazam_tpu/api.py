@@ -1189,7 +1189,7 @@ class SIA:
         eruns = self.config.expand_block_runs
         bounds_dev = None   # probe's (lb, ub), device-resident
 
-        def run(cap, blk=None):
+        def run(cap, blk=None, with_bounds=False):
             q_args = (jnp.asarray(q.hi), jnp.asarray(q.lo),
                       jnp.asarray(q.ex), jnp.asarray(q.t),
                       jnp.asarray(q.valid), jnp.asarray(q.first))
@@ -1200,13 +1200,24 @@ class SIA:
                       topn=topn or self.config.topn,
                       offset_stride=self._offset_stride,
                       head=head, uview=uview, u_steps=usteps)
-            if use_sparse and vrank == "pruned" and n_cand > 0:
+            if use_sparse and not with_bounds and vrank == "pruned" \
+                    and n_cand > 0:
                 raw, _ok = jax.device_get(match_query_pruned(
                     dev, *q_args, n_candidates=n_cand,
                     expand_block=b, expand_runs=eruns,
                     bounds=bounds_dev, **kw))
                 return raw
             if use_sparse:
+                if with_bounds:
+                    # decided-first dispatch: same match program, but
+                    # the search bounds come back device-resident for
+                    # the (rare) fitted re-dispatch to reuse
+                    raw_d, lb_d, ub_d = match_query_sparse(
+                        dev, *q_args,
+                        vote_rank=vrank if vrank != "pruned" else "sort",
+                        expand_block=b, expand_runs=eruns,
+                        with_bounds=True, **kw)
+                    return jax.device_get(raw_d), (lb_d, ub_d)
                 return jax.device_get(match_query_sparse(
                     dev, *q_args,
                     vote_rank=vrank if vrank != "pruned" else "sort",
@@ -1214,18 +1225,35 @@ class SIA:
                     bounds=bounds_dev, **kw))
             return jax.device_get(match_query(dev, *q_args, **kw))
 
-        # bounds-first policy (big indexes): most real queries overflow
-        # the fast tier there, so its program is mostly a wasted ~4 ms —
-        # a ~1.4 ms bounds-only probe reads the EXACT total and the
-        # match dispatches straight to the fitting tier, REUSING the
-        # probe's device-resident bounds (the fixed-round descent is
-        # ~1.6 ms of every dispatch otherwise). Skipped when the caller
-        # already knows the count via min_capacity
+        # big-index escalation policy (config.escalation_policy):
+        #
+        # decided-first ("decide"/"auto"): ONE dispatch at the
+        # match_capacity tier that also returns its search bounds. Most
+        # real queries either fit it or are PROVABLY decided under the
+        # clamp (margin > excluded runs — exp_margin r5: 7/8 prod packs
+        # at 65536), so the median query pays one fast dispatch instead
+        # of probe + fitted. Undecided queries re-dispatch once at the
+        # tier their exact total fits, reusing the bounds.
+        #
+        # bounds-first ("bounds", or "auto" with decision_escalation
+        # off): most real queries overflow the fast tier at production
+        # scale, so a ~1.4 ms bounds-only probe reads the EXACT total
+        # and the match dispatches straight to the fitting tier (full
+        # vote counts on every query). Skipped when the caller already
+        # knows the count via min_capacity.
         total = None
-        if (use_sparse and min_capacity is None
-                and self.config.bounds_probe_min_rows
-                and self._index_rows(dev)
-                >= self.config.bounds_probe_min_rows):
+        big = (use_sparse and min_capacity is None
+               and self.config.bounds_probe_min_rows
+               and self._index_rows(dev)
+               >= self.config.bounds_probe_min_rows)
+        pol = self.config.escalation_policy
+        decide_first = (pol == "decide"
+                        or (pol == "auto" and self.config.decision_escalation))
+        if big and decide_first:
+            cap = next((c for c in caps
+                        if c >= self.config.match_capacity), caps[-1])
+            raw, bounds_dev = run(cap, with_bounds=True)
+        elif big:
             total_d, lb_d, ub_d = query_total(
                 dev, jnp.asarray(q.hi), jnp.asarray(q.lo),
                 jnp.asarray(q.ex), jnp.asarray(q.valid),
@@ -1234,9 +1262,10 @@ class SIA:
             total = int(jax.device_get(total_d))
             bounds_dev = (lb_d, ub_d)
             cap = next((c for c in caps if c >= total), caps[-1])
+            raw = run(cap)
         else:
             cap = caps[0]
-        raw = run(cap)
+            raw = run(cap)
         if total is None:
             total = int(raw.total_rows)  # exact even when clamped
         if total > cap or int(raw.n_dropped) > 0:
@@ -1889,17 +1918,38 @@ class SIA:
                 cl = np.asarray(r.total_rows)[:n_real]
             return r, sm, oks, cl
 
-        # bounds-first (big indexes, like _match_prepared): a cheap
-        # vmapped search-only probe reads every clip's EXACT total and
-        # the whole batch dispatches once at the fitting tier, instead
-        # of paying a base-tier program that production-scale clips
-        # mostly overflow (then a whole-batch re-dispatch on top)
+        # big-index batched escalation policy (config.escalation_policy,
+        # mirroring _match_prepared):
+        #
+        # decided-first (unpinned "decide"/"auto"): the whole batch
+        # dispatches once at the match_capacity tier with NO probe —
+        # clamped clips are margin-checked by the per-clip machinery
+        # below (undecided() — each excluded run adds <= 1 vote to any
+        # bin) and only undecided clips re-dispatch. Saves the probe's
+        # device round trip per batch; exp_margin r5 measured 7/8+ real
+        # packs deciding at the 65536 tier.
+        #
+        # bounds-first (explicit match_capacity — serving pins/warmup —
+        # or policy "bounds"): a cheap vmapped search-only probe reads
+        # every clip's EXACT total; an unpinned batch dispatches once at
+        # the fitting tier, a pinned one keeps its tier but REUSES the
+        # probe's bounds — so warmup's pinned-tier programs are exactly
+        # the live path's (tested: test_warmup_pinned_tier_shares_...).
         base_cap = match_capacity or self.config.match_capacity
         tiers = self._match_tiers()
-        if (not self._is_spanned and use_sparse
-                and self.config.bounds_probe_min_rows
-                and self._index_rows(dev)
-                >= self.config.bounds_probe_min_rows):
+        pol = self.config.escalation_policy
+        decide_first = (match_capacity is None
+                        and (pol == "decide"
+                             or (pol == "auto"
+                                 and self.config.decision_escalation)))
+        big = (not self._is_spanned and use_sparse
+               and self.config.bounds_probe_min_rows
+               and self._index_rows(dev)
+               >= self.config.bounds_probe_min_rows)
+        if big and decide_first:
+            base_cap = next((c for c in tiers if c >= base_cap),
+                            tiers[-1])
+        elif big:
             # probe runs even when match_capacity is EXPLICIT (the tier
             # stays pinned then, only the bounds are reused): serving
             # warmup pins tiers via match_capacity, and the live path's

@@ -108,6 +108,19 @@ class FingerprintConfig:
     # count the fast-tier-first policy (with the provably-exact early
     # accept) stays, since most queries fit it there. 0 disables
     bounds_probe_min_rows: int = 1 << 25
+    # big-index escalation policy (indexes past bounds_probe_min_rows):
+    # "decide" — ONE dispatch at the match_capacity tier that also
+    #   returns its search bounds; a clamped result is accepted when
+    #   provably exact-top-1 (margin > excluded runs, see
+    #   decision_escalation above), else ONE fitted-tier re-dispatch
+    #   reusing the bounds. Measured round 5 (exp_margin): 7/8 prod
+    #   packs and most music packs decide at the 65536 tier, so the
+    #   median query pays ~one fast dispatch instead of probe + fitted.
+    # "bounds" — the round-4 bounds-first policy: exact-total probe,
+    #   then one fitting-tier dispatch (full vote counts on every
+    #   query; ~2x the decided p50 on corpora with strong margins).
+    # "auto" — "decide" when decision_escalation is True, else "bounds".
+    escalation_policy: str = "auto"
     # capacity tiers grow x4 up to this, x2 after: escalated-tier cost
     # is linear in capacity, so finer steps past the knee halve the
     # worst-case overshoot (a 1.35M-row query pays 2M, not 4M) at the
@@ -135,6 +148,10 @@ class FingerprintConfig:
             raise ValueError(
                 f"vote_rank {self.vote_rank!r} not in "
                 "('auto', 'pruned', 'sort', 'scan')")
+        if self.escalation_policy not in ("auto", "decide", "bounds"):
+            raise ValueError(
+                f"escalation_policy {self.escalation_policy!r} not in "
+                "('auto', 'decide', 'bounds')")
 
     # ---- derived quantities ----
     @property

@@ -503,7 +503,7 @@ def _rank_by_name(vote_rank: str):
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
                      "topn", "offset_stride", "u_steps", "expand_block",
-                     "expand_runs", "vote_rank"),
+                     "expand_runs", "vote_rank", "with_bounds"),
 )
 def match_query_sparse(
     index_arrays,
@@ -527,6 +527,7 @@ def match_query_sparse(
     expand_runs: int = 0,
     vote_rank: str = "sort",
     bounds=None,
+    with_bounds: bool = False,
 ) -> RawMatch:
     """``match_query`` without the dense histogram — EXACT, for big catalogs.
 
@@ -539,8 +540,25 @@ def match_query_sparse(
     O(n_songs) scalar arrays, identical results (same tie rules: the
     scatter-min best-delta mirrors argmax-takes-first, top_k ties keep
     the smallest song id).
+
+    ``with_bounds=True`` additionally returns the per-lane search
+    (lb, ub) — computed ONCE and shared with the expansion, so the
+    program is the same work. The decided-first escalation policy
+    (api._match_prepared, config.escalation_policy) keeps them
+    device-resident and, when the clamped dispatch is NOT provably
+    decided, re-dispatches at the fitting tier with ``bounds=(lb, ub)``
+    — the exact total is already known (``total_rows`` is exact even
+    when clamped) and the descent never runs twice.
     """
     check_vote_key(n_songs, delta_range)
+    if with_bounds and bounds is None:
+        if uview is not None:
+            bounds = unique_bounds(uview, q_hi, q_lo, q_ex, q_valid,
+                                   steps=u_steps)
+        else:
+            k_hi, k_lo, k_ex = index_arrays[:3]
+            bounds = lexi_bounds(k_hi, k_lo, k_ex, q_hi, q_lo, q_ex,
+                                 head=head, q_valid=q_valid)
     sid, delta, p, valid, total, n_dropped = _expand(
         index_arrays, q_hi, q_lo, q_ex, q_t, q_valid,
         match_capacity=match_capacity, offset_stride=offset_stride,
@@ -549,11 +567,14 @@ def match_query_sparse(
         bounds=bounds,
     )
     first = jnp.take(q_first, p)
-    return _rank_by_name(vote_rank)(
+    raw = _rank_by_name(vote_rank)(
         sid, delta, first, valid, total, n_dropped,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
         topn=topn, prefix=match_capacity if expand_block else 0,
     )
+    if with_bounds:
+        return raw, bounds[0], bounds[1]
+    return raw
 
 
 def _sparse_vote_rank(sid, delta, first, valid, total, n_dropped=None, *,

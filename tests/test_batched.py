@@ -264,9 +264,13 @@ def test_warmup_pinned_tier_shares_live_programs(tmp_path):
     from shazam_tpu.config import DEFAULT_CONFIG
     from shazam_tpu.match import batched as mb
 
-    # force the production bounds-first path on a toy index
+    # force the production bounds-first path on a toy index (the pinned
+    # serving flow probes for bounds regardless of policy; the LIVE
+    # unpinned comparison call needs "bounds" so its probe picks the
+    # pinned tier rather than decided-first's no-probe base dispatch)
     cfg = dataclasses.replace(DEFAULT_CONFIG, bounds_probe_min_rows=1,
-                              sparse_vote_threshold=0)
+                              sparse_vote_threshold=0,
+                              escalation_policy="bounds")
     files = [f for f, _ in
              synth_corpus(str(tmp_path), 3, duration_s=8.0, seed=23)]
     sia = SIA(config=cfg)

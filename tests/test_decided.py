@@ -298,3 +298,94 @@ def test_partial_counts_end_to_end():
     # exact mode escalates until the expansion fits: nothing dropped
     assert out2["partial_counts"] is False
     assert out["results"][0]["song_name"] == out2["results"][0]["song_name"]
+
+
+# ---- round-5 decided-first escalation policy (config.escalation_policy)
+
+
+def _big_sia(policy="auto", decision=True):
+    """Toy corpus forced onto the BIG-index code path: sparse matcher +
+    escalation policy active from row 1 (bounds_probe_min_rows=1)."""
+    from shazam_tpu.api import SIA
+    from shazam_tpu.config import FingerprintConfig
+
+    cfg = FingerprintConfig(match_capacity=1024, match_capacity_fast=256,
+                            match_capacity_max=1 << 16,
+                            bounds_probe_min_rows=1,
+                            sparse_vote_threshold=0,
+                            decision_escalation=decision,
+                            escalation_policy=policy)
+    return SIA(config=cfg)
+
+
+def test_decide_first_solo_matches_bounds_policy(monkeypatch):
+    """Default policy (auto -> decided-first) answers every clip with
+    the same top-1 song and offset as the round-4 bounds-first policy,
+    without the bounds probe dispatch."""
+    import shazam_tpu.api as api_mod
+
+    probes = []
+    real_probe = api_mod.query_total
+
+    def counting_probe(*a, **k):
+        probes.append(1)
+        return real_probe(*a, **k)
+
+    monkeypatch.setattr("shazam_tpu.api.query_total", counting_probe)
+
+    dec = _big_sia("auto")
+    songs = _corpus(dec)
+    bnd = _big_sia("bounds")
+    _corpus(bnd)
+
+    for sid in (1, 3, 5):
+        clip = songs[sid][1][44100: 44100 * 5]
+        n_before = len(probes)
+        a = dec.recognize_samples([clip], topn=2)
+        assert len(probes) == n_before, \
+            "decided-first must not dispatch the bounds probe"
+        b = bnd.recognize_samples([clip], topn=2)
+        assert len(probes) > n_before, \
+            "bounds policy must probe (big-index gate active)"
+        assert a["results"][0]["song_name"] == f"s{sid}"
+        assert a["results"][0]["song_name"] == b["results"][0]["song_name"]
+        assert a["results"][0]["offset"] == b["results"][0]["offset"]
+        assert a["total_matches"] == b["total_matches"]  # exact either way
+
+
+def test_decide_first_forced_escalation_is_exact(monkeypatch):
+    """When the margin certificate FAILS (forced here), decided-first
+    re-dispatches at the fitting tier with bounds reused — the output
+    dict must equal the bounds-first policy's byte for byte (full
+    expansion, full vote counts)."""
+    dec = _big_sia("decide")
+    songs = _corpus(dec)
+    monkeypatch.setattr(type(dec), "_decided", lambda self, raw: False)
+    bnd = _big_sia("bounds")
+    _corpus(bnd)
+
+    timing = ("total_time", "fingerprint_time", "query_time", "align_time")
+    for sid in (0, 2, 4):
+        clip = songs[sid][1][44100: 44100 * 5]
+        a = dec.recognize_samples([clip], topn=2)
+        b = bnd.recognize_samples([clip], topn=2)
+        a = {k: v for k, v in a.items() if k not in timing}
+        b = {k: v for k, v in b.items() if k not in timing}
+        assert a == b, (sid, a, b)
+
+
+def test_decide_first_batch_matches_bounds_policy():
+    """recognize_batch under decided-first == bounds-first on top-1 for
+    every clip (per-clip margins + escalation machinery)."""
+    dec = _big_sia("auto")
+    songs = _corpus(dec)
+    bnd = _big_sia("bounds")
+    _corpus(bnd)
+
+    clips = [songs[i][1][44100: 44100 * 5] for i in range(4)]
+    outs_a = dec.recognize_batch(clips, topn=2)
+    outs_b = bnd.recognize_batch(clips, topn=2)
+    for i, (a, b) in enumerate(zip(outs_a, outs_b)):
+        assert a["results"][0]["song_name"] == f"s{i}"
+        assert a["results"][0]["song_name"] == b["results"][0]["song_name"]
+        assert a["results"][0]["offset"] == b["results"][0]["offset"]
