@@ -458,7 +458,7 @@ def bench_query_latency(jax, jnp, n_songs=2714, n_hashes=13_000_000,
     return per_query, int(out.total_rows)
 
 
-def _backend_reachable(timeout_s=240, attempts=2, pause_s=60):
+def _backend_reachable(timeout_s=240, attempts=5, pause_s=120):
     """True if the default backend answers a trivial device program.
 
     The axon TPU worker can be down for hours at a stretch; jax.devices()
@@ -466,6 +466,12 @@ def _backend_reachable(timeout_s=240, attempts=2, pause_s=60):
     interrupt. Probe in a subprocess (which inherits the same
     sitecustomize platform pin) so a dead worker costs a bounded wait
     instead of hanging the whole bench.
+
+    Five attempts over ~20 min: the worker also WEDGES transiently for
+    5-15 min (measured round 5: a killed mid-upload client left it
+    unresponsive at 00:46-00:54 while probes a minute either side
+    succeeded) — a single-shot probe then records a CPU-fallback bench
+    for a chip that was back before the fallback finished (BENCH_r04).
     """
     import subprocess
     import sys

@@ -75,6 +75,17 @@ class _PreparedBatch(NamedTuple):
     topn: Optional[int]
     match_capacity: Optional[int]  # base-tier override
     fingerprint_time: float
+    # stage-1 probe results (big pinned/bounds-policy indexes): the
+    # uploaded device query columns, each clip's exact total, and the
+    # device-resident (lb, ub) search bounds. Running the probe in
+    # prepare_batch puts its device round trip on the PIPELINED stage
+    # (serve.MicroBatcher overlaps it with the previous batch's match
+    # dispatch) instead of serializing it into the match stage. None
+    # when the gate doesn't apply (match_prepared_batch then probes
+    # itself if its policy needs one).
+    q_dev: Optional[Tuple] = None
+    probe_totals: Optional[np.ndarray] = None
+    probe_bounds: Optional[Tuple] = None
 
 
 def _fused_ok(config: FingerprintConfig) -> bool:
@@ -1817,12 +1828,46 @@ class SIA:
             ])
             for name in ("hi", "lo", "ex", "t", "valid", "first")
         }
+        # stage-1 probe (see _PreparedBatch): pinned serving batches
+        # (explicit match_capacity) and the "bounds" policy probe every
+        # batch for bounds/tier — running it HERE lets the serving
+        # pipeline overlap its device round trip with the previous
+        # batch's match dispatch. Decided-first unpinned batches skip
+        # the probe entirely (match_prepared_batch margin-checks).
+        q_dev = probe_totals = probe_bounds = None
+        pol = self.config.escalation_policy
+        decide_first = (match_capacity is None
+                        and (pol == "decide"
+                             or (pol == "auto"
+                                 and self.config.decision_escalation)))
+        if not self._is_spanned and not decide_first \
+                and self.config.bounds_probe_min_rows:
+            dev = self._ensure_device_index()
+            delta_min, delta_range = self._delta_params_for(
+                max(len(c) for c in clips))
+            use_sparse = (max(self._live_n_songs(), 1) * delta_range
+                          > self.config.sparse_vote_threshold)
+            if use_sparse and (self._index_rows(dev)
+                               >= self.config.bounds_probe_min_rows):
+                from .match.batched import query_totals_batched
+
+                hd = self._ensure_head(dev)
+                uview, usteps = self._ensure_uview(dev)
+                q_dev = tuple(jnp.asarray(stack[n]) for n in
+                              ("hi", "lo", "ex", "t", "valid", "first"))
+                totals_d, lb_b, ub_b = query_totals_batched(
+                    dev, q_dev[0], q_dev[1], q_dev[2], q_dev[4],
+                    head=hd, uview=uview, u_steps=usteps)
+                probe_totals = np.asarray(jax.device_get(totals_d))
+                probe_bounds = (lb_b, ub_b)
         fingerprint_time = time.time() - t0
         return _PreparedBatch(
             clips=[np.asarray(c) for c in clips], queries=queries,
             stack=stack, peak_over=peak_over, topn=topn,
             match_capacity=match_capacity,
-            fingerprint_time=fingerprint_time)
+            fingerprint_time=fingerprint_time,
+            q_dev=q_dev, probe_totals=probe_totals,
+            probe_bounds=probe_bounds)
 
     def match_prepared_batch(self, pb: "_PreparedBatch") -> List[Dict]:
         """Stage 2 of ``recognize_batch``: one vmapped match dispatch
@@ -1842,8 +1887,9 @@ class SIA:
         delta_min, delta_range = self._delta_params_for(
             max(len(c) for c in clips)
         )
-        q_args = tuple(jnp.asarray(pb.stack[n]) for n in
-                       ("hi", "lo", "ex", "t", "valid", "first"))
+        q_args = (pb.q_dev if pb.q_dev is not None else
+                  tuple(jnp.asarray(pb.stack[n]) for n in
+                        ("hi", "lo", "ex", "t", "valid", "first")))
         kw = dict(
             n_songs=max(self._live_n_songs(), 1),
             delta_min=delta_min, delta_range=delta_range,
@@ -1954,14 +2000,22 @@ class SIA:
             # stays pinned then, only the bounds are reused): serving
             # warmup pins tiers via match_capacity, and the live path's
             # programs carry bounds — probing in both keeps warmup and
-            # live traffic on the SAME compiled programs
-            from .match.batched import query_totals_batched
-            hd = self._ensure_head(dev)
-            totals_d, lb_b, ub_b = query_totals_batched(
-                dev, q_args[0], q_args[1], q_args[2], q_args[4],
-                head=hd, uview=uview, u_steps=usteps)
-            probe_totals = np.asarray(jax.device_get(totals_d))[:n_real]
-            probe_bounds = (lb_b, ub_b)   # device-resident, reused below
+            # live traffic on the SAME compiled programs. When
+            # prepare_batch already probed (stage 1, pipelined behind
+            # the previous batch's match), its results are reused and
+            # no probe dispatch happens here.
+            if pb.probe_bounds is not None:
+                probe_totals = pb.probe_totals[:n_real]
+                probe_bounds = pb.probe_bounds
+            else:
+                from .match.batched import query_totals_batched
+                hd = self._ensure_head(dev)
+                totals_d, lb_b, ub_b = query_totals_batched(
+                    dev, q_args[0], q_args[1], q_args[2], q_args[4],
+                    head=hd, uview=uview, u_steps=usteps)
+                probe_totals = np.asarray(
+                    jax.device_get(totals_d))[:n_real]
+                probe_bounds = (lb_b, ub_b)   # device-resident
             if match_capacity is None:
                 need = int(probe_totals.max()) if n_real else 0
                 # HBM guard: the batched expansion+rank stream is ~6

@@ -389,3 +389,33 @@ def test_decide_first_batch_matches_bounds_policy():
         assert a["results"][0]["song_name"] == f"s{i}"
         assert a["results"][0]["song_name"] == b["results"][0]["song_name"]
         assert a["results"][0]["offset"] == b["results"][0]["offset"]
+
+
+def test_stage1_probe_carried_and_reused(monkeypatch):
+    """prepare_batch (bounds policy / pinned serving) runs the batched
+    probe in stage 1 and match_prepared_batch reuses it — no second
+    probe dispatch (the serving pipeline overlaps stage 1 with the
+    previous batch's match RTT)."""
+    sia = _big_sia("bounds")
+    songs = _corpus(sia)
+    clips = [songs[i][1][44100: 44100 * 4] for i in range(3)]
+
+    pb = sia.prepare_batch(clips, topn=2)
+    assert pb.probe_bounds is not None and pb.q_dev is not None
+    assert pb.probe_totals is not None and len(pb.probe_totals) >= 3
+
+    import shazam_tpu.match.batched as mb
+
+    def boom(*a, **k):
+        raise AssertionError("match stage must reuse the stage-1 probe")
+
+    monkeypatch.setattr(mb, "query_totals_batched", boom)
+    outs = sia.match_prepared_batch(pb)
+    for i, o in enumerate(outs):
+        assert o["results"][0]["song_name"] == f"s{i}"
+
+    # decided-first (default) skips the probe entirely in stage 1
+    dec = _big_sia("auto")
+    _corpus(dec)
+    pb2 = dec.prepare_batch(clips, topn=2)
+    assert pb2.probe_bounds is None and pb2.q_dev is None
