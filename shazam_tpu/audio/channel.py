@@ -25,10 +25,12 @@ from __future__ import annotations
 
 import numpy as np
 
-# Severity at which clean 5 s/100-song accuracy through the channel
-# lands in the reference's real-loopback band (0.93-0.96) — fit by the
-# round-4 calibration sweep (benchmarks/README.md, chan100 severity
-# rows). Use for reference-comparable numbers; 1.0 is the stress rig.
+# Severity aimed at the reference's real-loopback band (clean 5 s /
+# 100-song accuracy 0.93-0.96): being fit by the round-5 calibration
+# sweep (severity 0.25/0.5/0.75/1.0 x 300 clips, chan100_s* —
+# benchmarks/README.md severity table). Until that table's value lands
+# here this is a PROVISIONAL midpoint; 1.0 is the stress rig (measured
+# 0.8700 clean, round 3).
 CALIBRATED_SEVERITY = 0.5
 
 
