@@ -1511,17 +1511,28 @@ class SIA:
                 samples, padded, dev, delta_min=delta_min,
                 delta_range=delta_range, q_cap=q_cap, topn=topn, t0=t0)
         n_songs_live = max(self._live_n_songs(), 1)
+        one_cap = self.config.match_capacity_fast
         if (n_songs_live * delta_range > self.config.sparse_vote_threshold
                 and self.config.bounds_probe_min_rows
                 and self._index_rows(dev)
                 >= self.config.bounds_probe_min_rows):
-            # big-index bounds-first: at production scale every clip
-            # overflows the fused fast tier, so that program is a wasted
-            # dispatch — fingerprint + exact-total probe fused into ONE
-            # program (pairs stay on device), then ONE fitted match
-            return self._recognize_clip_probed(
-                samples, padded, dev, delta_min=delta_min,
-                delta_range=delta_range, q_cap=q_cap, topn=topn, t0=t0)
+            # big index: at production scale every clip overflows the
+            # fused fast tier. Decided-first ("decide"/"auto"): run the
+            # SAME single fused program at the match_capacity tier — a
+            # clamped-but-decided result (the common case, exp_margin
+            # r5) finishes in this one dispatch. "bounds": fingerprint
+            # + exact-total probe fused, then ONE fitted match.
+            pol = self.config.escalation_policy
+            if (pol == "decide"
+                    or (pol == "auto" and self.config.decision_escalation)):
+                one_cap = next(
+                    (c for c in self._match_tiers()
+                     if c >= self.config.match_capacity),
+                    self.config.match_capacity)
+            else:
+                return self._recognize_clip_probed(
+                    samples, padded, dev, delta_min=delta_min,
+                    delta_range=delta_range, q_cap=q_cap, topn=topn, t0=t0)
         head = self._ensure_head(dev)
         uview, usteps = self._ensure_uview(dev)
         raw, n_pairs, n_peaks, n_hashes = jax.device_get(recognize_on_device(
@@ -1532,7 +1543,7 @@ class SIA:
             n_songs=max(self._live_n_songs(), 1),
             delta_min=delta_min,
             delta_range=delta_range,
-            match_capacity=self.config.match_capacity_fast,
+            match_capacity=one_cap,
             topn=topn or self.config.topn,
             offset_stride=self._offset_stride,
             use_fused=_fused_ok(self.config),
@@ -1540,16 +1551,15 @@ class SIA:
             head=head, uview=uview, u_steps=usteps,
             rank_candidates=self.config.rank_candidates,
             sparse_threshold=self.config.sparse_vote_threshold,
-            vote_rank=self._rank_for(self.config.match_capacity_fast),
+            vote_rank=self._rank_for(one_cap),
             expand_block=self._eblk_for_cap(
-                self._expand_block_for(dev),
-                self.config.match_capacity_fast),
+                self._expand_block_for(dev), one_cap),
             expand_runs=self.config.expand_block_runs,
         ))
         device_time = time.time() - t0
         if (
             int(n_peaks) > self.config.peak_capacity
-            or ((int(raw.total_rows) > self.config.match_capacity_fast
+            or ((int(raw.total_rows) > one_cap
                  or int(raw.n_dropped) > 0)
                 and not self._decided(raw))
             or int(n_hashes) > q_cap
@@ -1564,8 +1574,7 @@ class SIA:
         t0 = time.time()
         matched = align_results(
             raw, int(n_pairs), catalog=self.catalog, config=self.config,
-            match_capacity=max(int(raw.total_rows),
-                               self.config.match_capacity_fast),
+            match_capacity=max(int(raw.total_rows), one_cap),
         )
         align_time = time.time() - t0
         return {

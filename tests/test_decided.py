@@ -419,3 +419,18 @@ def test_stage1_probe_carried_and_reused(monkeypatch):
     _corpus(dec)
     pb2 = dec.prepare_batch(clips, topn=2)
     assert pb2.probe_bounds is None and pb2.q_dev is None
+
+
+def test_recognize_clip_decide_first_matches_samples():
+    """The single-dispatch recognize_clip on a big-gated index (decide
+    policy) agrees with the two-dispatch recognize_samples top-1."""
+    sia = _big_sia("auto")
+    songs = _corpus(sia)
+    for sid in (1, 4):
+        clip = songs[sid][1][44100: 44100 * 5]
+        a = sia.recognize_clip(clip)
+        b = sia.recognize_samples([clip])
+        assert a["results"][0]["song_name"] == f"s{sid}"
+        assert (a["results"][0]["song_name"]
+                == b["results"][0]["song_name"])
+        assert a["results"][0]["offset"] == b["results"][0]["offset"]
