@@ -1411,7 +1411,7 @@ class SIA:
         eruns = self.config.expand_block_runs
         bounds_dev = None   # probe's stacked (lb, ub), device-resident
 
-        def run(cap, blk=None):
+        def run(cap, blk=None, with_bounds=False):
             vrank = self._rank_for(cap)
             b = self._eblk_for_cap(eblk_s, cap) if blk is None else blk
             q_args = (jnp.asarray(q.hi), jnp.asarray(q.lo),
@@ -1422,24 +1422,45 @@ class SIA:
                       topn=topn or self.config.topn,
                       offset_stride=self._offset_stride,
                       heads=heads, uviews=uviews, u_steps=usteps)
-            if vrank == "pruned" and n_cand > 0:
+            if vrank == "pruned" and n_cand > 0 and not with_bounds:
                 raw, span_max, _ok = jax.device_get(
                     match_query_pruned_spanned(
                         dev, *q_args, n_candidates=n_cand, **kw))
                 return raw, span_max
+            if with_bounds:
+                # spanned decided-first dispatch: same match program,
+                # the stacked (n_spans, Q) descent comes back device-
+                # resident for the (rare) fitted re-dispatch
+                raw_d, sm_d, lb_d, ub_d = match_query_sparse_spanned(
+                    dev, *q_args,
+                    vote_rank=vrank if vrank != "pruned" else "sort",
+                    expand_block=b, expand_runs=eruns,
+                    with_bounds=True, **kw)
+                raw, span_max = jax.device_get((raw_d, sm_d))
+                return raw, span_max, (lb_d, ub_d)
             return jax.device_get(match_query_sparse_spanned(
                 dev, *q_args,
                 vote_rank=vrank if vrank != "pruned" else "sort",
                 expand_block=b, expand_runs=eruns, bounds=bounds_dev,
                 **kw))
 
-        # bounds-first (see _match_prepared): probe the exact global
-        # total across spans, dispatch once at the fitting tier; the
-        # stacked layout's probe bounds are reused by that dispatch
-        if (min_capacity is None and self.config.bounds_probe_min_rows
-                and self._spanned_rows(dev)
-                >= self.config.bounds_probe_min_rows):
-            stacked = not isinstance(dev[0], (tuple, list))
+        # big-store escalation policy (see _match_prepared): decided-
+        # first dispatches ONCE at the match_capacity tier (stacked
+        # layout; the program also returns its descent) and accepts
+        # margin-certified clamps; bounds-first probes the exact global
+        # total across spans and dispatches at the fitting tier.
+        stacked = not isinstance(dev[0], (tuple, list))
+        pol = self.config.escalation_policy
+        decide_first = (pol == "decide"
+                        or (pol == "auto" and self.config.decision_escalation))
+        big = (min_capacity is None and self.config.bounds_probe_min_rows
+               and self._spanned_rows(dev)
+               >= self.config.bounds_probe_min_rows)
+        if big and decide_first and stacked and eblk_s:
+            cap = next((c for c in caps
+                        if c >= self.config.match_capacity), caps[-1])
+            raw, span_max, bounds_dev = run(cap, with_bounds=True)
+        elif big:
             if stacked:
                 total_d, lb_d, ub_d = query_total_spanned(
                     dev, jnp.asarray(q.hi), jnp.asarray(q.lo),
@@ -1454,9 +1475,10 @@ class SIA:
                     jnp.asarray(q.ex), jnp.asarray(q.valid),
                     heads=heads, uviews=uviews, u_steps=usteps)))
             cap = next((c for c in caps if c >= total_probe), caps[-1])
+            raw, span_max = run(cap)
         else:
             cap = caps[0]
-        raw, span_max = run(cap)
+            raw, span_max = run(cap)
         if int(span_max) > cap or int(raw.n_dropped) > 0:
             if self._decided(raw):
                 return raw, max(int(raw.total_rows), cap)

@@ -1236,7 +1236,7 @@ def _expand_any_spans(span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
     jax.jit,
     static_argnames=("n_songs", "delta_min", "delta_range", "match_capacity",
                      "topn", "offset_stride", "u_steps", "vote_rank",
-                     "expand_block", "expand_runs"),
+                     "expand_block", "expand_runs", "with_bounds"),
 )
 def match_query_sparse_spanned(
     span_arrays,
@@ -1260,6 +1260,7 @@ def match_query_sparse_spanned(
     expand_block: int = 0,
     expand_runs: int = 0,
     bounds=None,
+    with_bounds: bool = False,
 ):
     """``match_query_sparse`` over a spanned index.
 
@@ -1285,8 +1286,30 @@ def match_query_sparse_spanned(
     total for the stacked layout (one shared budget, see
     ``_expand_stacked``).  Either way "``span_max`` <= capacity" means
     the expansion was exhaustive and a larger capacity fits everything.
+
+    ``with_bounds=True`` (stacked layout only) additionally returns the
+    (n_spans, Q) lb/ub — computed once and shared with the expansion —
+    so the spanned decided-first policy's fitted re-dispatch can reuse
+    the descent (see ``match_query_sparse``'s twin parameter).
     """
     check_vote_key(n_songs, delta_range)
+    stacked = not isinstance(span_arrays[0], (tuple, list))
+    if with_bounds and not stacked:
+        raise ValueError("with_bounds needs the stacked layout")
+    if with_bounds and bounds is None:
+        if uviews is not None:
+            from ..index.search import unique_bounds_stacked
+
+            bounds = unique_bounds_stacked(uviews, q_hi, q_lo, q_ex,
+                                           q_valid, steps=u_steps)
+        elif heads is None:
+            bounds = jax.vmap(lambda c: lexi_bounds(
+                c[0], c[1], c[2], q_hi, q_lo, q_ex, head=None,
+                q_valid=q_valid))(span_arrays[:3])
+        else:
+            bounds = jax.vmap(lambda c, h: lexi_bounds(
+                c[0], c[1], c[2], q_hi, q_lo, q_ex, head=h,
+                q_valid=q_valid))(span_arrays[:3], heads)
     sid, delta, first, valid, total, span_max, n_dropped = \
         _expand_any_spans(
             span_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid, q_first,
@@ -1294,13 +1317,14 @@ def match_query_sparse_spanned(
             uviews=uviews, u_steps=u_steps, expand_block=expand_block,
             expand_runs=expand_runs, bounds=bounds,
         )
-    blocked = (expand_block
-               and not isinstance(span_arrays[0], (tuple, list)))
+    blocked = expand_block and stacked
     raw = _rank_by_name(vote_rank)(
         sid, delta, first, valid, total, n_dropped,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
         topn=topn, prefix=match_capacity if blocked else 0,
     )
+    if with_bounds:
+        return raw, span_max, bounds[0], bounds[1]
     return raw, span_max
 
 

@@ -860,3 +860,38 @@ def test_spanned_bounds_first_and_blocked_match_default():
     ab = base.recognize_batch([clip, songs[0][1][:44100]])
     bb = probed.recognize_batch([clip, songs[0][1][:44100]])
     assert [strip(x) for x in ab] == [strip(x) for x in bb]
+
+
+def test_spanned_decide_first_policy_matches_bounds():
+    """Stacked spanned store on the big-index gate: the decided-first
+    policy (one dispatch at the match_capacity tier, margin-certified)
+    returns the same top-1 as the bounds-first policy, and forced
+    escalation reuses the dispatch's own descent (exact either way)."""
+    import dataclasses
+
+    from shazam_tpu.api import SIA
+    from shazam_tpu.config import FingerprintConfig
+
+    cfg = FingerprintConfig(match_capacity=1024, match_capacity_fast=256,
+                            match_capacity_max=1 << 16,
+                            bounds_probe_min_rows=1,
+                            sparse_vote_threshold=0)
+    songs = _songs(6)
+    sia = SIA(device_span_rows=4096, config=cfg)
+    for i in range(0, len(songs), 2):
+        chunk = songs[i:i + 2]
+        batch, nv = _pad_batch([s for _n, s in chunk])
+        sia.ingest_device_batch([n for n, _s in chunk], batch, nv,
+                                per_song_hash_capacity=4096,
+                                defer_sort=True)
+    sia._ensure_dev_store().consolidate()
+
+    for sid in (2, 5):
+        clip = songs[sid][1][11025: 11025 + 3 * 44100]
+        a = sia.recognize_samples([clip], topn=2)
+        sia.config = dataclasses.replace(cfg, escalation_policy="bounds")
+        b = sia.recognize_samples([clip], topn=2)
+        sia.config = cfg
+        assert a["results"][0]["song_name"] == f"s{sid}"
+        assert a["results"][0]["song_name"] == b["results"][0]["song_name"]
+        assert a["results"][0]["offset"] == b["results"][0]["offset"]
