@@ -1867,10 +1867,9 @@ class SIA:
         # the probe entirely (match_prepared_batch margin-checks).
         q_dev = probe_totals = probe_bounds = None
         pol = self.config.escalation_policy
-        decide_first = (match_capacity is None
-                        and (pol == "decide"
-                             or (pol == "auto"
-                                 and self.config.decision_escalation)))
+        decide_first = (pol == "decide"
+                        or (pol == "auto"
+                            and self.config.decision_escalation))
         if not self._is_spanned and not decide_first \
                 and self.config.bounds_probe_min_rows:
             dev = self._ensure_device_index()
@@ -2015,17 +2014,21 @@ class SIA:
         base_cap = match_capacity or self.config.match_capacity
         tiers = self._match_tiers()
         pol = self.config.escalation_policy
-        decide_first = (match_capacity is None
-                        and (pol == "decide"
-                             or (pol == "auto"
-                                 and self.config.decision_escalation)))
+        # decide policy applies to PINNED batches too (serving): neither
+        # warmup nor the live path probes then, so both compile the same
+        # bounds-free programs and a serving batch costs ONE match
+        # dispatch (margins certify clamps; outliers retry per clip)
+        decide_first = (pol == "decide"
+                        or (pol == "auto"
+                            and self.config.decision_escalation))
         big = (not self._is_spanned and use_sparse
                and self.config.bounds_probe_min_rows
                and self._index_rows(dev)
                >= self.config.bounds_probe_min_rows)
         if big and decide_first:
-            base_cap = next((c for c in tiers if c >= base_cap),
-                            tiers[-1])
+            if match_capacity is None:
+                base_cap = next((c for c in tiers if c >= base_cap),
+                                tiers[-1])
         elif big:
             # probe runs even when match_capacity is EXPLICIT (the tier
             # stays pinned then, only the bounds are reused): serving
