@@ -703,8 +703,19 @@ def _scan_vote_rank(sid, delta, first, valid, total, n_dropped=None, *,
     # Masking BEFORE the key pack also keeps sid * delta_range in int32.
     vote_ok = valid & in_range & (sid >= 0) & (sid < n_songs)
 
+    # pack with delta_range rounded UP to a power of two when the wider
+    # key still fits int32: (song, dbin) -> key is order-preserving for
+    # ANY range >= delta_range, so every downstream value is identical,
+    # and the two full-stream divmods below become shifts/masks (integer
+    # division by a non-pow2 constant is a multi-op sequence per element
+    # on the VPU). Falls back to the exact range when pow2 would
+    # overflow (check_vote_key already guarantees the exact range fits).
+    dr2 = 1 << max(int(delta_range) - 1, 0).bit_length()
+    if n_songs * dr2 >= (1 << 31):
+        dr2 = delta_range
+
     SENT = jnp.int32(0x7FFFFFFF)
-    key = jnp.where(vote_ok, sid * delta_range + dbin, SENT)
+    key = jnp.where(vote_ok, sid * dr2 + dbin, SENT)
     ks = jax.lax.sort(key)
     if prefix and prefix < cap:
         # blocked streams with the row-accurate budget hold <= prefix
@@ -723,8 +734,8 @@ def _scan_vote_rank(sid, delta, first, valid, total, n_dropped=None, *,
     nxt = jnp.concatenate([nxt_incl[1:], jnp.full(1, cap, jnp.int32)])
     run_start = change & live
     count = jnp.where(run_start, nxt - idx, 0)
-    song = jnp.where(live, ks // delta_range, n_songs)
-    db = ks % delta_range
+    song = jnp.where(live, ks // dr2, n_songs)
+    db = ks % dr2
 
     # top-n by iterative masked argmax. Sorted order IS the tie rule:
     # the first position of the global max count is the smallest
