@@ -328,9 +328,11 @@ class MicroBatcher:
                 # and fingerprinting batch k+1
                 try:
                     t_p = time.monotonic()
+                    pin_kw = ({"match_capacity": self.pin_capacity}
+                              if self.pin_capacity else {})
                     pb = self.sia.prepare_batch(
                         [p.channels[0] for p in mono], topn=mono[0].topn,
-                        pad_to_pow2=True, match_capacity=self.pin_capacity)
+                        pad_to_pow2=True, **pin_kw)
                     with self._slock:
                         # stage-1 host+fingerprint-dispatch time (see
                         # match_s above for the stage-2 counterpart)
@@ -348,10 +350,14 @@ class MicroBatcher:
                 try:
                     # pad_to_pow2: varying micro-batch sizes must not
                     # each compile a fresh device program (minutes per
-                    # remote TPU compile) — O(log max_batch) shapes
+                    # remote TPU compile) — O(log max_batch) shapes.
+                    # pin_capacity only when set: facade engines without
+                    # the kwarg (e.g. ShardedRecognizer) stay servable
+                    pin_kw = ({"match_capacity": self.pin_capacity}
+                              if self.pin_capacity else {})
                     outs = self.sia.recognize_batch(
                         [p.channels[0] for p in mono], topn=mono[0].topn,
-                        pad_to_pow2=True, match_capacity=self.pin_capacity)
+                        pad_to_pow2=True, **pin_kw)
                     for p, out in zip(mono, outs):
                         p.result = out
                 except Exception as e:  # noqa: BLE001 — per request
