@@ -173,8 +173,10 @@ def bench_query_latency_real(jax, jnp, chain=32):
     decide_mode = bool(bounds_first
                        and (pol == "decide"
                             or (pol == "auto" and _cfg.decision_escalation)))
-    decide_cap = next((c for c in tiers if c >= _cfg.match_capacity),
-                      tiers[-1])
+    decide_cap = next(
+        (c for c in tiers
+         if c >= (_cfg.decide_capacity or _cfg.match_capacity)),
+        tiers[-1])
     b_dec = eblk if decide_cap >= _cfg.expand_block_min_capacity else 0
     if decide_mode:
         # the PRODUCTION first dispatch: match at the match_capacity

@@ -1261,8 +1261,7 @@ class SIA:
         decide_first = (pol == "decide"
                         or (pol == "auto" and self.config.decision_escalation))
         if big and decide_first:
-            cap = next((c for c in caps
-                        if c >= self.config.match_capacity), caps[-1])
+            cap = self._decide_cap(caps)
             raw, bounds_dev = run(cap, with_bounds=True)
         elif big:
             total_d, lb_d, ub_d = query_total(
@@ -1385,6 +1384,12 @@ class SIA:
             caps.append(min(caps[-1] * step, self.config.match_capacity_max))
         return caps
 
+    def _decide_cap(self, caps):
+        """The decided-first dispatch tier (config.decide_capacity,
+        defaulting to the match_capacity tier)."""
+        want = self.config.decide_capacity or self.config.match_capacity
+        return next((c for c in caps if c >= want), caps[-1])
+
     def _match_prepared_spanned(self, dev, q, *, n_songs, delta_min,
                                 delta_range, topn, min_capacity=None):
         """Spanned-store match: every span searched, votes counted once.
@@ -1457,8 +1462,7 @@ class SIA:
                and self._spanned_rows(dev)
                >= self.config.bounds_probe_min_rows)
         if big and decide_first and stacked and eblk_s:
-            cap = next((c for c in caps
-                        if c >= self.config.match_capacity), caps[-1])
+            cap = self._decide_cap(caps)
             raw, span_max, bounds_dev = run(cap, with_bounds=True)
         elif big:
             if stacked:
@@ -1547,10 +1551,7 @@ class SIA:
             pol = self.config.escalation_policy
             if (pol == "decide"
                     or (pol == "auto" and self.config.decision_escalation)):
-                one_cap = next(
-                    (c for c in self._match_tiers()
-                     if c >= self.config.match_capacity),
-                    self.config.match_capacity)
+                one_cap = self._decide_cap(self._match_tiers())
             else:
                 return self._recognize_clip_probed(
                     samples, padded, dev, delta_min=delta_min,
@@ -2027,8 +2028,7 @@ class SIA:
                >= self.config.bounds_probe_min_rows)
         if big and decide_first:
             if match_capacity is None:
-                base_cap = next((c for c in tiers if c >= base_cap),
-                                tiers[-1])
+                base_cap = self._decide_cap(tiers)
         elif big:
             # probe runs even when match_capacity is EXPLICIT (the tier
             # stays pinned then, only the bounds are reused): serving

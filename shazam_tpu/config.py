@@ -121,6 +121,12 @@ class FingerprintConfig:
     #   query; ~2x the decided p50 on corpora with strong margins).
     # "auto" — "decide" when decision_escalation is True, else "bounds".
     escalation_policy: str = "auto"
+    # the decided-first dispatch tier (0 = match_capacity). Corpora with
+    # longer hyper-common runs (music skew) may decide more at a higher
+    # tier: the dropped-run count shrinks with capacity while the
+    # dispatch cost grows only ~1-2 ms per x4 at these sizes — pick the
+    # smallest tier whose measured decide rate clears ~3/4 (exp_margin).
+    decide_capacity: int = 0
     # capacity tiers grow x4 up to this, x2 after: escalated-tier cost
     # is linear in capacity, so finer steps past the knee halve the
     # worst-case overshoot (a 1.35M-row query pays 2M, not 4M) at the
