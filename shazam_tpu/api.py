@@ -148,6 +148,11 @@ class SIA:
         self._uview = None
         self._usteps = 0
         self._uview_src = None
+        # self-tuning decide tier (config.decide_adapt_window):
+        # [attempts, undecided] over the current window + the
+        # accumulated tier boost
+        self._decide_stats = [0, 0]
+        self._decide_boost = 0
         self._max_off = 0
 
     # ------------------------------------------------------------------ #
@@ -1263,6 +1268,10 @@ class SIA:
         if big and decide_first:
             cap = self._decide_cap(caps)
             raw, bounds_dev = run(cap, with_bounds=True)
+            clamped = (int(raw.total_rows) > cap
+                       or int(raw.n_dropped) > 0)
+            self._decide_record(
+                1, int(clamped and not self._decided(raw)))
         elif big:
             total_d, lb_d, ub_d = query_total(
                 dev, jnp.asarray(q.hi), jnp.asarray(q.lo),
@@ -1385,10 +1394,36 @@ class SIA:
         return caps
 
     def _decide_cap(self, caps):
-        """The decided-first dispatch tier (config.decide_capacity,
-        defaulting to the match_capacity tier)."""
+        """The decided-first dispatch tier: config.decide_capacity
+        (defaulting to the match_capacity tier), plus any self-tuning
+        boost ``_decide_record`` accumulated (see
+        config.decide_adapt_window)."""
         want = self.config.decide_capacity or self.config.match_capacity
-        return next((c for c in caps if c >= want), caps[-1])
+        idx = next((i for i, c in enumerate(caps) if c >= want),
+                   len(caps) - 1)
+        idx = min(idx + self._decide_boost, len(caps) - 1)
+        while idx > 0 and caps[idx] > self.config.decide_adapt_max \
+                and caps[idx] > want:
+            idx -= 1
+        return caps[idx]
+
+    def _decide_record(self, attempts: int, undecided: int) -> None:
+        """Feed the self-tuning decide tier: over each
+        config.decide_adapt_window of unpinned decided-first dispatches,
+        an undecided rate above 1/2 raises the tier one step (corpora
+        with long hyper-common runs need a bigger run budget before
+        margins certify; the optimum is corpus-dependent). Counter races
+        between serving threads only blur the window — harmless."""
+        w = self.config.decide_adapt_window
+        if not w:
+            return
+        self._decide_stats[0] += attempts
+        self._decide_stats[1] += undecided
+        if self._decide_stats[0] >= w:
+            a, u = self._decide_stats
+            self._decide_stats = [0, 0]
+            if u * 2 > a:
+                self._decide_boost += 1
 
     def _match_prepared_spanned(self, dev, q, *, n_songs, delta_min,
                                 delta_range, topn, min_capacity=None):
@@ -1464,6 +1499,9 @@ class SIA:
         if big and decide_first and stacked and eblk_s:
             cap = self._decide_cap(caps)
             raw, span_max, bounds_dev = run(cap, with_bounds=True)
+            clamped = (int(span_max) > cap or int(raw.n_dropped) > 0)
+            self._decide_record(
+                1, int(clamped and not self._decided(raw)))
         elif big:
             if stacked:
                 total_d, lb_d, ub_d = query_total_spanned(
@@ -2107,6 +2145,9 @@ class SIA:
         if tiers[-1] > batch_cap:
             over = undecided(np.nonzero((clamp > batch_cap)
                                         | run_drop)[0])
+            if big and decide_first and match_capacity is None:
+                # feed the self-tuning decide tier (see _decide_record)
+                self._decide_record(n_real, len(over))
             if len(over) > max(n_real // 2, 1):
                 need = int(clamp.max())
                 cand_cap = next((c for c in tiers if c >= need),

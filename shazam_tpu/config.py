@@ -127,6 +127,16 @@ class FingerprintConfig:
     # dispatch cost grows only ~1-2 ms per x4 at these sizes — pick the
     # smallest tier whose measured decide rate clears ~3/4 (exp_margin).
     decide_capacity: int = 0
+    # self-tuning decide tier: when more than half of the last
+    # decide_adapt_window unpinned decided-first dispatches were
+    # UNDECIDED (paid the fitted re-dispatch), the engine raises its
+    # decide tier one step (never past decide_adapt_max) — a serving
+    # process converges to the corpus's optimum without per-deployment
+    # tuning. The optimum is corpus-dependent (measured: the 95.3M tone
+    # build decides 7/8 at 65536 while the music-skew build's dropped-
+    # run counts need a higher tier). 0 disables adaptation.
+    decide_adapt_window: int = 64
+    decide_adapt_max: int = 524288
     # capacity tiers grow x4 up to this, x2 after: escalated-tier cost
     # is linear in capacity, so finer steps past the knee halve the
     # worst-case overshoot (a 1.35M-row query pays 2M, not 4M) at the

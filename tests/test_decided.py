@@ -434,3 +434,52 @@ def test_recognize_clip_decide_first_matches_samples():
         assert (a["results"][0]["song_name"]
                 == b["results"][0]["song_name"])
         assert a["results"][0]["offset"] == b["results"][0]["offset"]
+
+
+def test_decide_tier_self_tuning(monkeypatch):
+    """When most unpinned decided-first dispatches come back UNDECIDED,
+    the engine raises its decide tier one step per window (never past
+    decide_adapt_max); decided traffic leaves it alone."""
+    import dataclasses
+
+    from shazam_tpu.api import SIA
+    from shazam_tpu.config import FingerprintConfig
+
+    cfg = FingerprintConfig(match_capacity=1024, match_capacity_fast=256,
+                            match_capacity_max=1 << 16,
+                            bounds_probe_min_rows=1,
+                            sparse_vote_threshold=0,
+                            decide_adapt_window=4,
+                            decide_adapt_max=1 << 14)
+    sia = _big_sia("auto")
+    sia.config = cfg
+    songs = _corpus(sia)
+    caps = sia._match_tiers()
+    base = sia._decide_cap(caps)
+    assert base == 1024
+
+    # deterministic core: a window dominated by undecided dispatches
+    # raises the tier one step; a decided window does not
+    sia._decide_record(4, 3)
+    assert sia._decide_boost == 1 and sia._decide_cap(caps) > base
+    boosted = sia._decide_cap(caps)
+    assert boosted <= cfg.decide_adapt_max
+    sia._decide_record(4, 0)
+    assert sia._decide_boost == 1, "decided traffic must not boost"
+    # the ceiling holds no matter how many bad windows arrive
+    for _ in range(10):
+        sia._decide_record(4, 4)
+    assert sia._decide_cap(caps) <= cfg.decide_adapt_max
+
+    # recognition still works (and records) while boosted
+    clip = songs[1][1][44100: 44100 * 5]
+    monkeypatch.setattr(type(sia), "_decided", lambda self, raw: False)
+    out = sia.recognize_samples([clip])
+    assert out["results"][0]["song_name"] == "s1"
+
+    # window=0 disables adaptation entirely
+    sia2 = _big_sia("auto")
+    sia2.config = dataclasses.replace(cfg, decide_adapt_window=0)
+    _corpus(sia2)
+    sia2._decide_record(8, 8)
+    assert sia2._decide_boost == 0
