@@ -116,6 +116,11 @@ def test_stats_and_health(server):
     with urllib.request.urlopen(
             f"http://127.0.0.1:{server.port}/healthz", timeout=30) as r:
         assert json.loads(r.read())["ok"]
+    # self-contained: one request so the counter is non-zero even when
+    # this test runs alone
+    code, _ = _post(f"http://127.0.0.1:{server.port}/recognize",
+                    _wav_bytes(_clip(1)))
+    assert code == 200
     with urllib.request.urlopen(
             f"http://127.0.0.1:{server.port}/stats", timeout=30) as r:
         stats = json.loads(r.read())
@@ -235,10 +240,19 @@ def test_ingest_requires_name(server):
 
 
 def test_stats_latency_summary(server):
+    # self-contained: make one recognition and one ingest so the
+    # counters are non-zero regardless of which other tests ran
+    code, _ = _post(f"http://127.0.0.1:{server.port}/recognize",
+                    _wav_bytes(_clip(0)))
+    assert code == 200
+    code, _ = _post(
+        f"http://127.0.0.1:{server.port}/ingest?name=latsum",
+        _wav_bytes(synth_song(123, duration_s=DUR, seed=9)))
+    assert code == 200
     with urllib.request.urlopen(
             f"http://127.0.0.1:{server.port}/stats", timeout=30) as r:
         s = json.loads(r.read())
-    assert s["ingests"] >= 1          # the online-ingest test above
+    assert s["ingests"] >= 1
     lat = s["latency"]
     assert lat["count"] >= 1
     assert lat["p50_ms"] > 0 and lat["p99_ms"] >= lat["p50_ms"]
