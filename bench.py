@@ -179,23 +179,44 @@ def bench_query_latency_real(jax, jnp, chain=32):
         tiers[-1])
     b_dec = eblk if decide_cap >= _cfg.expand_block_min_capacity else 0
     if decide_mode:
-        # the PRODUCTION first dispatch: match at the match_capacity
-        # tier, bounds returned for the (rare) fitted re-dispatch
-        dec = jax.jit(functools.partial(
-            match_query_sparse, match_capacity=decide_cap,
-            u_steps=usteps, vote_rank="scan", expand_block=b_dec,
-            expand_runs=_cfg.expand_block_runs, with_bounds=True, **kw))
-        rows, undecided = [], []
-        for i in range(qn):
-            r, _lb, _ub = dec(dev, *(a[i] for a in packs), head=head,
-                              uview=uview)
-            r = jax.device_get(r)
-            total = int(r.total_rows)
-            rows.append(total)
-            undecided.append(
-                (total > decide_cap or int(r.n_dropped) > 0)
-                and not (int(r.top_votes[0]) - int(r.runner_votes)
-                         > int(r.n_dropped)))
+        # the PRODUCTION first dispatch: match at the decide tier,
+        # bounds returned for the (rare) fitted re-dispatch. A serving
+        # process SELF-TUNES this tier (config.decide_adapt_window:
+        # while more than half a window's dispatches are undecided, the
+        # tier steps up, capped at decide_adapt_max) — the headline
+        # must price the converged steady state, so the same rule runs
+        # here over the real packs before timing.
+        def probe_at(cap_d):
+            bb = eblk if cap_d >= _cfg.expand_block_min_capacity else 0
+            f = jax.jit(functools.partial(
+                match_query_sparse, match_capacity=cap_d,
+                u_steps=usteps, vote_rank="scan", expand_block=bb,
+                expand_runs=_cfg.expand_block_runs, with_bounds=True,
+                **kw))
+            rows_, und_ = [], []
+            for i in range(qn):
+                r, _lb, _ub = f(dev, *(a[i] for a in packs), head=head,
+                                uview=uview)
+                r = jax.device_get(r)
+                total = int(r.total_rows)
+                rows_.append(total)
+                und_.append(
+                    (total > cap_d or int(r.n_dropped) > 0)
+                    and not (int(r.top_votes[0]) - int(r.runner_votes)
+                             > int(r.n_dropped)))
+            return rows_, und_
+
+        rows, undecided = probe_at(decide_cap)
+        adapted_from = decide_cap
+        while (_cfg.decide_adapt_window
+               and sum(undecided) * 2 > qn):
+            nxt = next((c for c in tiers if c > decide_cap), None)
+            if nxt is None or nxt > _cfg.decide_adapt_max:
+                break
+            decide_cap = nxt
+            rows, undecided = probe_at(decide_cap)
+        b_dec = eblk if decide_cap >= _cfg.expand_block_min_capacity \
+            else 0
     else:
         probe0 = jax.jit(functools.partial(
             matcher, match_capacity=fast_cap, u_steps=usteps, **kw))
@@ -306,9 +327,10 @@ def bench_query_latency_real(jax, jnp, chain=32):
         esc_rate = sum(undecided) / qn
         policy.update({
             "policy": "decided-first (margin-certified dispatch at the "
-                      "match_capacity tier; undecided re-dispatch at "
-                      "the fitting tier, bounds reused)",
+                      "self-tuned decide tier; undecided re-dispatch "
+                      "at the fitting tier, bounds reused)",
             "decide_tier": decide_cap,
+            "decide_tier_configured": adapted_from,
             "decide_tier_ms": round(t_dec * 1000, 3),
             "undecided_pair_ms": {c: round(v * 1000, 3)
                                   for c, v in t_pair.items()},
