@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .lookup import (match_local, match_query_pruned, match_query_sparse,
                      query_total, rank_votes, RawMatch, _expand,
-                     _expand_any_spans, _pruned_vote_rank)
+                     _expand_any_spans, _pruned_vote_rank, _take_first)
 
 
 @functools.partial(jax.jit, static_argnames=("u_steps",))
@@ -97,7 +97,8 @@ def match_queries_batched(
                 bounds=bnd,
             )
             return _pruned_vote_rank(
-                sid, delta, jnp.take(first, p), valid_s, total, n_dropped,
+                sid, delta, _take_first(first, p, expand_block),
+                valid_s, total, n_dropped,
                 n_songs=n_songs, delta_min=delta_min,
                 delta_range=delta_range, topn=topn,
                 n_candidates=rank_candidates,

@@ -383,8 +383,9 @@ def match_local(
     hist = hist.at[flat_key].add((valid & in_range).astype(jnp.int32), mode="drop")
     hist = hist.reshape(n_songs, delta_range)
 
-    # dedup row counts: one per row per distinct query hash
-    first = jnp.take(q_first, p)
+    # dedup row counts: one per row per distinct query hash (per-block
+    # gather when the stream is blocked — see _take_first)
+    first = _take_first(q_first, p, expand_block)
     rows_hist = jnp.zeros(n_songs, jnp.int32)
     rows_hist = rows_hist.at[sid].add(
         (valid & first).astype(jnp.int32), mode="drop"
@@ -484,6 +485,27 @@ def match_query(
                       n_dropped=n_dropped)
 
 
+def _take_first(q_first, p, expand_block: int):
+    """``q_first[p]`` for the expanded stream — without the full-stream
+    gather when the stream is BLOCKED.
+
+    A flat ``jnp.take(q_first, p)`` over the blocked stream costs
+    ~8-10 ns per element on this TPU (XLA lowers element gathers close
+    to serial) — measured round 5 as **10.5 ms of the 16.17 ms**
+    1M-tier dispatch on the music build (exp_scan3: every truncated
+    variant that DCEs ``first`` runs at 5.7 ms). Blocked expansion's
+    ``p`` is CONSTANT within each block (``_blocked_expand_core``
+    broadcasts the owning pair across the block's lanes), so gathering
+    once per block and broadcasting is element-identical at 1/B the
+    gather cost."""
+    if expand_block and p.shape[0] % expand_block == 0:
+        pair_blk = p.reshape(-1, expand_block)[:, 0]
+        return jnp.broadcast_to(
+            jnp.take(q_first, pair_blk)[:, None],
+            (pair_blk.shape[0], expand_block)).reshape(-1)
+    return jnp.take(q_first, p)
+
+
 def _rank_by_name(vote_rank: str):
     """Static dispatch between the element-identical sparse ranks.
 
@@ -566,7 +588,7 @@ def match_query_sparse(
         expand_block=expand_block, expand_runs=expand_runs,
         bounds=bounds,
     )
-    first = jnp.take(q_first, p)
+    first = _take_first(q_first, p, expand_block)
     raw = _rank_by_name(vote_rank)(
         sid, delta, first, valid, total, n_dropped,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
@@ -1010,7 +1032,7 @@ def match_query_pruned(
         expand_block=expand_block, expand_runs=expand_runs,
         bounds=bounds,
     )
-    first = jnp.take(q_first, p)
+    first = _take_first(q_first, p, expand_block)
     raw_p, ok = _pruned_vote_rank(
         sid, delta, first, valid, total, n_dropped,
         n_songs=n_songs, delta_min=delta_min, delta_range=delta_range,
@@ -1176,7 +1198,9 @@ def _expand_stacked(stacked_arrays, heads, q_hi, q_lo, q_ex, q_t, q_valid,
             offset_stride=offset_stride,
             max_runs=expand_runs * n_spans if expand_runs else 0,
             pair_mod=n_pairs)
-        first = jnp.take(q_first, pair)
+        # per-block gather + broadcast, not a full-stream element gather
+        # (measured ~10 ns/element — see _take_first)
+        first = _take_first(q_first, pair, expand_block)
         return sid, delta, first, valid, total, total, n_dropped
 
     total = jnp.sum(lens)
