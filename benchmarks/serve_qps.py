@@ -65,6 +65,7 @@ def _load_prebuilt(prefix):
     Query clips come from catalog_full's device-side generator — set the
     same CATALOG_SONGS/CATALOG_DURATION the build used. Returns
     (sia, clips_by_key, n_songs)."""
+    import jax
     import jax.numpy as jnp
 
     from shazam_tpu import SIA
@@ -79,24 +80,33 @@ def _load_prebuilt(prefix):
     print(f"loaded {sia._live_n_hashes()}-hash index in "
           f"{time.time()-t0:.0f}s", flush=True)
 
+    from jax import lax
+
     gen = cf._make_gen()
+
+    # slice each clip ON DEVICE and download 430 KB, not the whole
+    # 300 MB song batch per base (measured round 5: generating 512
+    # clips via full-batch downloads ran ~45+ min through the tunnel
+    # before the bench printed anything)
+    @jax.jit
+    def clip_of(sids_d, row, start):
+        songs = gen(sids_d)
+        c = lax.dynamic_slice(songs, (row, start), (1, int(CLIP * FS)))
+        return c[0].astype(jnp.int16)
+
     rng = np.random.default_rng(5)
     clips, want = [], []
     need = CLIENTS * REQS
     sids = rng.integers(0, cf.N_SONGS, need)
     starts = rng.integers(0, cf.N_SAMP - int(CLIP * FS), need)
-    for base in sorted({int(s) // cf.BATCH * cf.BATCH for s in sids}):
-        batch = np.asarray(gen(jnp.asarray(np.arange(
-            base, min(base + cf.BATCH, cf.N_SONGS), dtype=np.int32))))
-        for k in range(need):
-            if base <= int(sids[k]) < base + cf.BATCH:
-                row = batch[int(sids[k]) - base]
-                s = int(starts[k])
-                clips.append((k, row[s: s + int(CLIP * FS)]
-                              .astype(np.int16)))
-                want.append((k, f"track{int(sids[k]):06d}"))
-    clips = [c for _, c in sorted(clips)]
-    want = [w for _, w in sorted(want)]
+    for k in range(need):
+        sid = int(sids[k])
+        base = sid // cf.BATCH * cf.BATCH
+        ids = jnp.asarray(np.arange(
+            base, min(base + cf.BATCH, cf.N_SONGS), dtype=np.int32))
+        clips.append(np.asarray(clip_of(ids, jnp.int32(sid - base),
+                                        jnp.int32(int(starts[k])))))
+        want.append(f"track{sid:06d}")
     return sia, clips, want
 
 
