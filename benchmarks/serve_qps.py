@@ -126,16 +126,21 @@ def main():
              for i in range(SONGS)])
 
     tiers_to_warm = ()
-    pin = os.environ.get("SERVE_PIN", "auto" if prebuilt else "")
+    pin = os.environ.get("SERVE_PIN", "decide" if prebuilt else "")
     pin_cap = None
     if prebuilt:
         # probe REAL clips for the capacity tiers this corpus actually
-        # dispatches at (bounds-first picks the fitting tier per batch),
-        # so no live request pays a 2-6 min tunnel compile. A batch's
-        # tier is the max over its clips' fitting tiers, so SERVE_PIN=
-        # auto (default) pins the max tier seen across 16 probes — ONE
-        # program per batch bucket, the serve_prod5 regression's fix
-        # (only tier 262144 was warm while real packs also fit 524288).
+        # dispatches at, so no live request pays a 2-6 min tunnel
+        # compile. SERVE_PIN modes:
+        #   decide (default) — pin the DECIDE tier: clamped clips are
+        #     margin-certified (the round-5 policy), so batches stay on
+        #     the cheap program and only genuinely undecided clips
+        #     retry solo. Pinning the MAX fitting tier instead
+        #     (SERVE_PIN=auto) made every batch ~4x the device work in
+        #     the serve_prod_r5 try-2 measurement (most 5 s clips fit a
+        #     tier below the max).
+        #   auto — pin the max fitting tier across 16 probes.
+        #   <int> — pin that capacity.
         ladder = sia._match_tiers()
         seen = set()
         for c in clips[:16]:
@@ -143,9 +148,11 @@ def main():
             seen.add(next((x for x in ladder if x >= t), ladder[-1]))
         tiers_to_warm = tuple(sorted(seen))
         print(f"fitting tiers from real clips: {tiers_to_warm}", flush=True)
-    if pin == "auto" and tiers_to_warm:
+    if pin == "decide" and prebuilt:
+        pin_cap = sia._decide_cap(sia._match_tiers())
+    elif pin == "auto" and tiers_to_warm:
         pin_cap = tiers_to_warm[-1]
-    elif pin and pin != "auto":
+    elif pin and pin not in ("auto", "decide"):
         pin_cap = int(pin)
     print(f"warming serving programs (pin_capacity={pin_cap}) ...",
           flush=True)
