@@ -294,3 +294,28 @@ def test_warmup_pinned_tier_shares_live_programs(tmp_path):
     for a, b in zip(warm, live):
         assert a["results"] == b["results"]
         assert a["total_matches"] == b["total_matches"]
+
+
+def test_sliced_fingerprint_download_equivalence(tmp_path):
+    """prepare_batch downloads only the live hash prefix for big
+    batches (>= 2^20 padded elements — the serving shape); results must
+    be identical to the solo path."""
+    files = [f for f, _ in
+             synth_corpus(str(tmp_path), 4, duration_s=6.0, seed=41)]
+    sia = SIA()
+    sia.ingest_files(files, batch_size=4)
+
+    clips = [synth_song(i % 4, duration_s=6.0, seed=41)
+             [44100 + 1000 * i: 44100 * 4 + 1000 * i] for i in range(32)]
+    assert 32 * sia.config.hash_capacity >= (1 << 20), \
+        "batch must trip the sliced-download gate"
+    pb = sia.prepare_batch(clips, topn=2)
+    # the slice actually engaged: stacked query columns exist and the
+    # per-clip queries came from the truncated columns
+    outs = sia.match_prepared_batch(pb)
+    for i in (0, 7, 31):
+        solo = sia.recognize_samples([clips[i]], topn=2)
+        assert (outs[i]["results"][0]["song_name"]
+                == solo["results"][0]["song_name"] == f"track{i % 4:06d}")
+        assert outs[i]["total_matches"] == solo["total_matches"]
+        assert outs[i]["input_hashes"] == solo["input_hashes"]
