@@ -142,14 +142,22 @@ def main():
         #   auto — pin the max fitting tier across 16 probes.
         #   <int> — pin that capacity.
         ladder = sia._match_tiers()
-        seen = set()
+        fits = []
         for c in clips[:16]:
             t = sia.recognize_samples([c]).get("total_matches", 0)
-            seen.add(next((x for x in ladder if x >= t), ladder[-1]))
-        tiers_to_warm = tuple(sorted(seen))
+            fits.append(next((x for x in ladder if x >= t), ladder[-1]))
+        tiers_to_warm = tuple(sorted(set(fits)))
         print(f"fitting tiers from real clips: {tiers_to_warm}", flush=True)
     if pin == "decide" and prebuilt:
-        pin_cap = sia._decide_cap(sia._match_tiers())
+        # the MEDIAN fitting tier (never below the decide tier): about
+        # half the clips fit outright, the rest clamp and are margin-
+        # certified or retried. Measured r5: pinning the max tier costs
+        # ~4x device work per batch (serve_prod try2); pinning the bare
+        # decide tier on a skewed corpus (music 5 s, totals mostly past
+        # 65536 with weak 5 s margins) drowned in solo retries
+        # (serve_music try2: match_s 100-196 s per sweep).
+        med = sorted(fits)[len(fits) // 2]
+        pin_cap = max(sia._decide_cap(sia._match_tiers()), med)
     elif pin == "auto" and tiers_to_warm:
         pin_cap = tiers_to_warm[-1]
     elif pin and pin not in ("auto", "decide"):
